@@ -1,0 +1,104 @@
+"""Pipeline configuration.
+
+Mirrors the reference's dedupe config surface (rabin/global/dedupe_config.c:191-358
+key=value config; pcompress.c:3191-3762 CLI feature table) as a frozen dataclass.
+All constants that define *semantics* (CDC polynomial, masks, shingle size,
+MinHash permutation seed, LSH geometry) live here so that the Ray pipeline and
+every test oracle share one source of truth.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, asdict
+import hashlib
+import json
+
+
+# ---- Rabin CDC constants (reference: rabin/rabin_dedup.h:85-104) ----
+RAB_POLYNOMIAL_CONST = 153191
+POLY_MASK = 0xFFFFFFFFFF  # 40-bit
+RAB_POLYNOMIAL_WIN_SIZE = 16
+RAB_BLK_MIN_BITS = 11
+RAB_BLK_MASK = ((1 << RAB_BLK_MIN_BITS) - 1) >> 1  # 0x3FF — fixed 10-bit break mask
+FP_POLY = 0xBFE6B8A5BF378D83  # irreducible-poly bit pattern for the ir[] table
+MAX_BLOCK_SIZE_GLOBAL = 64 * 1024  # rabin/rabin_dedup.h:94 (global dedupe path)
+
+
+def rab_avg_block_size(rab_blk_sz: int) -> int:
+    """RAB_BLK_AVG_SZ(x) = 1 << (x + 11) — rabin/rabin_dedup.h:96."""
+    return 1 << (rab_blk_sz + RAB_BLK_MIN_BITS)
+
+
+def rab_min_block_size(rab_blk_sz: int) -> int:
+    """dedupe_min_blksz — rabin/rabin_dedup.c:119-126: avg − 1024."""
+    return rab_avg_block_size(rab_blk_sz) - 1024
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """Full configuration of the near-dup pipeline.
+
+    The defaults target web-page text: 2 KB-average content-defined chunks
+    (rab_blk_sz=0 — the smallest the reference supports), 5-token shingles,
+    128-permutation MinHash, 32 bands × 4 rows LSH (candidate threshold
+    ≈ (1/32)^(1/4) ≈ 0.42, i.e. recall ≥ 0.99 for Jaccard ≥ 0.7).
+    """
+
+    # CDC (reference constants; see module-level constants above)
+    rab_blk_sz: int = 0                    # avg 2048, min 1024
+    max_block_size: int = MAX_BLOCK_SIZE_GLOBAL
+    chunk_hash_bits: int = 64              # truncated SHA-256 → uint64 shuffle key (M3)
+
+    # Shingling / MinHash (document-level analog of M5/M6 K-min-values sketch)
+    shingle_k: int = 5                     # tokens per shingle
+    num_perm: int = 128                    # MinHash permutations
+    minhash_seed: int = 0x9E3779B9
+
+    # LSH banding (segment-similarity analog, rabin/rabin_dedup.c:921-994)
+    lsh_bands: int = 32
+    lsh_rows: int = 4                      # bands*rows must equal num_perm
+
+    # Candidate generation skew control (SURVEY §4 "Skew")
+    bucket_cap: int = 64                   # max docs per (band, hash) bucket before salting
+    max_pairs_per_bucket: int = 2048
+
+    # Verification
+    jaccard_threshold: float = 0.7         # operating threshold for near-dup edges
+    kmv_k: int = 1024                      # bottom-k shingle hashes kept for exact-ish verify
+    substring_min_chunks: int = 1          # shared CDC chunks to call a substring dup
+    substring_min_bytes: int = 2048        # shared chunk bytes to call a substring dup
+
+    # SimHash
+    simhash_bits: int = 64
+    simhash_hamming_threshold: int = 3
+
+    # Execution
+    batch_size: int = 256                  # rows per batch for heavy text stages
+    sig_concurrency: int | tuple = 8       # actor pool size for the signature stage
+    join_buckets: int = 32                 # buckets for the partitioned hash join
+    cc_driver_edge_limit: int = 5_000_000  # ≤ this many edges → driver union-find
+
+    def __post_init__(self):
+        if self.lsh_bands * self.lsh_rows != self.num_perm:
+            raise ValueError("lsh_bands * lsh_rows must equal num_perm")
+
+    @property
+    def avg_block_size(self) -> int:
+        return rab_avg_block_size(self.rab_blk_sz)
+
+    @property
+    def min_block_size(self) -> int:
+        return rab_min_block_size(self.rab_blk_sz)
+
+    def config_hash(self) -> str:
+        """Stable hash of semantic config — used to key checkpoints."""
+        d = asdict(self)
+        d["sig_concurrency"] = None  # execution-only knobs excluded
+        d["batch_size"] = None
+        d["join_buckets"] = None
+        d["cc_driver_edge_limit"] = None
+        s = json.dumps(d, sort_keys=True, default=str)
+        return hashlib.sha256(s.encode()).hexdigest()[:16]
+
+
+DEFAULT_CONFIG = PipelineConfig()
