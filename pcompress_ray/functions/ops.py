@@ -1,0 +1,189 @@
+"""Generic distributed relational operators built on Ray Data primitives.
+
+The reference's only join-like operator is the in-memory hash index probe
+(rabin/global/index.c:485-558; J1/J2 in SURVEY §2.4), serialized by a
+semaphore ring. Here joins are explicit data-parallel exchanges:
+
+- ``hash_join``: partitioned hash join — both sides get a bucket column
+  (hash(key) % B), one groupby co-locates matching buckets, a pandas merge
+  runs per bucket. Scales as an all-to-all of both inputs; B chosen so a
+  bucket fits a worker's heap.
+- ``broadcast_join``: small side materialized once, ``ray.put`` once, probed
+  inside ``map_batches`` per big-side batch — no shuffle (SURVEY guide:
+  broadcast-small-side).
+- ``zip_with_rank``: global ordering key via sort + per-block offsets (two
+  passes, no driver materialization).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from pcompress_ray.hashing import splitmix64
+
+_SALT = np.uint64(0xA5A5A5A55A5A5A5A)
+
+
+def _null_array(n: int, typ) -> pa.Array:
+    """All-null array with REAL buffers.
+
+    ``pa.nulls(n, type)`` builds buffer-less arrays that segfault Arrow's
+    table validation in this environment; materializing through a python
+    list allocates proper validity+data buffers.
+    """
+    return pa.array([None] * n, type=typ)
+
+
+def _bucket_of(values: np.ndarray, n_buckets: int) -> np.ndarray:
+    v = np.asarray(values)
+    if v.dtype.kind in "iu":
+        h = splitmix64(v.astype(np.uint64) ^ _SALT)
+    else:
+        h = pd.util.hash_array(np.asarray(v, dtype=object)).astype(np.uint64)
+    return (h % np.uint64(n_buckets)).astype(np.int32)
+
+
+def hash_join(left, right, left_on: str, right_on: str, n_buckets: int = 32,
+              how: str = "inner", suffix: str = "_r"):
+    """Partitioned hash join of two Datasets on a single key column.
+
+    Both sides are padded to ONE combined schema (missing columns = typed
+    nulls; right columns colliding with left names get ``suffix``), tagged
+    with ``__bucket`` = hash(key) % B and ``__side``, unioned, and one
+    groupby("__bucket") co-locates buckets; a pandas merge joins inside
+    ``map_groups``. One shuffle of each side total.
+
+    Note: int64 columns travel through pandas as float64 in mixed groups —
+    exact for |v| < 2^53; consumers cast back.
+    """
+    def _pa_type(t):
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.from_numpy_dtype(np.dtype(t))
+        except Exception:
+            return pa.string()  # pandas object columns: assume string
+
+    lsch = left.schema()
+    rsch = right.schema()
+    lnames = list(lsch.names)
+    rmap = {n: (n + suffix if n in lnames else n) for n in rsch.names}
+    rnames_out = [rmap[n] for n in rsch.names]
+    rtypes = {n: _pa_type(t) for n, t in zip(rsch.names, rsch.types)}
+    ltypes = {n: _pa_type(t) for n, t in zip(lsch.names, lsch.types)}
+    right_on_out = rmap[right_on]
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        n = len(t)
+        cols = {c: t[c] for c in lnames}
+        for rn, ro in rmap.items():
+            cols[ro] = _null_array(n, rtypes[rn])
+        cols["__bucket"] = pa.array(
+            _bucket_of(t[left_on].to_numpy(zero_copy_only=False), n_buckets),
+            pa.int32())
+        cols["__side"] = pa.array(np.zeros(n, np.int8))
+        return pa.table(cols)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        n = len(t)
+        cols = {c: _null_array(n, ltypes[c]) for c in lnames}
+        for rn, ro in rmap.items():
+            cols[ro] = t[rn]
+        cols["__bucket"] = pa.array(
+            _bucket_of(t[right_on].to_numpy(zero_copy_only=False), n_buckets),
+            pa.int32())
+        cols["__side"] = pa.array(np.ones(n, np.int8))
+        return pa.table(cols)
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow")
+    rt = right.map_batches(tag_right, batch_format="pyarrow")
+    out_cols = lnames + rnames_out
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g.loc[g["__side"] == 0, lnames]
+        rg = g.loc[g["__side"] == 1, rnames_out]
+        out = lg.merge(rg, left_on=left_on, right_on=right_on_out,
+                       how=("left" if how == "left" else "inner"))
+        return out[out_cols] if len(out.columns) else out
+
+    return lt.union(rt).groupby("__bucket").map_groups(merge, batch_format="pandas")
+
+
+def broadcast_join(big, small_df: pd.DataFrame, big_on: str, small_on: str,
+                   how: str = "inner", suffix: str = "_r"):
+    """Join a Dataset against a small pandas frame without a shuffle.
+
+    The frame is put in the object store ONCE; every task reads it zero-copy
+    (ray.put once / ray.get per task — not re-shipped per batch).
+    """
+    import ray
+
+    ref = ray.put(small_df)
+
+    # stateless tasks, NOT an actor pool: a pool with min-actors can reserve
+    # every CPU and starve the upstream read (deadlock on small clusters).
+    # ray.get(ref) per task is a zero-copy local plasma read after the first.
+    def probe(batch: pd.DataFrame) -> pd.DataFrame:
+        small = ray.get(ref)
+        return batch.merge(small, left_on=big_on, right_on=small_on,
+                           how=("left" if how == "left" else "inner"),
+                           suffixes=("", suffix))
+
+    return big.map_batches(probe, batch_format="pandas")
+
+
+def semi_join_filter(big, keys: set | np.ndarray, on: str, negate: bool = False):
+    """Semi/anti join: broadcast the key set, filter inside map_batches."""
+    import ray
+
+    keyset = set(int(k) for k in keys) if not isinstance(keys, set) else keys
+    ref = ray.put(keyset)
+
+    class Filt:
+        def __init__(self):
+            self.keys = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            t = t.replace_schema_metadata(None)
+            col = t[on].to_numpy(zero_copy_only=False)
+            mask = np.fromiter((c in self.keys for c in col), dtype=bool, count=len(col))
+            if negate:
+                mask = ~mask
+            return t.filter(pa.array(mask))
+
+    return big.map_batches(Filt, batch_format="pyarrow")
+
+
+def zip_with_rank(ds, sort_key: str, rank_col: str = "rank"):
+    """Dense global rank by sort_key: sort, then two-pass block-offset scan.
+
+    Pass 1 collects per-block counts (tiny); pass 2 adds cumulative offsets.
+    The ordering key replaces the reference's stream-offset ordering (T5).
+    """
+    import ray
+    import ray.data as rd
+
+    sorted_ds = ds.sort(sort_key).materialize()
+    block_refs = []
+    for bundle in sorted_ds.iter_internal_ref_bundles():
+        block_refs.extend(bundle.block_refs)
+
+    @ray.remote
+    def count_rows(block):
+        return len(block)
+
+    @ray.remote
+    def add_rank(block, off):
+        t = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+        t = t.replace_schema_metadata(None)
+        return t.append_column(rank_col,
+                               pa.array(np.arange(off, off + len(t), dtype=np.int64)))
+
+    counts = ray.get([count_rows.remote(r) for r in block_refs])
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]) if counts else []
+    new_blocks = [add_rank.remote(r, int(o)) for r, o in zip(block_refs, offsets)]
+    return rd.from_arrow_refs(new_blocks)

@@ -1,0 +1,222 @@
+"""The flagship near-duplicate detection + clustering pipeline.
+
+Shape (SURVEY §3.4):
+  pages → extract/normalize → [CDC + shingle/MinHash/LSH signatures]
+        → exact-dup shuffle (text_sha256)  ┐
+        → chunk-identity shuffle (substring)│→ union edges → components
+        → LSH band shuffle → verify        ┘
+        → clusters(url, cluster_id, is_canonical) + dup_pairs + metrics
+
+Input contract: a Dataset with columns (url, text [, html, lang, warc_ts])
+plus ``rank`` — an int64 TOTAL ORDER on documents (url order). Rank replaces
+the reference's stream-offset ordering under the semaphore ring (T5,
+pcompress.c:2617-2624): "canonical" = min rank, so results are independent
+of parallelism and arrival order.
+
+Every heavy stage is checkpointable (see checkpoint.py); pass
+``checkpoint_dir`` to make a killed run resume from the last complete stage.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from pcompress_ray.config import PipelineConfig
+from pcompress_ray.pipelines.checkpoint import CheckpointManager
+from pcompress_ray.stages.candidates import lsh_candidates
+from pcompress_ray.stages.cdc import CDCChunker
+from pcompress_ray.stages.components import union_find
+from pcompress_ray.stages.exact import add_text_sha, chunk_exact_edges, doc_exact_edges
+from pcompress_ray.stages.extract import Extractor
+from pcompress_ray.stages.signatures import SignatureStage
+from pcompress_ray.stages.verify import verify_candidates
+
+SIG_COLUMNS = ["url", "rank", "text_sha256", "n_chunks", "chunk_hashes",
+               "chunk_lengths", "n_tokens", "n_shingles", "minhash",
+               "band_hashes", "simhash", "kmv"]
+
+
+@dataclass
+class DedupResult:
+    signatures: object  # Dataset
+    edges: object       # Dataset (a, b, kind, jaccard)
+    pairs: object       # Dataset (url_a, url_b, kind, similarity)
+    clusters: object    # Dataset (url, cluster_id, is_canonical)
+    metrics: dict = field(default_factory=dict)
+
+
+def build_signatures(pages_ds, cfg: PipelineConfig):
+    """extract → text_sha → CDC → MinHash/LSH/SimHash, one streaming pass.
+
+    The signature stage is an actor pool (permutation tables built once per
+    actor); extract/sha/CDC are stateless tasks.
+    """
+    ds = pages_ds.map_batches(Extractor(), batch_format="pyarrow",
+                              batch_size=cfg.batch_size)
+    ds = ds.map_batches(add_text_sha, batch_format="pyarrow",
+                        batch_size=cfg.batch_size)
+    ds = ds.map_batches(CDCChunker(cfg, text_col="text_norm"),
+                        batch_format="pyarrow", batch_size=cfg.batch_size)
+    conc = cfg.sig_concurrency
+    if isinstance(conc, int):
+        conc = (1, conc)  # autoscale: don't reserve idle actors on small inputs
+    ds = ds.map_batches(SignatureStage, fn_constructor_kwargs={"cfg": cfg},
+                        batch_format="pyarrow", batch_size=cfg.batch_size,
+                        concurrency=conc)
+    return ds.select_columns(SIG_COLUMNS)
+
+
+def union_edges(*edge_dss):
+    """Union edge Datasets on the common (a, b, kind, jaccard) schema and
+    dedup per pair keeping the strongest kind (exact > substring > near)."""
+
+    def norm_schema(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        return pa.table({
+            "a": t["a"].cast(pa.int64()),
+            "b": t["b"].cast(pa.int64()),
+            "kind": t["kind"].cast(pa.string()),
+            "jaccard": t["jaccard"].cast(pa.float64()),
+        })
+
+    dss = [d.map_batches(norm_schema, batch_format="pyarrow") for d in edge_dss]
+    out = dss[0]
+    for d in dss[1:]:
+        out = out.union(d)
+
+    prio = {"exact": 0, "substring": 1, "near": 2}
+
+    def best(g: pd.DataFrame) -> pa.Table:
+        g = g.assign(_p=g["kind"].map(prio)).sort_values(["_p", "jaccard"],
+                                                         ascending=[True, False])
+        g = g.head(1)
+        # return ARROW with explicit types: pandas-backed blocks would make
+        # downstream .schema() report numpy dtypes and break joins
+        return pa.table({
+            "a": pa.array(g["a"].to_numpy(dtype=np.int64)),
+            "b": pa.array(g["b"].to_numpy(dtype=np.int64)),
+            "kind": pa.array(g["kind"].astype(str), pa.string()),
+            "jaccard": pa.array(g["jaccard"].to_numpy(dtype=np.float64)),
+        })
+
+    return out.groupby(["a", "b"]).map_groups(best, batch_format="pandas")
+
+
+def resolve_components(edges_ds, sig_ds, cfg: PipelineConfig):
+    """Edges → cluster table over ALL docs. Driver union-find below the edge
+    limit; distributed label propagation above it."""
+    import ray
+
+    n_edges = edges_ds.count()
+    if n_edges <= cfg.cc_driver_edge_limit:
+        edf = edges_ds.select_columns(["a", "b"]).to_pandas()
+        labels = union_find(edf["a"].to_numpy(), edf["b"].to_numpy()) if len(edf) \
+            else {}
+        ref = ray.put(labels)
+
+        def assign(t: pa.Table) -> pa.Table:
+            t = t.replace_schema_metadata(None)
+            lab = ray.get(ref)  # zero-copy local plasma read per task
+            ranks = t["rank"].to_numpy(zero_copy_only=False)
+            cid = np.array([lab.get(int(r), int(r)) for r in ranks],
+                           dtype=np.int64)
+            return pa.table({
+                "url": t["url"],
+                "rank": t["rank"],
+                "cluster_id": pa.array(cid),
+                "is_canonical": pa.array(cid == ranks.astype(np.int64)),
+            })
+
+        return sig_ds.select_columns(["url", "rank"]).map_batches(
+            assign, batch_format="pyarrow")
+
+    # scale path: distributed min-label propagation + join back to all docs
+    from pcompress_ray.functions.ops import hash_join
+    from pcompress_ray.stages.components import label_propagation
+
+    labels_ds = label_propagation(edges_ds.select_columns(["a", "b"]))
+
+    def rn(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        return pa.table({"node": t["node"], "label": t["label"]})
+
+    joined = hash_join(sig_ds.select_columns(["url", "rank"]),
+                       labels_ds.map_batches(rn, batch_format="pyarrow"),
+                       left_on="rank", right_on="node",
+                       n_buckets=cfg.join_buckets, how="left")
+
+    def finalize(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        ranks = t["rank"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lab = t["label"].to_numpy(zero_copy_only=False)
+        lab = np.where(pd.isna(lab), ranks, lab).astype(np.int64)
+        return pa.table({
+            "url": t["url"].cast(pa.string()),
+            "rank": pa.array(ranks),
+            "cluster_id": pa.array(lab),
+            "is_canonical": pa.array(lab == ranks),
+        })
+
+    return joined.map_batches(finalize, batch_format="pyarrow")
+
+
+def edges_to_pairs(edges_ds, sig_ds, cfg: PipelineConfig):
+    """(a,b,kind,jaccard) → (url_a, url_b, kind, similarity) via two joins."""
+    from pcompress_ray.functions.ops import hash_join
+
+    urls = sig_ds.select_columns(["url", "rank"])
+    j1 = hash_join(edges_ds, urls, left_on="a", right_on="rank",
+                   n_buckets=cfg.join_buckets)
+
+    def rn1(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        return pa.table({"a": t["a"].cast(pa.int64()), "b": t["b"].cast(pa.int64()),
+                         "kind": t["kind"].cast(pa.string()),
+                         "jaccard": t["jaccard"].cast(pa.float64()),
+                         "url_a": t["url"].cast(pa.string())})
+
+    j2 = hash_join(j1.map_batches(rn1, batch_format="pyarrow"), urls,
+                   left_on="b", right_on="rank", n_buckets=cfg.join_buckets)
+
+    def rn2(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        return pa.table({"url_a": t["url_a"].cast(pa.string()),
+                         "url_b": t["url"].cast(pa.string()),
+                         "kind": t["kind"].cast(pa.string()),
+                         "similarity": t["jaccard"].cast(pa.float64())})
+
+    return j2.map_batches(rn2, batch_format="pyarrow")
+
+
+def dedup_pipeline(pages_ds, cfg: PipelineConfig | None = None,
+                   checkpoint_dir: str | None = None,
+                   compute_pairs: bool = True) -> DedupResult:
+    """Run the full pipeline. pages_ds must carry (url, rank, text[, html])."""
+    cfg = cfg or PipelineConfig()
+    ck = CheckpointManager(checkpoint_dir, cfg.config_hash())
+
+    # signatures are consumed by four downstream stages — materialize ONCE
+    # (to checkpoint Parquet when enabled, else to the object store) so the
+    # extract/CDC/signature chain never re-executes per consumer.
+    sig = build_signatures(pages_ds, cfg)
+    sig = ck.materialize("signatures", sig) if ck.enabled else sig.materialize()
+
+    e_doc = doc_exact_edges(sig)
+    e_sub = chunk_exact_edges(sig, cfg)
+    cand = lsh_candidates(sig, cfg).materialize()  # small; reused by verify joins
+    e_near = verify_candidates(cand, sig, cfg)
+    edges = union_edges(e_doc, e_sub, e_near)
+    edges = ck.materialize("edges", edges) if ck.enabled else edges.materialize()
+
+    clusters = resolve_components(edges, sig, cfg)
+    clusters = ck.materialize("clusters", clusters)
+
+    pairs = edges_to_pairs(edges, sig, cfg) if compute_pairs else None
+
+    metrics = {"config_hash": cfg.config_hash()}
+    return DedupResult(signatures=sig, edges=edges, pairs=pairs,
+                       clusters=clusters, metrics=metrics)

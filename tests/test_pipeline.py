@@ -1,0 +1,162 @@
+"""Integration tests (FIXTURES t1/t2): full pipeline on the planted-duplicate
+corpus vs the brute-force oracle — recall/precision/cluster equality — plus
+parallelism-invariance and checkpoint resume."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from pcompress_ray.config import PipelineConfig
+
+N_DOCS = 200
+SEED = 42
+
+
+@pytest.fixture(scope="module")
+def corpus(ray_session):
+    import ray.data as rd
+
+    import pcompress_ray
+
+    pcompress_ray.register_for_ray()
+    from pcompress_ray.sources.corpus import make_corpus
+
+    pages, opairs, oclusters = make_corpus(N_DOCS, SEED)
+    pages = pages.append_column(
+        "rank", pa.array(np.arange(len(pages["url"])), pa.int64()))
+    return pages, opairs.to_pandas(), oclusters.to_pandas()
+
+
+@pytest.fixture(scope="module")
+def result(corpus, ray_session):
+    import ray.data as rd
+
+    from pcompress_ray.pipelines.dedup import dedup_pipeline
+
+    pages, _, _ = corpus
+    ds = rd.from_arrow(pages).repartition(8)
+    res = dedup_pipeline(ds, PipelineConfig())
+    return {
+        "clusters": res.clusters.to_pandas().sort_values("rank").reset_index(drop=True),
+        "edges": res.edges.to_pandas(),
+        "pairs": res.pairs.to_pandas(),
+    }
+
+
+def test_cluster_assignment_matches_oracle(corpus, result):
+    _, _, ocl = corpus
+    merged = result["clusters"].merge(ocl, on="url", suffixes=("_got", "_want"))
+    assert len(merged) == N_DOCS
+    assert (merged.cluster_id_got == merged.cluster_id_want).all()
+    assert (merged.is_canonical_got == merged.is_canonical_want).all()
+
+
+def test_pair_recall_geq_99(corpus, result):
+    cfg = PipelineConfig()
+    _, op, _ = corpus
+    got = set(zip(result["edges"].a.astype(int), result["edges"].b.astype(int)))
+    gate = op[(op.jaccard >= cfg.jaccard_threshold) | (op.kind == "exact")]
+    found = sum(((min(a, b), max(a, b)) in got)
+                for a, b in zip(gate.rank_a, gate.rank_b))
+    assert found / len(gate) >= 0.99, (found, len(gate))
+
+
+def test_substring_pairs_found(corpus, result):
+    _, op, _ = corpus
+    got = set(zip(result["edges"].a.astype(int), result["edges"].b.astype(int)))
+    sub = op[op.kind == "substring"]
+    found = sum(((min(a, b), max(a, b)) in got)
+                for a, b in zip(sub.rank_a, sub.rank_b))
+    assert found / len(sub) >= 0.95, (found, len(sub))
+
+
+def test_negative_pairs_rejected(corpus, result):
+    """Planted below-threshold pairs must NOT appear as near edges
+    (precision; boilerplate-only rows are the stress)."""
+    cfg = PipelineConfig()
+    _, op, _ = corpus
+    near_edges = result["edges"][result["edges"].kind == "near"]
+    got = set(zip(near_edges.a.astype(int), near_edges.b.astype(int)))
+    neg = op[(op.kind == "near") & (op.jaccard < cfg.jaccard_threshold - 0.05)]
+    false_hits = sum(((min(a, b), max(a, b)) in got)
+                     for a, b in zip(neg.rank_a, neg.rank_b))
+    assert false_hits == 0
+
+
+def test_parallelism_invariance(corpus, ray_session):
+    """Identical cluster table when the input is split 2 vs 16 ways — the
+    north rule's two-cluster-size determinism check."""
+    import ray.data as rd
+
+    from pcompress_ray.pipelines.dedup import dedup_pipeline
+
+    pages, _, _ = corpus
+    outs = []
+    for nblocks in (2, 16):
+        ds = rd.from_arrow(pages).repartition(nblocks)
+        res = dedup_pipeline(ds, PipelineConfig(), compute_pairs=False)
+        outs.append(res.clusters.to_pandas().sort_values("rank")
+                    .reset_index(drop=True)[["url", "cluster_id", "is_canonical"]])
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_checkpoint_resume(corpus, ray_session, tmp_path):
+    """Kill-and-resume equality: run stages to the edge checkpoint, start
+    over with the same checkpoint dir, assert identical final clusters and
+    that completed stages were NOT recomputed (manifest untouched)."""
+    import json
+    import os
+
+    import ray.data as rd
+
+    from pcompress_ray.pipelines.dedup import dedup_pipeline
+
+    pages, _, _ = corpus
+    cfg = PipelineConfig()
+    ckdir = str(tmp_path / "ck")
+    ds = rd.from_arrow(pages).repartition(4)
+    res1 = dedup_pipeline(ds, cfg, checkpoint_dir=ckdir)
+    cl1 = res1.clusters.to_pandas().sort_values("rank").reset_index(drop=True)
+
+    manifest = os.path.join(ckdir, cfg.config_hash(), "manifest.json")
+    mtime_before = os.path.getmtime(manifest)
+    with open(manifest) as f:
+        m = json.load(f)
+    assert m["signatures"]["complete"] and m["edges"]["complete"]
+
+    # "resume": fresh pipeline object, same checkpoint dir — must skip
+    # signatures/edges (manifest not rewritten) and reproduce clusters
+    res2 = dedup_pipeline(rd.from_arrow(pages).repartition(4), cfg,
+                          checkpoint_dir=ckdir)
+    cl2 = res2.clusters.to_pandas().sort_values("rank").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        cl1[["url", "cluster_id", "is_canonical"]],
+        cl2[["url", "cluster_id", "is_canonical"]])
+    assert os.path.getmtime(manifest) == mtime_before
+
+
+def test_extraction_byte_identical(corpus, ray_session):
+    """Per-url extracted text hash is stable across runs and block splits."""
+    import ray.data as rd
+
+    from pcompress_ray.stages.exact import add_text_sha
+    from pcompress_ray.stages.extract import Extractor
+
+    pages, _, _ = corpus
+    outs = []
+    for nblocks in (3, 11):
+        ds = rd.from_arrow(pages).repartition(nblocks)
+        out = (ds.map_batches(Extractor(), batch_format="pyarrow")
+               .map_batches(add_text_sha, batch_format="pyarrow")
+               .select_columns(["url", "text_sha256"]).to_pandas()
+               .sort_values("url").reset_index(drop=True))
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_pairs_have_urls(result):
+    p = result["pairs"]
+    assert len(p) > 0
+    assert set(p.columns) == {"url_a", "url_b", "kind", "similarity"}
+    assert p.url_a.str.startswith("https://").all()
