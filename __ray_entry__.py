@@ -1,44 +1,587 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+entry(): flagship near-dup pipeline on sf0.001 documents.
+queries(): one callable per implemented operator/pipeline (SURVEY.md §2).
+oracle_sql(): DuckDB-equivalent SQL for every SQL-expressible query; column
+names match exactly. Float aggregates are rounded on BOTH sides so the
+order-insensitive value-hash compare is stable across engines.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE importing this module — nothing here
+calls ray.init/shutdown.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _setup():
+    import pcompress_ray
+
+    pcompress_ray.register_for_ray()
+    try:
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+    except Exception:
+        pass
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                           columns=columns)
+
+
+# --------------------------------------------------------------------------
+# flagship pipeline
+# --------------------------------------------------------------------------
+
+def _dedup_clusters(sf_dir: str, compute_pairs: bool = False):
+    """Near-dup detection + clustering over the documents table (adapted to
+    the pages shape; rank = doc_id)."""
+    from pcompress_ray.config import PipelineConfig
+    from pcompress_ray.pipelines.dedup import dedup_pipeline
+    from pcompress_ray.sources.corpus import pages_from_documents
+
+    _setup()
+    pages = pages_from_documents(sf_dir)
+
+    def add_rank(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        return t.append_column("rank", t["doc_id"].cast(pa.int64()))
+
+    pages = pages.map_batches(add_rank, batch_format="pyarrow")
+    res = dedup_pipeline(pages, PipelineConfig(), compute_pairs=compute_pairs)
+    return res
 
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    res = _dedup_clusters("/root/testdata/sf0.001")
+    return res.clusters.select_columns(["url", "cluster_id", "is_canonical"])
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+def q_q1_pricing(sf_dir: str):
+    """TPC-H Q1-style pricing summary (groupby aggregate, A4 analog)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    _setup()
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+        return t.append_column("revenue", rev)
+
+    out = (ds.map_batches(derive, batch_format="pyarrow")
+           .groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("l_quantity", alias_name="sum_qty"),
+                      Sum("revenue", alias_name="sum_revenue"),
+                      Count(alias_name="n_rows")))
+
+    def rnd(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "sum_qty": pc.round(t["sum_qty"], 4),
+            "sum_revenue": pc.round(t["sum_revenue"], 4),
+            "n_rows": t["n_rows"].cast(pa.int64()),
+        })
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
+def q_q3_top_orders(sf_dir: str):
+    """3-way join + top-k (hash_join + broadcast_join, J1/J2 analogs)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    from pcompress_ray.functions.ops import broadcast_join, hash_join
+
+    _setup()
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    cust = cust[cust.c_mktsegment == "BUILDING"][["c_custkey"]]
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    o_b = broadcast_join(orders, cust, "o_custkey", "c_custkey")
+    joined = hash_join(li, o_b.select_columns(["o_orderkey"]),
+                       "l_orderkey", "o_orderkey", n_buckets=16)
+
+    def derive(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        rev = pc.multiply(t["l_extendedprice"].cast(pa.float64()),
+                          pc.subtract(1.0, t["l_discount"].cast(pa.float64())))
+        return pa.table({"orderkey": t["l_orderkey"].cast(pa.int64()),
+                         "revenue": rev})
+
+    agg = (joined.map_batches(derive, batch_format="pyarrow")
+           .groupby("orderkey")
+           .aggregate(Sum("revenue", alias_name="revenue"),
+                      Count(alias_name="n_items")))
+
+    def rnd(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        return pa.table({"orderkey": t["orderkey"].cast(pa.int64()),
+                         "revenue": pc.round(t["revenue"], 4),
+                         "n_items": t["n_items"].cast(pa.int64())})
+
+    return (agg.map_batches(rnd, batch_format="pyarrow")
+            .sort(["revenue", "orderkey"], descending=[True, False]).limit(10))
+
+
+def q_customer_nation(sf_dir: str):
+    """Broadcast join (small dimension side) + count per group."""
+    from ray.data.aggregate import Count
+
+    from pcompress_ray.functions.ops import broadcast_join
+
+    _setup()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    j = broadcast_join(cust, nation, "c_nationkey", "n_nationkey")
+    out = j.groupby("n_name").aggregate(Count(alias_name="n_customers"))
+
+    def rn(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        return pa.table({"nation": t["n_name"].cast(pa.string()),
+                         "n_customers": t["n_customers"].cast(pa.int64())})
+
+    return out.map_batches(rn, batch_format="pyarrow")
+
+
+def q_doc_stats(sf_dir: str):
+    """Per-doc token/char/punct counts (M7 analyzer analog, SQL-matched)."""
+    from pcompress_ray.stages.textstats import doc_stats_batch
+
+    _setup()
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        doc_stats_batch, batch_format="pandas")
+
+
+def q_lang_id(sf_dir: str):
+    """Stopword-heuristic language ID (SQL-matched)."""
+    from pcompress_ray.stages.textstats import lang_id_batch
+
+    _setup()
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lang_id_batch, batch_format="pandas")
+
+
+def q_lang_stats(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    _setup()
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    out = ds.groupby("lang").aggregate(Count(alias_name="n_docs"),
+                                       Sum("n_chars", alias_name="total_chars"))
+
+    def rn(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        return pa.table({"lang": t["lang"].cast(pa.string()),
+                         "n_docs": t["n_docs"].cast(pa.int64()),
+                         "total_chars": t["total_chars"].cast(pa.int64())})
+
+    return out.map_batches(rn, batch_format="pyarrow")
+
+
+def q_top_tokens(sf_dir: str):
+    """Corpus token frequency top-50 (explode + groupby + sort + limit)."""
+    from ray.data.aggregate import Count
+
+    from pcompress_ray.stages.textstats import token_explode
+
+    _setup()
+    ds = _read(sf_dir, "documents", ["text"])
+    out = (ds.map_batches(token_explode, batch_format="pyarrow")
+           .groupby("token").aggregate(Count(alias_name="n")))
+
+    def rn(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        return pa.table({"token": t["token"].cast(pa.string()),
+                         "n": t["n"].cast(pa.int64())})
+
+    return (out.map_batches(rn, batch_format="pyarrow")
+            .sort(["n", "token"], descending=[True, False]).limit(50))
+
+
+def q_exact_dup_docs(sf_dir: str):
+    """Doc-level exact-dup canonical assignment via md5 (A1/J1 keep-first)."""
+    import hashlib
+
+    _setup()
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def md5col(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        texts = t["text"].to_pylist()
+        h = [hashlib.md5((x or "").encode("utf-8")).hexdigest() for x in texts]
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                         "text_md5": pa.array(h, pa.string())})
+
+    def canon(g: pd.DataFrame) -> pd.DataFrame:
+        m = int(g["doc_id"].min())
+        return pd.DataFrame({"doc_id": g["doc_id"].astype(np.int64),
+                             "text_md5": g["text_md5"],
+                             "canonical_doc_id": np.int64(m)})
+
+    return (ds.map_batches(md5col, batch_format="pyarrow")
+            .groupby("text_md5").map_groups(canon, batch_format="pandas"))
+
+
+def q_events_hourly(sf_dir: str):
+    """Tumbling-window aggregate per user (streaming-window analog)."""
+    from ray.data.aggregate import Count, Sum
+
+    _setup()
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hour_id = us // 3_600_000_000
+        return pa.table({"user_id": t["user_id"].cast(pa.int64()),
+                         "hour_id": pa.array(hour_id.astype(np.int64)),
+                         "value": t["value"].cast(pa.float64())})
+
+    out = (ds.map_batches(derive, batch_format="pyarrow")
+           .groupby(["user_id", "hour_id"])
+           .aggregate(Count(alias_name="n_events"),
+                      Sum("value", alias_name="sum_value")))
+
+    def rnd(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        t = t.replace_schema_metadata(None)
+        return pa.table({"user_id": t["user_id"].cast(pa.int64()),
+                         "hour_id": t["hour_id"].cast(pa.int64()),
+                         "n_events": t["n_events"].cast(pa.int64()),
+                         "sum_value": pc.round(t["sum_value"], 6)})
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
+def q_sessionize(sf_dir: str):
+    """Gap-based sessionization per user (ordered map_groups; 1800s gap)."""
+    _setup()
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+
+    def sess(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        us = g["ts"].astype("int64").to_numpy()
+        gap = np.diff(us, prepend=us[0] if len(us) else 0)
+        new = (gap > 1_800_000_000).astype(np.int64)
+        sid = np.cumsum(new)
+        out = pd.DataFrame({"user_id": g["user_id"].astype(np.int64),
+                            "session_id": sid})
+        return (out.groupby(["user_id", "session_id"], as_index=False)
+                .size().rename(columns={"size": "n_events"}))
+
+    res = ds.groupby("user_id").map_groups(sess, batch_format="pandas")
+
+    def rn(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        return pa.table({"user_id": t["user_id"].cast(pa.int64()),
+                         "session_id": t["session_id"].cast(pa.int64()),
+                         "n_events": t["n_events"].cast(pa.int64())})
+
+    return res.map_batches(rn, batch_format="pyarrow")
+
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-5 for query vectors vec_id<10 (int output)."""
+    from pcompress_ray.stages.ann import brute_force_topk
+
+    _setup()
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = brute_force_topk(emb, np.arange(10), k=5)
+
+    def rn(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        return pa.table({"query_id": t["query_id"].cast(pa.int64()),
+                         "neighbor_id": t["neighbor_id"].cast(pa.int64())})
+
+    return out.map_batches(rn, batch_format="pyarrow")
+
+
+def q_embedding_neardup(sf_dir: str):
+    """All embedding pairs with cosine ≥ 0.35 (near-dup by embedding)."""
+    from pcompress_ray.stages.ann import cosine_neardup_pairs
+
+    _setup()
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = cosine_neardup_pairs(emb, 0.35)
+
+    def rn(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        return pa.table({"vec_a": t["vec_a"].cast(pa.int64()),
+                         "vec_b": t["vec_b"].cast(pa.int64())})
+
+    return out.map_batches(rn, batch_format="pyarrow")
+
+
+def q_dedup_clusters(sf_dir: str):
+    res = _dedup_clusters(sf_dir)
+    return res.clusters.select_columns(["url", "cluster_id", "is_canonical"])
+
+
+def q_dedup_pairs(sf_dir: str):
+    res = _dedup_clusters(sf_dir, compute_pairs=True)
+    return res.pairs
+
+
+def q_cdc_chunks(sf_dir: str):
+    """Per-doc CDC chunk counts + total chunk bytes (M1+M3)."""
+    from pcompress_ray.config import PipelineConfig
+    from pcompress_ray.stages.cdc import CDCChunker
+
+    _setup()
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(CDCChunker(PipelineConfig(), text_col="text"),
+                         batch_format="pyarrow")
+
+    def rn(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        t = t.replace_schema_metadata(None)
+        counts = pc.list_value_length(t["chunk_lengths"]).fill_null(0) \
+                   .to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(t["chunk_lengths"]).to_numpy(zero_copy_only=False)
+        csum = np.concatenate([[0], np.cumsum(flat, dtype=np.int64)])
+        ends = np.cumsum(counts)
+        total = csum[ends] - csum[ends - counts]
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                         "n_chunks": t["n_chunks"].cast(pa.int64()),
+                         "chunk_bytes": pa.array(total)})
+
+    return out.map_batches(rn, batch_format="pyarrow")
+
+
+def q_minhash_signatures(sf_dir: str):
+    """Signature stage output stats (M5/M6): shingles, simhash, minhash sum."""
+    from pcompress_ray.config import PipelineConfig
+    from pcompress_ray.pipelines.dedup import build_signatures
+    from pcompress_ray.sources.corpus import pages_from_documents
+
+    _setup()
+    pages = pages_from_documents(sf_dir)
+
+    def add_rank(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        return t.append_column("rank", t["doc_id"].cast(pa.int64()))
+
+    sig = build_signatures(pages.map_batches(add_rank, batch_format="pyarrow"),
+                           PipelineConfig())
+
+    def rn(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        return pa.table({"rank": t["rank"].cast(pa.int64()),
+                         "n_tokens": t["n_tokens"].cast(pa.int64()),
+                         "n_shingles": t["n_shingles"].cast(pa.int64()),
+                         "simhash": t["simhash"]})
+
+    return sig.map_batches(rn, batch_format="pyarrow")
+
+
+def q_quality_scores(sf_dir: str):
+    from pcompress_ray.stages.textstats import quality_batch
+
+    _setup()
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        quality_batch, batch_format="pandas")
+
+
+def q_fingerprints(sf_dir: str):
+    from pcompress_ray.stages.textstats import fingerprint_batch
+
+    _setup()
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fingerprint_batch, batch_format="pandas")
+
+
+def q_lsh_ann_pairs(sf_dir: str):
+    """Hyperplane-LSH bucketed near-dup pairs (ANN scale path)."""
+    from pcompress_ray.stages.ann import lsh_bucketed_pairs
+
+    _setup()
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = lsh_bucketed_pairs(emb, 0.35, dim=64)
+
+    def rn(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        return pa.table({"vec_a": t["vec_a"].cast(pa.int64()),
+                         "vec_b": t["vec_b"].cast(pa.int64())})
+
+    return out.map_batches(rn, batch_format="pyarrow")
+
+
+def q_media_features(sf_dir: str):
+    """Multimodal plumbing: magic-byte typing + (stubbed) decode features."""
+    import ray.data as rd
+
+    from pcompress_ray.stages.multimodal import ImageDecodeStage, make_fake_media_table
+
+    _setup()
+    media = rd.from_arrow(make_fake_media_table(200))
+    out = media.map_batches(ImageDecodeStage, fn_constructor_kwargs={"dim": 16},
+                            batch_format="pyarrow", batch_size=32,
+                            concurrency=(1, 2))
+    return out.select_columns(["media_id", "media_type", "media_type_detected"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "q1_pricing": q_q1_pricing,
+        "q3_top_orders": q_q3_top_orders,
+        "customer_nation": q_customer_nation,
+        "doc_stats": q_doc_stats,
+        "lang_id": q_lang_id,
+        "lang_stats": q_lang_stats,
+        "top_tokens": q_top_tokens,
+        "exact_dup_docs": q_exact_dup_docs,
+        "events_hourly": q_events_hourly,
+        "sessionize": q_sessionize,
+        "ann_topk": q_ann_topk,
+        "embedding_neardup": q_embedding_neardup,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_pairs": q_dedup_pairs,
+        "cdc_chunks": q_cdc_chunks,
+        "minhash_signatures": q_minhash_signatures,
+        "quality_scores": q_quality_scores,
+        "fingerprints": q_fingerprints,
+        "lsh_ann_pairs": q_lsh_ann_pairs,
+        "media_features": q_media_features,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# DuckDB oracles (omitted for non-SQL-expressible ops → rows-only checks)
+# --------------------------------------------------------------------------
+
+_TOKEN_SQL = r"[a-z0-9]+"
+_PUNCT_SQL = r"[!-/:-@\[-`{-~]"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_revenue,
+                   count(*) AS n_rows
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_top_orders": """
+            SELECT l.l_orderkey AS orderkey,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+                   count(*) AS n_items
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+            GROUP BY l.l_orderkey
+            ORDER BY revenue DESC, orderkey
+            LIMIT 10
+        """,
+        "customer_nation": """
+            SELECT n.n_name AS nation, count(*) AS n_customers
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        """,
+        "doc_stats": f"""
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   len(regexp_extract_all(lower(text), '{_TOKEN_SQL}')) AS n_tokens,
+                   len(regexp_extract_all(text, '{_PUNCT_SQL}')) AS punct_count
+            FROM documents
+        """,
+        "lang_id": r"""
+            SELECT doc_id, CASE
+                WHEN cde >= cen AND cde >= ces AND cde >= cfr AND cde > 0 THEN 'de'
+                WHEN cen >= ces AND cen >= cfr AND cen > 0 THEN 'en'
+                WHEN ces >= cfr AND ces > 0 THEN 'es'
+                WHEN cfr > 0 THEN 'fr'
+                ELSE 'unk' END AS lang_pred
+            FROM (SELECT doc_id,
+                len(regexp_extract_all(lower(text), '\b(der|die|und|ist|nicht|ein)\b')) AS cde,
+                len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is)\b')) AS cen,
+                len(regexp_extract_all(lower(text), '\b(el|los|una|es|para|como)\b')) AS ces,
+                len(regexp_extract_all(lower(text), '\b(le|les|une|est|dans|pour)\b')) AS cfr
+                FROM documents)
+        """,
+        "lang_stats": """
+            SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+            FROM documents GROUP BY lang
+        """,
+        "top_tokens": f"""
+            SELECT token, count(*) AS n
+            FROM (SELECT unnest(regexp_extract_all(lower(text), '{_TOKEN_SQL}')) AS token
+                  FROM documents)
+            GROUP BY token
+            ORDER BY n DESC, token
+            LIMIT 50
+        """,
+        "exact_dup_docs": """
+            SELECT doc_id, md5(text) AS text_md5,
+                   min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_doc_id
+            FROM documents
+        """,
+        "events_hourly": """
+            SELECT user_id,
+                   CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_id,
+                   count(*) AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM events
+            GROUP BY user_id, hour_id
+        """,
+        "sessionize": """
+            WITH w AS (
+                SELECT user_id, event_id, ts,
+                       epoch(ts) - lag(epoch(ts), 1, epoch(ts))
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+                FROM events),
+            s AS (
+                SELECT user_id,
+                       sum(CASE WHEN gap > 1800.0 THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM w)
+            SELECT user_id, session_id, count(*) AS n_events
+            FROM s GROUP BY user_id, session_id
+        """,
+        "ann_topk": """
+            SELECT query_id, neighbor_id FROM (
+                SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+                                    b.vec_id) AS rn
+                FROM embeddings a, embeddings b
+                WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id)
+            WHERE rn <= 5
+        """,
+        "embedding_neardup": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+        """,
+    }

@@ -143,19 +143,16 @@ def semi_join_filter(big, keys: set | np.ndarray, on: str, negate: bool = False)
     keyset = set(int(k) for k in keys) if not isinstance(keys, set) else keys
     ref = ray.put(keyset)
 
-    class Filt:
-        def __init__(self):
-            self.keys = ray.get(ref)
+    def filt(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        ks = ray.get(ref)
+        col = t[on].to_numpy(zero_copy_only=False)
+        mask = np.fromiter((c in ks for c in col), dtype=bool, count=len(col))
+        if negate:
+            mask = ~mask
+        return t.filter(pa.array(mask))
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            t = t.replace_schema_metadata(None)
-            col = t[on].to_numpy(zero_copy_only=False)
-            mask = np.fromiter((c in self.keys for c in col), dtype=bool, count=len(col))
-            if negate:
-                mask = ~mask
-            return t.filter(pa.array(mask))
-
-    return big.map_batches(Filt, batch_format="pyarrow")
+    return big.map_batches(filt, batch_format="pyarrow")
 
 
 def zip_with_rank(ds, sort_key: str, rank_col: str = "rank"):

@@ -1,0 +1,126 @@
+"""Text analysis stages: token counts, quality stats, language ID, fingerprints.
+
+The reference's analyzer classifies buffers from byte histograms
+(filters/analyzer/analyzer.c:32-124: TEXT/BINARY/MARKUP at significance
+thresholds); these stages are its document-level analogs for a training-data
+pipeline, each a stateless vectorized ``map_batches``. Regexes are compiled
+once per worker (module import), mirroring T3's per-context setup.
+
+Every function that has a SQL twin in __ray_entry__.oracle_sql computes with
+EXACTLY matching semantics (same regex, same integer/float arithmetic).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from pcompress_ray.hashing import hash_strings, splitmix64
+
+TOKEN_RE = r"[a-z0-9]+"
+PUNCT_RE = r"[!-/:-@\[-`{-~]"
+
+# stopword regexes per language — shared verbatim with the SQL oracle
+LANG_STOPWORDS = {
+    "en": r"\b(the|and|of|to|in|is)\b",
+    "de": r"\b(der|die|und|ist|nicht|ein)\b",
+    "fr": r"\b(le|les|une|est|dans|pour)\b",
+    "es": r"\b(el|los|una|es|para|como)\b",
+}
+_LANG_ORDER = ["de", "en", "es", "fr"]  # tie-break: alphabetical
+
+
+def doc_stats_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """(doc_id, n_chars, n_tokens, punct_count) — SQL-matched integers."""
+    low = df[text_col].fillna("").str.lower()
+    return pd.DataFrame({
+        "doc_id": df["doc_id"].astype(np.int64),
+        "n_chars": df[text_col].fillna("").str.len().astype(np.int64),
+        "n_tokens": low.str.count(TOKEN_RE).astype(np.int64),
+        "punct_count": df[text_col].fillna("").str.count(PUNCT_RE).astype(np.int64),
+    })
+
+
+def lang_id_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Heuristic stopword-count language ID → (doc_id, lang_pred).
+
+    Deterministic argmax over per-language stopword hit counts; ties broken
+    by alphabetical language order ('unk' when all counts are zero).
+    """
+    low = df[text_col].fillna("").str.lower()
+    counts = {lang: low.str.count(LANG_STOPWORDS[lang]).to_numpy()
+              for lang in _LANG_ORDER}
+    mat = np.stack([counts[lang] for lang in _LANG_ORDER], axis=1)
+    best = mat.argmax(axis=1)  # first (alphabetical) max wins
+    pred = np.array(_LANG_ORDER, dtype=object)[best]
+    pred[mat.max(axis=1) == 0] = "unk"
+    return pd.DataFrame({"doc_id": df["doc_id"].astype(np.int64),
+                         "lang_pred": pred})
+
+
+def quality_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Quality scoring: length/punct/stopword ratios + a composite score.
+
+    (Rows-only check — float ratios are not hash-stable across engines.)
+    """
+    txt = df[text_col].fillna("")
+    low = txt.str.lower()
+    n_chars = txt.str.len().to_numpy(dtype=np.float64)
+    n_tokens = low.str.count(TOKEN_RE).to_numpy(dtype=np.float64)
+    n_punct = txt.str.count(PUNCT_RE).to_numpy(dtype=np.float64)
+    n_stop = low.str.count(LANG_STOPWORDS["en"]).to_numpy(dtype=np.float64)
+    denom_c = np.maximum(n_chars, 1.0)
+    denom_t = np.maximum(n_tokens, 1.0)
+    punct_ratio = n_punct / denom_c
+    stop_ratio = n_stop / denom_t
+    avg_tok_len = np.where(n_tokens > 0, n_chars / denom_t, 0.0)
+    score = (np.clip(n_tokens / 100.0, 0, 1) * 0.4
+             + np.clip(stop_ratio * 5.0, 0, 1) * 0.3
+             + (1.0 - np.clip(punct_ratio * 10.0, 0, 1)) * 0.3)
+    return pd.DataFrame({
+        "doc_id": df["doc_id"].astype(np.int64),
+        "n_tokens": n_tokens.astype(np.int64),
+        "punct_ratio": punct_ratio,
+        "stopword_ratio": stop_ratio,
+        "avg_token_len": avg_tok_len,
+        "quality_score": score,
+    })
+
+
+_FP_RE = re.compile(TOKEN_RE)
+
+
+def fingerprint_batch(df: pd.DataFrame, text_col: str = "text",
+                      ngram: int = 8) -> pd.DataFrame:
+    """Document fingerprint: min 64-bit hash over rolling token n-grams.
+
+    The winnowing/rolling-hash analog of the reference's per-block weak hash
+    (XXH32 of content, rabin/rabin_dedup.c:1292-1309) at document level.
+    """
+    from pcompress_ray.hashing import shingle_hashes
+
+    out = np.zeros(len(df), dtype=np.uint64)
+    texts = df[text_col].fillna("").str.lower().tolist()
+    for i, t in enumerate(texts):
+        toks = _FP_RE.findall(t)
+        if not toks:
+            out[i] = 0
+            continue
+        th = hash_strings(np.asarray(toks, dtype=object))
+        sh = shingle_hashes(th, min(ngram, len(toks)))
+        out[i] = sh.min() if sh.size else 0
+    return pd.DataFrame({"doc_id": df["doc_id"].astype(np.int64),
+                         "fingerprint": out})
+
+
+def token_explode(t: pa.Table, text_col: str = "text") -> pa.Table:
+    """(token) rows — feeds the corpus-wide token-frequency aggregate."""
+    t = t.replace_schema_metadata(None)
+    texts = t[text_col].to_pylist()
+    toks = []
+    for x in texts:
+        toks.extend(_FP_RE.findall((x or "").lower()))
+    return pa.table({"token": pa.array(toks, pa.string())})
