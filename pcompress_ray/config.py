@@ -68,6 +68,12 @@ class PipelineConfig:
     substring_min_chunks: int = 1          # shared CDC chunks to call a substring dup
     substring_min_bytes: int = 2048        # shared chunk bytes to call a substring dup
 
+    # Stop-shingle (boilerplate) suppression for candidate generation:
+    # shingles with document frequency ≥ this in a ~1k-doc sample are
+    # excluded from banding (NOT from verification). 0 disables.
+    stop_shingle_df: float = 0.5
+    stop_shingle_sample: int = 1024
+
     # SimHash
     simhash_bits: int = 64
     simhash_hamming_threshold: int = 3
@@ -75,6 +81,7 @@ class PipelineConfig:
     # Execution
     batch_size: int = 256                  # rows per batch for heavy text stages
     sig_concurrency: int | tuple = 8       # actor pool size for the signature stage
+    sig_use_actors: bool = False           # True → actor pool (heavy per-actor state)
     join_buckets: int = 32                 # buckets for the partitioned hash join
     cc_driver_edge_limit: int = 5_000_000  # ≤ this many edges → driver union-find
 
@@ -94,6 +101,7 @@ class PipelineConfig:
         """Stable hash of semantic config — used to key checkpoints."""
         d = asdict(self)
         d["sig_concurrency"] = None  # execution-only knobs excluded
+        d["sig_use_actors"] = None
         d["batch_size"] = None
         d["join_buckets"] = None
         d["cc_driver_edge_limit"] = None

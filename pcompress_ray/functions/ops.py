@@ -45,6 +45,57 @@ def _bucket_of(values: np.ndarray, n_buckets: int) -> np.ndarray:
     return (h % np.uint64(n_buckets)).astype(np.int32)
 
 
+def _col_hash_u64(col) -> np.ndarray:
+    """uint64 hash of an arrow column (ints passed through splitmix, strings
+    via pandas hash_array)."""
+    v = col.to_numpy(zero_copy_only=False)
+    if v.dtype.kind in "iu":
+        return splitmix64(v.astype(np.uint64) ^ _SALT)
+    return pd.util.hash_array(np.asarray(v, dtype=object)).astype(np.uint64)
+
+
+def grouped_partitions(ds, key_cols: list[str], fn, n_parts: int = 64):
+    """Hash-partition by key_cols; apply ``fn`` once per PARTITION.
+
+    The groupby().map_groups() API calls the UDF once per GROUP — ~100 µs of
+    Python overhead per call, catastrophic for millions of tiny groups (the
+    chunk-hash / band-hash shuffles). This helper shuffles by
+    hash(keys) % n_parts instead, so ``fn`` receives a whole partition (all
+    rows of every key that hashed there, possibly many keys) as ONE pandas
+    DataFrame and does its own vectorized per-key logic. All rows of any
+    given key land in exactly one partition — same co-location guarantee as
+    a per-key groupby.
+    """
+
+    def add_part(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        h = np.zeros(len(t), dtype=np.uint64)
+        for c in key_cols:
+            h = splitmix64(h ^ _col_hash_u64(t[c]))
+        return t.append_column(
+            "__part", pa.array((h % np.uint64(n_parts)).astype(np.int32)))
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        return fn(g.drop(columns=["__part"]))
+
+    return (ds.map_batches(add_part, batch_format="pyarrow")
+            .groupby("__part").map_groups(run, batch_format="pandas"))
+
+
+def group_boundaries(sorted_keys: np.ndarray):
+    """(first_mask, group_id, group_sizes) of a SORTED key array."""
+    n = sorted_keys.shape[0]
+    if n == 0:
+        return (np.zeros(0, bool), np.zeros(0, np.int64), np.zeros(0, np.int64))
+    first = np.empty(n, dtype=bool)
+    first[0] = True
+    np.not_equal(sorted_keys[1:], sorted_keys[:-1], out=first[1:])
+    gid = np.cumsum(first) - 1
+    starts = np.flatnonzero(first)
+    sizes = np.diff(np.append(starts, n))
+    return first, gid, sizes
+
+
 def hash_join(left, right, left_on: str, right_on: str, n_buckets: int = 32,
               how: str = "inner", suffix: str = "_r"):
     """Partitioned hash join of two Datasets on a single key column.

@@ -49,11 +49,11 @@ class DedupResult:
     metrics: dict = field(default_factory=dict)
 
 
-def build_signatures(pages_ds, cfg: PipelineConfig):
+def build_signatures(pages_ds, cfg: PipelineConfig, stop_ref=None):
     """extract → text_sha → CDC → MinHash/LSH/SimHash, one streaming pass.
 
-    The signature stage is an actor pool (permutation tables built once per
-    actor); extract/sha/CDC are stateless tasks.
+    ``stop_ref``: optional ray ObjectRef of a sorted uint64 stop-shingle
+    array (boilerplate suppression for banding; see compute_stop_shingles).
     """
     ds = pages_ds.map_batches(Extractor(), batch_format="pyarrow",
                               batch_size=cfg.batch_size)
@@ -61,12 +61,30 @@ def build_signatures(pages_ds, cfg: PipelineConfig):
                         batch_size=cfg.batch_size)
     ds = ds.map_batches(CDCChunker(cfg, text_col="text_norm"),
                         batch_format="pyarrow", batch_size=cfg.batch_size)
-    conc = cfg.sig_concurrency
-    if isinstance(conc, int):
-        conc = (1, conc)  # autoscale: don't reserve idle actors on small inputs
-    ds = ds.map_batches(SignatureStage, fn_constructor_kwargs={"cfg": cfg},
-                        batch_format="pyarrow", batch_size=cfg.batch_size,
-                        concurrency=conc)
+    if getattr(cfg, "sig_use_actors", False):
+        conc = cfg.sig_concurrency
+        if isinstance(conc, int):
+            conc = (1, conc)  # autoscale: don't reserve idle actors
+        ds = ds.map_batches(SignatureStage,
+                            fn_constructor_kwargs={"cfg": cfg,
+                                                   "stop_ref": stop_ref},
+                            batch_format="pyarrow", batch_size=cfg.batch_size,
+                            concurrency=conc)
+    else:
+        # stateless tasks + per-worker-process instance cache: same
+        # setup-once-per-worker semantics as an actor pool (T3), but reuses
+        # Ray's long-lived task workers — actors are fresh processes per
+        # execution and pay this sandbox's slow first-touch warm-up each run.
+        # Use sig_use_actors=True when per-actor state is genuinely heavy
+        # (models); the MinHash tables are rebuilt in ~1 ms.
+        def sig_fn(batch: pa.Table, _cache: dict = {}) -> pa.Table:
+            stage = _cache.get("stage")
+            if stage is None:
+                stage = _cache["stage"] = SignatureStage(cfg, stop_ref=stop_ref)
+            return stage(batch)
+
+        ds = ds.map_batches(sig_fn, batch_format="pyarrow",
+                            batch_size=cfg.batch_size)
     return ds.select_columns(SIG_COLUMNS)
 
 
@@ -90,20 +108,24 @@ def union_edges(*edge_dss):
 
     prio = {"exact": 0, "substring": 1, "near": 2}
 
-    def best(g: pd.DataFrame) -> pa.Table:
-        g = g.assign(_p=g["kind"].map(prio)).sort_values(["_p", "jaccard"],
-                                                         ascending=[True, False])
-        g = g.head(1)
+    def best(part: pd.DataFrame) -> pa.Table:
+        # vectorized best-kind-per-pair across the whole partition
+        part = part.assign(_p=part["kind"].map(prio)) \
+                   .sort_values(["a", "b", "_p", "jaccard"],
+                                ascending=[True, True, True, False]) \
+                   .drop_duplicates(["a", "b"], keep="first")
         # return ARROW with explicit types: pandas-backed blocks would make
         # downstream .schema() report numpy dtypes and break joins
         return pa.table({
-            "a": pa.array(g["a"].to_numpy(dtype=np.int64)),
-            "b": pa.array(g["b"].to_numpy(dtype=np.int64)),
-            "kind": pa.array(g["kind"].astype(str), pa.string()),
-            "jaccard": pa.array(g["jaccard"].to_numpy(dtype=np.float64)),
+            "a": pa.array(part["a"].to_numpy(dtype=np.int64)),
+            "b": pa.array(part["b"].to_numpy(dtype=np.int64)),
+            "kind": pa.array(part["kind"].astype(str), pa.string()),
+            "jaccard": pa.array(part["jaccard"].to_numpy(dtype=np.float64)),
         })
 
-    return out.groupby(["a", "b"]).map_groups(best, batch_format="pandas")
+    from pcompress_ray.functions.ops import grouped_partitions
+
+    return grouped_partitions(out, ["a", "b"], best)
 
 
 def resolve_components(edges_ds, sig_ds, cfg: PipelineConfig):
@@ -196,24 +218,54 @@ def dedup_pipeline(pages_ds, cfg: PipelineConfig | None = None,
                    checkpoint_dir: str | None = None,
                    compute_pairs: bool = True) -> DedupResult:
     """Run the full pipeline. pages_ds must carry (url, rank, text[, html])."""
+    import os
+    import sys
+    import time
+
     cfg = cfg or PipelineConfig()
     ck = CheckpointManager(checkpoint_dir, cfg.config_hash())
+    timing = os.environ.get("PCOMPRESS_RAY_TIMING") == "1"
+    t_last = time.time()
+
+    def mark(label):
+        nonlocal t_last
+        if timing:
+            now = time.time()
+            print(f"[dedup_pipeline] {label}: {now - t_last:.1f}s",
+                  file=sys.stderr, flush=True)
+            t_last = now
+
+    # stop-shingle (boilerplate) pass: constant-size sample, one broadcast
+    stop_ref = None
+    if cfg.stop_shingle_df > 0:
+        import ray
+
+        from pcompress_ray.stages.signatures import compute_stop_shingles
+
+        stop = compute_stop_shingles(pages_ds, cfg, cfg.stop_shingle_sample,
+                                     cfg.stop_shingle_df)
+        stop_ref = ray.put(stop)
+        mark(f"stop_shingles ({stop.size})")
 
     # signatures are consumed by four downstream stages — materialize ONCE
     # (to checkpoint Parquet when enabled, else to the object store) so the
     # extract/CDC/signature chain never re-executes per consumer.
-    sig = build_signatures(pages_ds, cfg)
+    sig = build_signatures(pages_ds, cfg, stop_ref=stop_ref)
     sig = ck.materialize("signatures", sig) if ck.enabled else sig.materialize()
+    mark("signatures")
 
     e_doc = doc_exact_edges(sig)
     e_sub = chunk_exact_edges(sig, cfg)
     cand = lsh_candidates(sig, cfg).materialize()  # small; reused by verify joins
+    mark("candidates")
     e_near = verify_candidates(cand, sig, cfg)
     edges = union_edges(e_doc, e_sub, e_near)
     edges = ck.materialize("edges", edges) if ck.enabled else edges.materialize()
+    mark("edges")
 
     clusters = resolve_components(edges, sig, cfg)
     clusters = ck.materialize("clusters", clusters)
+    mark("clusters")
 
     pairs = edges_to_pairs(edges, sig, cfg) if compute_pairs else None
 

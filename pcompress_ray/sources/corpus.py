@@ -73,6 +73,74 @@ def _near_dup(tokens: list[str], target_j: float, vocab, rng, k: int) -> list[st
     return toks
 
 
+def _gen_group(g: int, n_docs: int, seed: int, vocab: np.ndarray,
+               nav: str, foot: str, k: int):
+    """Generate one 25-doc group (pure function of (g, seed)); returns
+    parallel lists (urls, tss, htmls, texts, langs)."""
+    rng = np.random.default_rng(seed + g * 1_000_003)
+    base_tokens: dict[int, list[str]] = {}
+    urls, tss, htmls, texts, langs = [], [], [], [], []
+    lens = np.maximum(rng.normal(400, 150, GROUP).astype(int), 60)
+    lens[4] = max(int(lens[4]), 1600)  # substring-span base must be long
+    span_s0 = 0
+    for local in range(GROUP):
+        idx = g * GROUP + local
+        if idx >= n_docs:
+            break
+        lang = ("de" if idx % 41 == 7 else "fr" if idx % 41 == 19 else "en")
+        kind_edge = g % 4  # rotation for the edge row
+
+        if local <= 14:  # unique
+            toks = list(vocab[rng.integers(0, len(vocab), lens[local])])
+        elif local in (15, 16):  # exact copies of doc0
+            toks = base_tokens[0]
+        elif local == 17:
+            toks = _near_dup(base_tokens[1], 0.95, vocab, rng, k)
+        elif local == 18:
+            toks = _near_dup(base_tokens[1], 0.85, vocab, rng, k)
+        elif local == 19:
+            toks = _near_dup(base_tokens[2], 0.70, vocab, rng, k)
+        elif local == 20:
+            toks = _near_dup(base_tokens[3], 0.55, vocab, rng, k)  # negative
+        elif local in (21, 22):  # substring: ~8KB span of doc4 inside unique
+            span_len = min(1400, len(base_tokens[4]) - 10)
+            if local == 21:
+                span_s0 = int(rng.integers(0, len(base_tokens[4]) - span_len))
+            s0 = span_s0  # SAME span for 21 and 22 → (21,22) is a true pair
+            span = base_tokens[4][s0 : s0 + span_len]
+            # unique pre/post large enough that pairwise Jaccard stays
+            # below the near-dup threshold — these pairs specifically
+            # exercise chunk-identity (substring) detection
+            pre = list(vocab[rng.integers(0, len(vocab), max(int(lens[local]), 700))])
+            post = list(vocab[rng.integers(0, len(vocab), 500)])
+            toks = pre + span + post
+        elif local == 23:  # boilerplate-only: modest unique body
+            toks = list(vocab[rng.integers(0, len(vocab), 150)])
+        else:  # local == 24: edge row
+            if kind_edge == 0:
+                toks = []
+            elif kind_edge == 1:
+                toks = ["   "]  # whitespace-only text
+            elif kind_edge == 2:
+                toks = list(vocab[rng.integers(0, len(vocab), 40_000)])  # very long
+            else:
+                toks = ["übermäßig", "schnelle", "züge", "naïve", "façade",
+                        "日本語", "текст"] * 30
+        base_tokens[local] = toks
+        body = " ".join(toks)
+        # exact copies are byte-identical pages under a different url
+        # (mirror semantics — the analog of replicated base blocks in
+        # test_dedup.sh); everything except the url matches, so the
+        # title must be the base doc's
+        title = f"page {g * GROUP if local in (15, 16) else idx}"
+        urls.append(f"https://site{g:05d}.example/p{idx:09d}")
+        tss.append(1_600_000_000_000_000 + idx * 1_000_000)  # us
+        htmls.append(_html(nav, foot, title, body))
+        texts.append(body)
+        langs.append(lang)
+    return urls, tss, htmls, texts, langs
+
+
 def make_corpus(n_docs: int, seed: int = 42, cfg: PipelineConfig | None = None,
                 with_oracle: bool = True):
     """→ (pages: pa.Table, oracle_pairs: pa.Table, oracle_clusters: pa.Table).
@@ -85,71 +153,13 @@ def make_corpus(n_docs: int, seed: int = 42, cfg: PipelineConfig | None = None,
     k = cfg.shingle_k
 
     urls, tss, htmls, texts, langs = [], [], [], [], []
-    pair_rows = []  # (rank_a, rank_b, kind, jaccard, span_bytes)
-    group_docs: dict[int, list[str]] = {}
+    pair_rows = []  # (rank_a, rank_b, kind, group)
 
     n_groups = (n_docs + GROUP - 1) // GROUP
     for g in range(n_groups):
-        rng = np.random.default_rng(seed + g * 1_000_003)
-        base_tokens: dict[int, list[str]] = {}
-        lens = np.maximum(rng.normal(400, 150, GROUP).astype(int), 60)
-        lens[4] = max(int(lens[4]), 1600)  # substring-span base must be long
-        for local in range(GROUP):
-            idx = g * GROUP + local
-            if idx >= n_docs:
-                break
-            lang = ("de" if idx % 41 == 7 else "fr" if idx % 41 == 19 else "en")
-            kind_edge = g % 4  # rotation for the edge row
-
-            if local <= 14:  # unique
-                toks = list(vocab[rng.integers(0, len(vocab), lens[local])])
-            elif local in (15, 16):  # exact copies of doc0
-                toks = base_tokens[0]
-            elif local == 17:
-                toks = _near_dup(base_tokens[1], 0.95, vocab, rng, k)
-            elif local == 18:
-                toks = _near_dup(base_tokens[1], 0.85, vocab, rng, k)
-            elif local == 19:
-                toks = _near_dup(base_tokens[2], 0.70, vocab, rng, k)
-            elif local == 20:
-                toks = _near_dup(base_tokens[3], 0.55, vocab, rng, k)  # negative
-            elif local in (21, 22):  # substring: ~8KB span of doc4 inside unique
-                span_len = min(1400, len(base_tokens[4]) - 10)
-                if local == 21:
-                    span_s0 = int(rng.integers(0, len(base_tokens[4]) - span_len))
-                s0 = span_s0  # SAME span for 21 and 22 → (21,22) is a true pair
-                span = base_tokens[4][s0 : s0 + span_len]
-                # unique pre/post large enough that pairwise Jaccard stays
-                # below the near-dup threshold — these pairs specifically
-                # exercise chunk-identity (substring) detection
-                pre = list(vocab[rng.integers(0, len(vocab), max(int(lens[local]), 700))])
-                post = list(vocab[rng.integers(0, len(vocab), 500)])
-                toks = pre + span + post
-            elif local == 23:  # boilerplate-only: modest unique body
-                toks = list(vocab[rng.integers(0, len(vocab), 150)])
-            else:  # local == 24: edge row
-                if kind_edge == 0:
-                    toks = []
-                elif kind_edge == 1:
-                    toks = ["   "]  # whitespace-only text
-                elif kind_edge == 2:
-                    toks = list(vocab[rng.integers(0, len(vocab), 40_000)])  # very long
-                else:
-                    toks = ["übermäßig", "schnelle", "züge", "naïve", "façade",
-                            "日本語", "текст"] * 30
-            base_tokens[local] = toks
-            body = " ".join(toks)
-            # exact copies are byte-identical pages under a different url
-            # (mirror semantics — the analog of replicated base blocks in
-            # test_dedup.sh); everything except the url matches, so the
-            # title must be the base doc's
-            title = f"page {g * GROUP if local in (15, 16) else idx}"
-            urls.append(f"https://site{g:05d}.example/p{idx:09d}")
-            tss.append(1_600_000_000_000_000 + idx * 1_000_000)  # us
-            htmls.append(_html(nav, foot, title, body))
-            texts.append(body)
-            langs.append(lang)
-        group_docs[g] = base_tokens
+        gu, gt, gh, gx, gl = _gen_group(g, n_docs, seed, vocab, nav, foot, k)
+        urls.extend(gu); tss.extend(gt); htmls.extend(gh)
+        texts.extend(gx); langs.extend(gl)
 
         # planted pair bookkeeping (ranks are global row indices)
         def R(local_i):
@@ -261,6 +271,64 @@ def write_corpus(out_dir: str, n_docs: int, seed: int = 42,
     with open(marker, "w") as f:
         f.write("ok")
     return out_dir
+
+
+def write_bench_corpus(out_dir: str, n_docs: int, seed: int = 42,
+                       groups_per_shard: int = 16) -> str:
+    """Bench-scale pages corpus, generated in PARALLEL Ray tasks (one task
+    per shard of 25-doc groups — groups are rng-independent), written as
+    partitioned Parquet with a ``rank`` column. Cached by (n_docs, seed).
+    """
+    import ray
+
+    os.makedirs(out_dir, exist_ok=True)
+    marker = os.path.join(out_dir, f"_complete_{n_docs}_{seed}")
+    if os.path.exists(marker):
+        return out_dir
+
+    cfg = PipelineConfig()
+    vocab = _vocab(seed)
+    nav, foot = _template(vocab, seed)
+    k = cfg.shingle_k
+    n_groups = (n_docs + GROUP - 1) // GROUP
+    vocab_ref = ray.put(vocab)
+
+    @ray.remote
+    def gen_shard(s0: int, s1: int, shard_id: int) -> str:
+        v = ray.get(vocab_ref)
+        urls, tss, htmls, texts, langs = [], [], [], [], []
+        for g in range(s0, s1):
+            gu, gt, gh, gx, gl = _gen_group(g, n_docs, seed, v, nav, foot, k)
+            urls.extend(gu); tss.extend(gt); htmls.extend(gh)
+            texts.extend(gx); langs.extend(gl)
+        ranks = np.array([int(u[-9:]) for u in urls], dtype=np.int64)
+        t = pa.table({
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "rank": pa.array(ranks),
+        })
+        path = os.path.join(out_dir, f"part-{shard_id:05d}.parquet")
+        pq.write_table(t, path)
+        return path
+
+    futs = []
+    sid = 0
+    for s0 in range(0, n_groups, groups_per_shard):
+        futs.append(gen_shard.remote(s0, min(s0 + groups_per_shard, n_groups), sid))
+        sid += 1
+    ray.get(futs)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out_dir
+
+
+def read_bench_corpus(out_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(out_dir)
 
 
 def pages_from_documents(sf_dir: str):

@@ -70,36 +70,79 @@ def _pairs_within(ranks: np.ndarray, cap_pairs: int):
     return ranks[a_idx], ranks[b_idx]
 
 
-def band_group_pairs(cfg: PipelineConfig):
-    """map_groups fn for groupby(band_id, band_hash) → candidate (a,b) rows."""
+def _salted_pairs(r: np.ndarray, cfg: PipelineConfig):
+    """Hot bucket (> bucket_cap members): contiguous windows of ≤ bucket_cap
+    over the RANK-SORTED members, all-pairs within each window, every window
+    representative linked to the global min — connectivity via transitivity,
+    pair count linear in bucket size (skew guard, SURVEY §4).
 
-    def emit(g: pd.DataFrame) -> pd.DataFrame:
-        r = np.unique(g["rank"].to_numpy(dtype=np.int64))
-        if r.size < 2:
-            return pd.DataFrame({"a": [], "b": []})
-        if r.size <= cfg.bucket_cap:
-            a, b = _pairs_within(r, cfg.max_pairs_per_bucket)
-        else:
-            # salt: deterministic sub-buckets of ~bucket_cap members
-            n_sub = int(np.ceil(r.size / cfg.bucket_cap))
-            sub = (splitmix64(r.astype(np.uint64)) % np.uint64(n_sub)).astype(np.int64)
-            parts_a, parts_b = [], []
-            reps = []
-            for s in range(n_sub):
-                rs = r[sub == s]
-                if rs.size == 0:
-                    continue
-                reps.append(rs[0])
-                if rs.size >= 2:
-                    aa, bb = _pairs_within(rs, cfg.max_pairs_per_bucket)
-                    parts_a.append(aa); parts_b.append(bb)
-            reps = np.asarray(reps, dtype=np.int64)
-            gmin = r[0]
-            link_b = reps[reps != gmin]
-            parts_a.append(np.full(link_b.size, gmin, dtype=np.int64))
-            parts_b.append(link_b)
-            a = np.concatenate(parts_a) if parts_a else np.empty(0, np.int64)
-            b = np.concatenate(parts_b) if parts_b else np.empty(0, np.int64)
+    Windows are slices of the sorted rank array (NOT hash-modulo buckets):
+    a mega-family colliding in many bands then yields the SAME window pairs
+    in every band, so the cross-band dedup collapses them — hash-modulo
+    salting with a size-dependent modulus emitted a different pairing per
+    band and multiplied the pair count by up to lsh_bands.
+    """
+    cap = cfg.bucket_cap
+    parts_a, parts_b, reps = [], [], []
+    for s0 in range(0, r.size, cap):
+        rs = r[s0 : s0 + cap]
+        reps.append(rs[0])
+        if rs.size >= 2:
+            aa, bb = _pairs_within(rs, cfg.max_pairs_per_bucket)
+            parts_a.append(aa); parts_b.append(bb)
+    reps = np.asarray(reps, dtype=np.int64)
+    gmin = r[0]
+    link_b = reps[reps != gmin]
+    parts_a.append(np.full(link_b.size, gmin, dtype=np.int64))
+    parts_b.append(link_b)
+    return np.concatenate(parts_a), np.concatenate(parts_b)
+
+
+def band_partition_pairs(cfg: PipelineConfig):
+    """Partition-level fn: ALL band buckets of a hash partition in one call,
+    vectorized over the (dominant) singleton and size-2 buckets; Python only
+    for buckets of size ≥3 (rare)."""
+
+    def emit(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.drop_duplicates(["band_id", "band_hash", "rank"]) \
+                   .sort_values(["band_id", "band_hash", "rank"])
+        from pcompress_ray.functions.ops import group_boundaries
+
+        # combined bucket key: band_id ⊕-mixed band_hash (collision-safe for
+        # grouping within one partition via lexicographic sort on both)
+        bh = part["band_hash"].to_numpy(dtype=np.uint64)
+        bid = part["band_id"].to_numpy(dtype=np.int64).astype(np.uint64)
+        # part is sorted by (band_id, band_hash); boundaries from the actual
+        # column pair (collision-proof, no mixing needed here)
+        n = len(part)
+        first = np.empty(n, dtype=bool)
+        if n:
+            first[0] = True
+            first[1:] = (bid[1:] != bid[:-1]) | (bh[1:] != bh[:-1])
+        gid = np.cumsum(first) - 1 if n else np.zeros(0, np.int64)
+        starts = np.flatnonzero(first)
+        sizes = np.diff(np.append(starts, n))
+        r = part["rank"].to_numpy(dtype=np.int64)
+
+        out_a, out_b = [], []
+        # size-2 buckets vectorized: rows where group size==2
+        s2 = starts[sizes == 2]
+        if s2.size:
+            out_a.append(r[s2])
+            out_b.append(r[s2 + 1])
+        # size>=3 buckets: python loop (rare)
+        for s_idx, m in zip(starts[sizes >= 3], sizes[sizes >= 3]):
+            rs = r[s_idx : s_idx + int(m)]
+            if m <= cfg.bucket_cap:
+                aa, bb = _pairs_within(rs, cfg.max_pairs_per_bucket)
+            else:
+                aa, bb = _salted_pairs(rs, cfg)
+            out_a.append(aa); out_b.append(bb)
+        if not out_a:
+            return pd.DataFrame({"a": np.empty(0, np.int64),
+                                 "b": np.empty(0, np.int64)})
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
         lo, hi = np.minimum(a, b), np.maximum(a, b)
         return pd.DataFrame({"a": lo.astype(np.int64), "b": hi.astype(np.int64)})
 
@@ -108,12 +151,18 @@ def band_group_pairs(cfg: PipelineConfig):
 
 def lsh_candidates(sig_ds, cfg: PipelineConfig):
     """Candidate (a,b) pairs, deduplicated across bands."""
-    from ray.data.aggregate import Count
+    from pcompress_ray.functions.ops import grouped_partitions
 
-    pairs = (explode_bands(sig_ds)
-             .groupby(["band_id", "band_hash"])
-             .map_groups(band_group_pairs(cfg), batch_format="pandas"))
-    # dedup across bands (a pair can collide in up to lsh_bands bands)
-    return (pairs.groupby(["a", "b"])
-            .aggregate(Count(alias_name="n_bands"))
-            .select_columns(["a", "b", "n_bands"]))
+    pairs = grouped_partitions(explode_bands(sig_ds),
+                               ["band_id", "band_hash"],
+                               band_partition_pairs(cfg))
+
+    # dedup across bands (a pair can collide in up to lsh_bands bands) —
+    # partition-level pandas value_counts (Ray's multi-key .aggregate() is
+    # per-group Python: ~0.25 ms/key, unusable at this cardinality)
+    def dedup(part: pd.DataFrame) -> pd.DataFrame:
+        out = part.groupby(["a", "b"], as_index=False, sort=False).size()
+        return out.rename(columns={"size": "n_bands"}).astype(
+            {"a": np.int64, "b": np.int64, "n_bands": np.int64})
+
+    return grouped_partitions(pairs, ["a", "b"], dedup)

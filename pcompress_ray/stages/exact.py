@@ -46,20 +46,22 @@ def doc_exact_edges(sig_ds):
     mega-group of empty documents).
     """
 
-    def star(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": [], "kind": [], "jaccard": []})
-        r = np.sort(g["rank"].to_numpy())
-        return pd.DataFrame({
-            "a": np.full(r.size - 1, r[0], dtype=np.int64),
-            "b": r[1:].astype(np.int64),
-            "kind": "exact",
-            "jaccard": 1.0,
-        })
+    from pcompress_ray.functions.ops import group_boundaries, grouped_partitions
 
-    return (sig_ds.select_columns(["text_sha256", "rank"])
-            .groupby("text_sha256")
-            .map_groups(star, batch_format="pandas"))
+    def stars(part: pd.DataFrame) -> pd.DataFrame:
+        # vectorized over ALL sha groups in the partition
+        part = part.sort_values(["text_sha256", "rank"])
+        key = part["text_sha256"].to_numpy()
+        r = part["rank"].to_numpy(dtype=np.int64)
+        first, gid, _ = group_boundaries(key)
+        a = r[first][gid]          # min rank of each row's group (sorted)
+        keep = r != a
+        return pd.DataFrame({"a": a[keep], "b": r[keep],
+                             "kind": "exact", "jaccard": 1.0})
+
+    return grouped_partitions(
+        sig_ds.select_columns(["text_sha256", "rank"]),
+        ["text_sha256"], stars)
 
 
 def explode_chunks(sig_ds):
@@ -90,36 +92,56 @@ def chunk_exact_edges(sig_ds, cfg: PipelineConfig):
     Only multi-chunk docs participate: a single-chunk doc identical to part
     of another is still caught because its whole text IS one chunk.
     """
-    from ray.data.aggregate import Count, Sum
-
     chunks = explode_chunks(sig_ds)
+
+    from pcompress_ray.functions.ops import group_boundaries, grouped_partitions
 
     group_cap = cfg.bucket_cap
 
-    def pairs_bytes(g: pd.DataFrame) -> pd.DataFrame:
-        # one row per (rank) — shared bytes counted once per doc per chunk-hash
-        g = g.sort_values("rank").drop_duplicates("rank")
-        if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": [], "shared": []})
-        r = g["rank"].to_numpy(dtype=np.int64)
-        ln = int(g["chunk_len"].iloc[0])
-        if r.size <= group_cap:
-            ai, bi = np.triu_indices(r.size, k=1)  # all pairs (pair-level recall)
-            a, b = r[ai], r[bi]
-        else:
-            # mega-group (e.g. a boilerplate chunk): star to min — linear,
-            # connectivity preserved transitively (skew guard, SURVEY §4)
-            a, b = np.full(r.size - 1, r[0], dtype=np.int64), r[1:]
-        return pd.DataFrame({
-            "a": a, "b": b,
-            "shared": np.full(a.size, ln, dtype=np.int64),
-        })
+    def pairs_bytes(part: pd.DataFrame) -> pd.DataFrame:
+        # vectorized over ALL chunk-hash groups in the partition; one row per
+        # (chunk_hash, rank) — a doc repeating a chunk internally counts once
+        # (J3 in-segment self-dedup analog)
+        part = part.drop_duplicates(["chunk_hash", "rank"]) \
+                   .sort_values(["chunk_hash", "rank"])
+        h = part["chunk_hash"].to_numpy()
+        r = part["rank"].to_numpy(dtype=np.int64)
+        ln = part["chunk_len"].to_numpy(dtype=np.int64)
+        first, gid, sizes = group_boundaries(h)
+        row_size = sizes[gid]
+        # star edges (min rank → each other member): full coverage of every
+        # group, linear even for mega-groups (skew guard, SURVEY §4)
+        a = r[first][gid]
+        keep = r != a
+        out_a, out_b, out_s = [a[keep]], [r[keep]], [ln[keep]]
+        # extra all-pairs beyond the star for groups 3..cap (pair-level
+        # recall: the (21,22)-style pair both containing a span from a third)
+        multi = np.flatnonzero(first & (sizes[gid] >= 3) & (sizes[gid] <= group_cap))
+        starts = np.flatnonzero(first)
+        for s_idx in multi:
+            g0 = int(np.searchsorted(starts, s_idx))
+            m = int(sizes[g0])
+            rs = r[s_idx : s_idx + m]
+            ai, bi = np.triu_indices(m, k=1)
+            nonstar = ai != 0  # star pairs already emitted
+            out_a.append(rs[ai[nonstar]])
+            out_b.append(rs[bi[nonstar]])
+            out_s.append(np.full(nonstar.sum(), ln[s_idx], dtype=np.int64))
+        return pd.DataFrame({"a": np.concatenate(out_a),
+                             "b": np.concatenate(out_b),
+                             "shared": np.concatenate(out_s)})
 
-    pair_bytes = (chunks.groupby("chunk_hash")
-                  .map_groups(pairs_bytes, batch_format="pandas")
-                  .groupby(["a", "b"])
-                  .aggregate(Sum("shared", alias_name="shared_bytes"),
-                             Count(alias_name="shared_chunks")))
+    def sum_shared(part: pd.DataFrame) -> pd.DataFrame:
+        # partition-level pandas agg (Ray's multi-key .aggregate() is
+        # per-group Python — unusable at chunk-pair cardinality)
+        out = part.groupby(["a", "b"], as_index=False, sort=False).agg(
+            shared_bytes=("shared", "sum"), shared_chunks=("shared", "size"))
+        return out.astype({"a": np.int64, "b": np.int64,
+                           "shared_bytes": np.int64, "shared_chunks": np.int64})
+
+    pair_bytes = grouped_partitions(
+        grouped_partitions(chunks, ["chunk_hash"], pairs_bytes),
+        ["a", "b"], sum_shared)
 
     def finalize(t: pa.Table) -> pa.Table:
         t = t.replace_schema_metadata(None)

@@ -62,6 +62,50 @@ def exact_jaccard(a: np.ndarray, b: np.ndarray) -> float:
     return inter / (a.size + b.size - inter)
 
 
+def compute_stop_shingles(pages_ds, cfg: PipelineConfig,
+                          sample_docs: int = 1024,
+                          df_threshold: float = 0.5) -> np.ndarray:
+    """Document-frequency pass: shingles present in ≥ df_threshold of a
+    deterministic rank-based sample are 'stop shingles' (site template /
+    boilerplate chrome). Returns a sorted uint64 array.
+
+    Deterministic: the sample is docs with rank % step == 0 (content-keyed,
+    independent of block order / parallelism). Driver-side DF count over
+    ~sample_docs docs (a few MB) — at 10^12 scale this is still a constant
+    ~1k-doc sample.
+    """
+    from pcompress_ray.stages.extract import Extractor
+
+    n = pages_ds.count()
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    step = max(1, n // sample_docs)
+
+    def sample_shingles(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        ranks = t["rank"].to_numpy(zero_copy_only=False)
+        keep = (ranks % step) == 0
+        t = t.filter(pa.array(keep))
+        if "text_norm" not in t.column_names:
+            t = Extractor()(t)
+        outs = []
+        for txt in t["text_norm"].to_pylist():
+            outs.append(doc_shingles(txt, cfg.shingle_k).tobytes())
+        return pa.table({"sh": pa.array(outs, pa.binary())})
+
+    rows = pages_ds.map_batches(sample_shingles, batch_format="pyarrow") \
+                   .take_all()
+    n_sampled = len(rows)
+    if n_sampled == 0:
+        return np.empty(0, dtype=np.uint64)
+    all_sh = np.concatenate([np.frombuffer(r["sh"], dtype=np.uint64)
+                             for r in rows]) if rows else np.empty(0, np.uint64)
+    if all_sh.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    vals, cnts = np.unique(all_sh, return_counts=True)
+    return vals[cnts >= df_threshold * n_sampled]
+
+
 class SignatureStage:
     """map_batches actor stage: text_norm → minhash, bands, simhash, kmv.
 
@@ -76,37 +120,148 @@ class SignatureStage:
         near-exact Jaccard verification without re-reading text
     """
 
-    def __init__(self, cfg: PipelineConfig | None = None, text_col: str = "text_norm"):
+    def __init__(self, cfg: PipelineConfig | None = None, text_col: str = "text_norm",
+                 stop_ref=None):
         self.cfg = cfg or PipelineConfig()
         self.text_col = text_col
         self.a, self.b = minhash_params(self.cfg.num_perm, self.cfg.minhash_seed)
+        # stop-shingles (template/boilerplate, high document frequency):
+        # EXCLUDED from MinHash/banding so shared chrome doesn't generate
+        # O(n²) random band collisions corpus-wide; verification still uses
+        # the FULL shingle set (kmv), so pair Jaccard semantics are unchanged.
+        if stop_ref is not None:
+            import ray
+
+            stop = ray.get(stop_ref)
+            self.stop = np.sort(np.asarray(stop, dtype=np.uint64))
+        else:
+            self.stop = None
+
+    def _drop_stop(self, sh: np.ndarray) -> np.ndarray:
+        if self.stop is None or self.stop.size == 0 or sh.size == 0:
+            return sh
+        idx = np.searchsorted(self.stop, sh)
+        idx_c = np.minimum(idx, self.stop.size - 1)
+        hit = self.stop[idx_c] == sh
+        return sh[~hit]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
+        k = cfg.shingle_k
         batch = batch.replace_schema_metadata(None)
         texts = batch[self.text_col].to_pylist()
         n = len(texts)
         n_tokens = np.zeros(n, dtype=np.int32)
         n_shingles = np.zeros(n, dtype=np.int32)
-        sigs = np.empty((n, cfg.num_perm), dtype=U64)
+        sigs = np.full((n, cfg.num_perm), np.iinfo(np.uint64).max, dtype=U64)
         simhashes = np.zeros(n, dtype=U64)
-        kmvs = []
-        for i, t in enumerate(texts):
-            toks = tokenize(t)
-            n_tokens[i] = len(toks)
-            if toks:
-                th = hash_strings(np.asarray(toks, dtype=object))
-                k = cfg.shingle_k if len(toks) >= cfg.shingle_k else max(1, len(toks))
-                sh = np.unique(shingle_hashes(th, k))
-                simhashes[i] = simhash(th)
+        kmvs: list[bytes] = [b""] * n
+
+        # --- tokenize per doc (C regex), hash ALL tokens in ONE call ---
+        toks_per_doc = [tokenize(t) for t in texts]
+        counts = np.array([len(t) for t in toks_per_doc], dtype=np.int64)
+        n_tokens[:] = counts
+        total = int(counts.sum())
+        if total == 0:
+            out = batch.append_column("n_tokens", pa.array(n_tokens, type=pa.int32()))
+            out = out.append_column("n_shingles", pa.array(n_shingles, type=pa.int32()))
+            out = out.append_column("minhash", pa.array(list(sigs), type=pa.list_(pa.uint64())))
+            bands0 = np.zeros((n, cfg.lsh_bands), dtype=U64)
+            r0 = cfg.lsh_rows
+            for bnd in range(cfg.lsh_bands):
+                bands0[:, bnd] = combine_rows(sigs[:, bnd * r0:(bnd + 1) * r0], seed=bnd + 1)
+            out = out.append_column("band_hashes", pa.array(list(bands0), type=pa.list_(pa.uint64())))
+            out = out.append_column("simhash", pa.array(simhashes, type=pa.uint64()))
+            out = out.append_column("kmv", pa.array(kmvs, type=pa.binary()))
+            return out
+        flat = np.empty(total, dtype=object)
+        pos = 0
+        for t in toks_per_doc:
+            flat[pos : pos + len(t)] = t
+            pos += len(t)
+        th_all = hash_strings(flat)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        ends = np.cumsum(counts)
+
+        # --- global k-shingle pass (windows never cross docs: masked) ---
+        if total >= k:
+            G = np.zeros(total - k + 1, dtype=U64)
+            for j in range(k):
+                z = G ^ th_all[j : total - k + 1 + j]
+                z = (z + np.uint64(0x9E3779B97F4A7C15))
+                z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+                z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+                G = z ^ (z >> np.uint64(31))
+        else:
+            G = np.zeros(0, dtype=U64)
+
+        # --- simhash: one unpackbits (uint8, small), per-doc slice sums
+        # (big int64 cumsum buffers page-fault badly in this sandbox) ---
+        bits = np.unpackbits(th_all.view(np.uint8).reshape(-1, 8), axis=1,
+                             bitorder="little")  # (total, 64) uint8
+        w64 = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+        for i in range(n):
+            c = int(counts[i])
+            if c == 0:
+                continue
+            votes = bits[starts[i] : ends[i]].sum(axis=0, dtype=np.int64) * 2 - c
+            simhashes[i] = ((votes > 0).astype(np.uint64) * w64).sum()
+
+        # --- per-doc unique shingles (C-speed sort per slice) ---
+        # full set → kmv / n_shingles; stop-filtered set → MinHash/banding
+        sh_per_doc: list[np.ndarray] = []
+        for i in range(n):
+            c = int(counts[i])
+            if c == 0:
+                sh_per_doc.append(np.empty(0, dtype=U64))
+                continue
+            if c >= k:
+                sh = np.unique(G[starts[i] : ends[i] - k + 1])
             else:
-                sh = np.empty(0, dtype=U64)
+                # short doc: whole token sequence as one shingle
+                sh = np.unique(shingle_hashes(th_all[starts[i]:ends[i]], c))
             n_shingles[i] = sh.size
-            sigs[i] = minhash_signature(sh, self.a, self.b)
-            # bottom-k sketch stored as BINARY (raw little-endian uint64s):
-            # binary survives pandas round-trips in joins, unlike list columns
-            # which Ray converts to tensor-extension arrays
-            kmvs.append(sh[: cfg.kmv_k].tobytes())
+            kmvs[i] = sh[: cfg.kmv_k].tobytes()
+            sh_band = self._drop_stop(sh)
+            if sh_band.size * 2 < sh.size or sh_band.size < 4:
+                # template-dominated doc (>50% stop shingles): the residual
+                # under-represents similarity (two near-identical chrome-heavy
+                # pages share template, not residual) — band on the FULL set.
+                # Such docs cluster into a few mega buckets, which the
+                # salted-window path handles linearly.
+                sh_band = sh
+            sh_per_doc.append(sh_band)
+
+        # --- minhash: size-sorted doc groups padded to rectangles; plain
+        # vectorized min per perm (reduceat is ~10x slower than dense min) ---
+        MAXU = np.iinfo(np.uint64).max
+        sh_sizes = np.array([s.size for s in sh_per_doc], dtype=np.int64)
+        order = np.argsort(sh_sizes, kind="stable")
+        order = order[sh_sizes[order] > 0]
+        gi = 0
+        while gi < order.size:
+            # group docs of similar size: rectangle capped at ~4M cells
+            L = max(1, int(sh_sizes[order[gi]]))
+            m_cap = max(1, 4_000_000 // max(L * 2, 1))
+            gj = gi
+            Lmax = L
+            while gj < order.size and gj - gi < m_cap:
+                sz = int(sh_sizes[order[gj]])
+                if sz > 2 * L and gj > gi:
+                    break  # keep padding waste bounded
+                Lmax = sz
+                gj += 1
+            idxs = order[gi:gj]
+            P = np.zeros((idxs.size, Lmax), dtype=U64)
+            valid = np.zeros((idxs.size, Lmax), dtype=bool)
+            for row, di in enumerate(idxs):
+                s = sh_per_doc[di]
+                P[row, : s.size] = s
+                valid[row, : s.size] = True
+            for p in range(cfg.num_perm):
+                v = P * self.a[p] + self.b[p]
+                sigs[idxs, p] = np.min(v, axis=1, where=valid, initial=MAXU)
+            gi = gj
         # band hashes: vectorized across the batch, one combine per band
         bands = np.empty((n, cfg.lsh_bands), dtype=U64)
         r = cfg.lsh_rows

@@ -48,6 +48,31 @@ def verify_candidates(cand_ds, sig_ds, cfg: PipelineConfig):
     Returns edges (a, b, kind='near', jaccard:float64).
     """
     sk = sig_ds.select_columns(["rank", "kmv"])
+
+    # semi-join prefilter: only docs that appear in a candidate pair need
+    # their KMV sketch shuffled through the joins (typically a small
+    # fraction of the corpus). Driver holds just the id array; skipped if
+    # the pair set is too large to collect.
+    n_pairs = cand_ds.count()
+    if 0 < n_pairs <= 5_000_000:
+        import ray
+
+        pdf = cand_ds.select_columns(["a", "b"]).to_pandas()
+        ids = np.unique(np.concatenate([pdf["a"].to_numpy(dtype=np.int64),
+                                        pdf["b"].to_numpy(dtype=np.int64)]))
+        ids_ref = ray.put(ids)
+
+        def filt(t: pa.Table) -> pa.Table:
+            import ray as _ray
+            t = t.replace_schema_metadata(None)
+            sorted_ids = _ray.get(ids_ref)
+            r = t["rank"].to_numpy(zero_copy_only=False).astype(np.int64)
+            idx = np.searchsorted(sorted_ids, r)
+            idx_c = np.minimum(idx, sorted_ids.size - 1)
+            return t.filter(pa.array(sorted_ids[idx_c] == r))
+
+        sk = sk.map_batches(filt, batch_format="pyarrow")
+
     j1 = hash_join(cand_ds, sk, left_on="a", right_on="rank",
                    n_buckets=cfg.join_buckets, suffix="_a")
     # after join 1: columns a,b,n_bands,rank,kmv → rename kmv→kmv_a, drop rank
