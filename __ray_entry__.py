@@ -432,6 +432,62 @@ def q_lsh_ann_pairs(sf_dir: str):
     return out.map_batches(rn, batch_format="pyarrow")
 
 
+def q_simhash_neardup(sf_dir: str):
+    """SimHash banding near-dup candidates over documents (M5 analog)."""
+    from pcompress_ray.config import PipelineConfig
+    from pcompress_ray.pipelines.dedup import build_signatures
+    from pcompress_ray.sources.corpus import pages_from_documents
+    from pcompress_ray.stages.candidates import simhash_candidates
+
+    _setup()
+    cfg = PipelineConfig()
+    pages = pages_from_documents(sf_dir)
+
+    def add_rank(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        return t.append_column("rank", t["doc_id"].cast(pa.int64()))
+
+    sig = build_signatures(pages.map_batches(add_rank, batch_format="pyarrow"),
+                           cfg).materialize()
+    out = simhash_candidates(sig, cfg)
+
+    def rn(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        return pa.table({"a": t["a"].cast(pa.int64()),
+                         "b": t["b"].cast(pa.int64())})
+
+    return out.map_batches(rn, batch_format="pyarrow")
+
+
+def q_substring_spans(sf_dir: str):
+    """Exact longest-common-substring spans for substring-dup edges, via the
+    suffix-automaton verify stage. Runs on a synthesized planted-span corpus
+    (the sf documents are ~300 chars — below the 2 KiB span floor)."""
+    import ray.data as rd
+
+    from pcompress_ray.config import PipelineConfig
+    from pcompress_ray.pipelines.dedup import dedup_pipeline
+    from pcompress_ray.sources.corpus import make_corpus
+    from pcompress_ray.stages.suffix import substring_verify
+
+    _setup()
+    cfg = PipelineConfig()
+    pages, _, _ = make_corpus(150, 42, with_oracle=False)
+    pages = pages.append_column(
+        "rank", pa.array(np.arange(len(pages["url"]), dtype=np.int64)))
+    ds = rd.from_arrow(pages).repartition(4)
+    res = dedup_pipeline(ds, cfg, compute_pairs=False)
+    spans = substring_verify(res.edges, ds, cfg)
+
+    def rn(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        return pa.table({"a": t["a"].cast(pa.int64()),
+                         "b": t["b"].cast(pa.int64()),
+                         "lcs_bytes": t["lcs_bytes"].cast(pa.int64())})
+
+    return spans.map_batches(rn, batch_format="pyarrow")
+
+
 def q_media_features(sf_dir: str):
     """Multimodal plumbing: magic-byte typing + (stubbed) decode features."""
     import ray.data as rd
@@ -468,6 +524,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": q_fingerprints,
         "lsh_ann_pairs": q_lsh_ann_pairs,
         "media_features": q_media_features,
+        "simhash_neardup": q_simhash_neardup,
+        "substring_spans": q_substring_spans,
     }
 
 

@@ -269,6 +269,34 @@ def dedup_pipeline(pages_ds, cfg: PipelineConfig | None = None,
 
     pairs = edges_to_pairs(edges, sig, cfg) if compute_pairs else None
 
-    metrics = {"config_hash": cfg.config_hash()}
+    # lineage / metrics (A4 analog: compression statistics, pcompress.c:175-195)
+    edf_kinds = edges.groupby("kind").count().to_pandas() \
+        if edges.count() else pd.DataFrame({"kind": [], "count()": []})
+    metrics = {
+        "config_hash": cfg.config_hash(),
+        "n_docs": int(sig.count()),
+        "n_candidates": int(cand.count()),
+        "n_edges": int(edges.count()),
+        "edges_by_kind": {str(r["kind"]): int(r["count()"])
+                          for _, r in edf_kinds.iterrows()},
+    }
+    if ck.enabled:
+        ck.save_json("metrics", metrics)
     return DedupResult(signatures=sig, edges=edges, pairs=pairs,
                        clusters=clusters, metrics=metrics)
+
+
+def write_outputs(res: DedupResult, out_dir: str):
+    """Write the result tables as partitioned Parquet (S5 writer analog —
+    per-partition files, deterministic naming via Ray's part files, safe to
+    re-run)."""
+    import json
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    res.clusters.write_parquet(os.path.join(out_dir, "clusters"))
+    if res.pairs is not None:
+        res.pairs.write_parquet(os.path.join(out_dir, "dup_pairs"))
+    with open(os.path.join(out_dir, "metrics.json"), "w") as f:
+        json.dump(res.metrics, f, indent=1, default=str)
+    return out_dir

@@ -149,6 +149,74 @@ def band_partition_pairs(cfg: PipelineConfig):
     return emit
 
 
+def simhash_candidates(sig_ds, cfg: PipelineConfig):
+    """SimHash near-dup candidates: 64-bit fingerprint split into 4 16-bit
+    bands (docs within Hamming distance ≤3 of each other agree on ≥1 band by
+    pigeonhole), groupby band → pairs, verified by exact Hamming distance.
+
+    The per-chunk sketch-equality match of the reference's delta path
+    (rabin/rabin_dedup.c:1368-1396: equal sketch ⇒ similar) at document
+    level. Complements MinHash: SimHash catches small absolute edits on
+    near-identical docs.
+    """
+    from pcompress_ray.functions.ops import group_boundaries, grouped_partitions
+    from pcompress_ray.hashing import hamming64
+
+    def explode(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        t = t.replace_schema_metadata(None)
+        t = t.filter(pc.greater(t["n_shingles"], 0))
+        sh = t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ranks = t["rank"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = sh.shape[0]
+        bands = np.empty(4 * n, dtype=np.uint64)
+        for i in range(4):
+            bands[i * n:(i + 1) * n] = (sh >> np.uint64(16 * i)) & np.uint64(0xFFFF)
+        return pa.table({
+            "band_id": pa.array(np.repeat(np.arange(4, dtype=np.int32), n)),
+            "band_val": pa.array(bands),
+            "rank": pa.array(np.tile(ranks, 4)),
+            "simhash": pa.array(np.tile(sh, 4)),
+        })
+
+    max_d = cfg.simhash_hamming_threshold
+    cap = cfg.bucket_cap
+
+    def emit(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.drop_duplicates(["band_id", "band_val", "rank"]) \
+                   .sort_values(["band_id", "band_val", "rank"])
+        bid = part["band_id"].to_numpy(dtype=np.int64)
+        bv = part["band_val"].to_numpy(dtype=np.uint64)
+        key = (bid.astype(np.uint64) << np.uint64(16)) | bv
+        first, gid, sizes = group_boundaries(key)
+        starts = np.flatnonzero(first)
+        r = part["rank"].to_numpy(dtype=np.int64)
+        sh = part["simhash"].to_numpy(dtype=np.uint64)
+        out_a, out_b = [], []
+        for s_idx, m in zip(starts[sizes >= 2], sizes[sizes >= 2]):
+            rs = r[s_idx:s_idx + int(m)][:cap]
+            ss = sh[s_idx:s_idx + int(m)][:cap]
+            ai, bi = np.triu_indices(rs.size, k=1)
+            d = hamming64(ss[ai], ss[bi])
+            ok = d <= max_d
+            out_a.append(rs[ai[ok]]); out_b.append(rs[bi[ok]])
+        if not out_a:
+            return pd.DataFrame({"a": np.empty(0, np.int64),
+                                 "b": np.empty(0, np.int64)})
+        a = np.concatenate(out_a); b = np.concatenate(out_b)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"a": lo, "b": hi}).drop_duplicates()
+
+    pairs = grouped_partitions(sig_ds.select_columns(["rank", "simhash", "n_shingles"])
+                               .map_batches(explode, batch_format="pyarrow"),
+                               ["band_id", "band_val"], emit)
+
+    def dedup(part: pd.DataFrame) -> pd.DataFrame:
+        return part.drop_duplicates(["a", "b"]).astype({"a": np.int64, "b": np.int64})
+
+    return grouped_partitions(pairs, ["a", "b"], dedup)
+
+
 def lsh_candidates(sig_ds, cfg: PipelineConfig):
     """Candidate (a,b) pairs, deduplicated across bands."""
     from pcompress_ray.functions.ops import grouped_partitions

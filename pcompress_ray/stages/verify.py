@@ -42,24 +42,95 @@ def kmv_jaccard(a: np.ndarray, b: np.ndarray, k: int) -> float:
     return inter / union.size
 
 
+def _participating_ids(cand_ds) -> np.ndarray:
+    pdf = cand_ds.select_columns(["a", "b"]).to_pandas()
+    return np.unique(np.concatenate([pdf["a"].to_numpy(dtype=np.int64),
+                                     pdf["b"].to_numpy(dtype=np.int64)]))
+
+
 def verify_candidates(cand_ds, sig_ds, cfg: PipelineConfig):
     """Attach both sides' KMV sketches and keep pairs with J ≥ threshold.
 
     Returns edges (a, b, kind='near', jaccard:float64).
-    """
-    sk = sig_ds.select_columns(["rank", "kmv"])
 
-    # semi-join prefilter: only docs that appear in a candidate pair need
-    # their KMV sketch shuffled through the joins (typically a small
-    # fraction of the corpus). Driver holds just the id array; skipped if
-    # the pair set is too large to collect.
+    Fast path: the participating docs' sketches are packed into ONE
+    broadcast CSR-style store (ids, offsets, values) — ray.put once,
+    zero-copy numpy views in every task — and pairs are verified by a
+    single map_batches with two binary-search lookups per pair. No per-pair
+    sketch duplication, no shuffle. Falls back to two partitioned hash
+    joins when the participating-sketch payload exceeds the broadcast
+    budget (then each pair carries its sketches through the exchanges).
+    """
     n_pairs = cand_ds.count()
-    if 0 < n_pairs <= 5_000_000:
+    if n_pairs == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({"a": pa.array([], pa.int64()),
+                                       "b": pa.array([], pa.int64()),
+                                       "kind": pa.array([], pa.string()),
+                                       "jaccard": pa.array([], pa.float64())}))
+
+    broadcast_budget = getattr(cfg, "verify_broadcast_bytes", 8 << 30)
+    ids = _participating_ids(cand_ds) if n_pairs <= 50_000_000 else None
+    if ids is not None and ids.size * cfg.kmv_k * 8 <= broadcast_budget:
+        return _verify_broadcast(cand_ds, sig_ds, cfg, ids)
+    return _verify_join(cand_ds, sig_ds, cfg, ids)
+
+
+def _verify_broadcast(cand_ds, sig_ds, cfg: PipelineConfig, ids: np.ndarray):
+    import ray
+
+    ids_ref = ray.put(ids)
+
+    def pick(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        sorted_ids = ray.get(ids_ref)
+        r = t["rank"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(sorted_ids, r)
+        idx_c = np.minimum(idx, sorted_ids.size - 1)
+        return t.filter(pa.array(sorted_ids[idx_c] == r))
+
+    sk = (sig_ds.select_columns(["rank", "kmv"])
+          .map_batches(pick, batch_format="pyarrow").to_pandas())
+    sk = sk.sort_values("rank")
+    ranks = sk["rank"].to_numpy(dtype=np.int64)
+    lens = np.array([len(v) // 8 for v in sk["kmv"]], dtype=np.int64)
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    values = np.frombuffer(b"".join(sk["kmv"]), dtype=np.uint64) if len(sk) \
+        else np.empty(0, np.uint64)
+    store_ref = ray.put((ranks, offs, values))
+
+    thresh = cfg.jaccard_threshold
+    k = cfg.kmv_k
+
+    def score(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        ranks_, offs_, values_ = ray.get(store_ref)  # zero-copy plasma views
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ia = np.searchsorted(ranks_, a)
+        ib = np.searchsorted(ranks_, b)
+        jac = np.empty(a.size, dtype=np.float64)
+        for i in range(a.size):
+            va = values_[offs_[ia[i]] : offs_[ia[i] + 1]]
+            vb = values_[offs_[ib[i]] : offs_[ib[i] + 1]]
+            jac[i] = kmv_jaccard(va, vb, k)
+        keep = jac >= thresh
+        return pa.table({
+            "a": pa.array(a[keep]),
+            "b": pa.array(b[keep]),
+            "kind": pa.array(["near"] * int(keep.sum()), pa.string()),
+            "jaccard": pa.array(jac[keep], pa.float64()),
+        })
+
+    return cand_ds.map_batches(score, batch_format="pyarrow", batch_size=8192)
+
+
+def _verify_join(cand_ds, sig_ds, cfg: PipelineConfig, ids):
+    sk = sig_ds.select_columns(["rank", "kmv"])
+    if ids is not None:
         import ray
 
-        pdf = cand_ds.select_columns(["a", "b"]).to_pandas()
-        ids = np.unique(np.concatenate([pdf["a"].to_numpy(dtype=np.int64),
-                                        pdf["b"].to_numpy(dtype=np.int64)]))
         ids_ref = ray.put(ids)
 
         def filt(t: pa.Table) -> pa.Table:

@@ -120,20 +120,21 @@ def test_checkpoint_resume(corpus, ray_session, tmp_path):
     cl1 = res1.clusters.to_pandas().sort_values("rank").reset_index(drop=True)
 
     manifest = os.path.join(ckdir, cfg.config_hash(), "manifest.json")
-    mtime_before = os.path.getmtime(manifest)
     with open(manifest) as f:
         m = json.load(f)
     assert m["signatures"]["complete"] and m["edges"]["complete"]
+    sig_dir = os.path.join(ckdir, cfg.config_hash(), "signatures")
+    sig_mtime = os.path.getmtime(sig_dir)
 
     # "resume": fresh pipeline object, same checkpoint dir — must skip
-    # signatures/edges (manifest not rewritten) and reproduce clusters
+    # signatures/edges (their parquet untouched) and reproduce clusters
     res2 = dedup_pipeline(rd.from_arrow(pages).repartition(4), cfg,
                           checkpoint_dir=ckdir)
     cl2 = res2.clusters.to_pandas().sort_values("rank").reset_index(drop=True)
     pd.testing.assert_frame_equal(
         cl1[["url", "cluster_id", "is_canonical"]],
         cl2[["url", "cluster_id", "is_canonical"]])
-    assert os.path.getmtime(manifest) == mtime_before
+    assert os.path.getmtime(sig_dir) == sig_mtime  # not recomputed
 
 
 def test_extraction_byte_identical(corpus, ray_session):
@@ -153,6 +154,29 @@ def test_extraction_byte_identical(corpus, ray_session):
                .sort_values("url").reset_index(drop=True))
         outs.append(out)
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_metrics_and_outputs(corpus, ray_session, tmp_path):
+    import json
+    import os
+
+    import ray.data as rd
+
+    from pcompress_ray.pipelines.dedup import dedup_pipeline, write_outputs
+
+    pages, _, _ = corpus
+    res = dedup_pipeline(rd.from_arrow(pages).repartition(4), PipelineConfig())
+    m = res.metrics
+    assert m["n_docs"] == N_DOCS
+    assert m["n_edges"] > 0 and m["n_candidates"] > 0
+    assert set(m["edges_by_kind"]) == {"exact", "near", "substring"}
+    out = write_outputs(res, str(tmp_path / "out"))
+    assert os.path.isdir(os.path.join(out, "clusters"))
+    assert os.path.isdir(os.path.join(out, "dup_pairs"))
+    with open(os.path.join(out, "metrics.json")) as f:
+        assert json.load(f)["n_docs"] == N_DOCS
+    back = rd.read_parquet(os.path.join(out, "clusters")).count()
+    assert back == N_DOCS
 
 
 def test_pairs_have_urls(result):
