@@ -238,14 +238,19 @@ def q_exact_dup_docs(sf_dir: str):
         return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
                          "text_md5": pa.array(h, pa.string())})
 
-    def canon(g: pd.DataFrame) -> pd.DataFrame:
-        m = int(g["doc_id"].min())
-        return pd.DataFrame({"doc_id": g["doc_id"].astype(np.int64),
-                             "text_md5": g["text_md5"],
-                             "canonical_doc_id": np.int64(m)})
+    from pcompress_ray.functions.ops import group_boundaries, grouped_partitions
 
-    return (ds.map_batches(md5col, batch_format="pyarrow")
-            .groupby("text_md5").map_groups(canon, batch_format="pandas"))
+    def canon(part: pd.DataFrame) -> pd.DataFrame:
+        # vectorized min-per-group over the whole hash partition
+        part = part.sort_values(["text_md5", "doc_id"])
+        key = part["text_md5"].to_numpy()
+        ids = part["doc_id"].to_numpy(dtype=np.int64)
+        first, gid, _ = group_boundaries(key)
+        return pd.DataFrame({"doc_id": ids, "text_md5": key,
+                             "canonical_doc_id": ids[first][gid]})
+
+    return grouped_partitions(ds.map_batches(md5col, batch_format="pyarrow"),
+                              ["text_md5"], canon)
 
 
 def q_events_hourly(sf_dir: str):

@@ -108,16 +108,22 @@ def run_scaling():
                              env=env, capture_output=True, text=True, check=True)
         return json.loads(out.stdout.strip().splitlines()[-1])
 
-    # generation warm-up run (also warms OS page cache for the corpus)
+    # best-of-N per level: this host shows 2-3x run-to-run noise from
+    # external load; the minimum is the least-contaminated measurement
+    reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
     lo, hi = 8, 32
-    r_lo = run(lo)
-    r_hi = run(hi)
+    runs_lo = [run(lo) for _ in range(reps)]
+    runs_hi = [run(hi) for _ in range(reps)]
+    r_lo = min(runs_lo, key=lambda r: r["value"])
+    r_hi = min(runs_hi, key=lambda r: r["value"])
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
     print(json.dumps({
         "metric": "scaling efficiency (8 vs 32 CPUs, fresh processes, same corpus)",
         "sec_8": r_lo["value"], "sec_32": r_hi["value"],
         "docs_per_sec_8": r_lo["docs_per_sec"],
         "docs_per_sec_32": r_hi["docs_per_sec"],
+        "all_sec_8": [r["value"] for r in runs_lo],
+        "all_sec_32": [r["value"] for r in runs_hi],
         "scaling_efficiency": round(eff, 3),
         "bench_docs": r_lo["bench_docs"],
     }))

@@ -80,6 +80,11 @@ def compute_stop_shingles(pages_ds, cfg: PipelineConfig,
     if n == 0:
         return np.empty(0, dtype=np.uint64)
     step = max(1, n // sample_docs)
+    # projection pushdown: the sample pass only needs rank + the raw content
+    cols = pages_ds.schema().names
+    need = ["rank"] + (["text_norm"] if "text_norm" in cols
+                       else ["html"] if "html" in cols else ["text"])
+    pages_ds = pages_ds.select_columns(need)
 
     def sample_shingles(t: pa.Table) -> pa.Table:
         t = t.replace_schema_metadata(None)

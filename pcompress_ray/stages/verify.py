@@ -90,14 +90,38 @@ def _verify_broadcast(cand_ds, sig_ds, cfg: PipelineConfig, ids: np.ndarray):
         idx_c = np.minimum(idx, sorted_ids.size - 1)
         return t.filter(pa.array(sorted_ids[idx_c] == r))
 
-    sk = (sig_ds.select_columns(["rank", "kmv"])
-          .map_batches(pick, batch_format="pyarrow").to_pandas())
-    sk = sk.sort_values("rank")
-    ranks = sk["rank"].to_numpy(dtype=np.int64)
-    lens = np.array([len(v) // 8 for v in sk["kmv"]], dtype=np.int64)
-    offs = np.concatenate([[0], np.cumsum(lens)])
-    values = np.frombuffer(b"".join(sk["kmv"]), dtype=np.uint64) if len(sk) \
-        else np.empty(0, np.uint64)
+    # Arrow-native store build: pull the binary column's value buffer
+    # directly (no python bytes objects), then one gather into rank order.
+    r_parts, l_parts, v_parts = [], [], []
+    sk_ds = sig_ds.select_columns(["rank", "kmv"]) \
+                  .map_batches(pick, batch_format="pyarrow")
+    for t in sk_ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+        if len(t) == 0:
+            continue
+        arr = t["kmv"].combine_chunks()
+        voff = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+            arr.offset : arr.offset + len(arr) + 1].astype(np.int64)
+        buf = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+        r_parts.append(t["rank"].to_numpy(zero_copy_only=False).astype(np.int64))
+        l_parts.append(np.diff(voff) // 8)
+        v_parts.append(buf[voff[0] : voff[-1]].view(np.uint64))
+    if r_parts:
+        ranks_u = np.concatenate(r_parts)
+        lens_u = np.concatenate(l_parts)
+        order = np.argsort(ranks_u, kind="stable")
+        ranks = ranks_u[order]
+        lens = lens_u[order]
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        offs_u = np.concatenate([[0], np.cumsum(lens_u)])
+        values_u = np.concatenate(v_parts) if v_parts else np.empty(0, np.uint64)
+        values = np.empty(values_u.size, dtype=np.uint64)
+        for j, src in enumerate(order):  # ~1 memcpy per participating doc
+            values[offs[j] : offs[j + 1]] = \
+                values_u[offs_u[src] : offs_u[src] + lens_u[src]]
+    else:
+        ranks = np.empty(0, np.int64)
+        offs = np.zeros(1, np.int64)
+        values = np.empty(0, np.uint64)
     store_ref = ray.put((ranks, offs, values))
 
     thresh = cfg.jaccard_threshold
