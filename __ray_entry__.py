@@ -570,10 +570,11 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY n.n_name
         """,
         "doc_stats": f"""
+            -- coalesce: Ray side fillna('') — align NULL text on both sides
             SELECT doc_id,
-                   length(text) AS n_chars,
-                   len(regexp_extract_all(lower(text), '{_TOKEN_SQL}')) AS n_tokens,
-                   len(regexp_extract_all(text, '{_PUNCT_SQL}')) AS punct_count
+                   length(coalesce(text, '')) AS n_chars,
+                   len(regexp_extract_all(lower(coalesce(text, '')), '{_TOKEN_SQL}')) AS n_tokens,
+                   len(regexp_extract_all(coalesce(text, ''), '{_PUNCT_SQL}')) AS punct_count
             FROM documents
         """,
         "lang_id": r"""
@@ -584,27 +585,32 @@ def oracle_sql() -> dict[str, str]:
                 WHEN cfr > 0 THEN 'fr'
                 ELSE 'unk' END AS lang_pred
             FROM (SELECT doc_id,
-                len(regexp_extract_all(lower(text), '\b(der|die|und|ist|nicht|ein)\b')) AS cde,
-                len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is)\b')) AS cen,
-                len(regexp_extract_all(lower(text), '\b(el|los|una|es|para|como)\b')) AS ces,
-                len(regexp_extract_all(lower(text), '\b(le|les|une|est|dans|pour)\b')) AS cfr
+                len(regexp_extract_all(lower(coalesce(text, '')), '\b(der|die|und|ist|nicht|ein)\b')) AS cde,
+                len(regexp_extract_all(lower(coalesce(text, '')), '\b(the|and|of|to|in|is)\b')) AS cen,
+                len(regexp_extract_all(lower(coalesce(text, '')), '\b(el|los|una|es|para|como)\b')) AS ces,
+                len(regexp_extract_all(lower(coalesce(text, '')), '\b(le|les|une|est|dans|pour)\b')) AS cfr
                 FROM documents)
         """,
         "lang_stats": """
-            SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+            -- CAST: DuckDB sum(BIGINT) is HUGEINT -> pandas float64; the Ray
+            -- side emits int64 and the driver's value-hash is dtype-sensitive
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY lang
         """,
         "top_tokens": f"""
             SELECT token, count(*) AS n
-            FROM (SELECT unnest(regexp_extract_all(lower(text), '{_TOKEN_SQL}')) AS token
+            FROM (SELECT unnest(regexp_extract_all(lower(coalesce(text, '')), '{_TOKEN_SQL}')) AS token
                   FROM documents)
             GROUP BY token
             ORDER BY n DESC, token
             LIMIT 50
         """,
         "exact_dup_docs": """
-            SELECT doc_id, md5(text) AS text_md5,
-                   min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_doc_id
+            -- coalesce: Ray side hashes (text or '') — DuckDB md5(NULL)=NULL
+            SELECT doc_id, md5(coalesce(text, '')) AS text_md5,
+                   min(doc_id) OVER (PARTITION BY md5(coalesce(text, '')))
+                       AS canonical_doc_id
             FROM documents
         """,
         "events_hourly": """
@@ -627,7 +633,8 @@ def oracle_sql() -> dict[str, str]:
                            OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS UNBOUNDED PRECEDING) AS session_id
                 FROM w)
-            SELECT user_id, session_id, count(*) AS n_events
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   count(*) AS n_events
             FROM s GROUP BY user_id, session_id
         """,
         "ann_topk": """

@@ -23,7 +23,9 @@ from pcompress_ray.hashing import hash_strings, splitmix64
 TOKEN_RE = r"[a-z0-9]+"
 PUNCT_RE = r"[!-/:-@\[-`{-~]"
 
-# stopword regexes per language — shared verbatim with the SQL oracle
+# stopword regexes per language — shared verbatim with the SQL oracle.
+# Counted with re.ASCII so Python's \b matches DuckDB/RE2's ASCII-only \b
+# (Python \b is Unicode-aware by default and would disagree on non-ASCII text).
 LANG_STOPWORDS = {
     "en": r"\b(the|and|of|to|in|is)\b",
     "de": r"\b(der|die|und|ist|nicht|ein)\b",
@@ -51,7 +53,7 @@ def lang_id_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     by alphabetical language order ('unk' when all counts are zero).
     """
     low = df[text_col].fillna("").str.lower()
-    counts = {lang: low.str.count(LANG_STOPWORDS[lang]).to_numpy()
+    counts = {lang: low.str.count(LANG_STOPWORDS[lang], flags=re.ASCII).to_numpy()
               for lang in _LANG_ORDER}
     mat = np.stack([counts[lang] for lang in _LANG_ORDER], axis=1)
     best = mat.argmax(axis=1)  # first (alphabetical) max wins
@@ -71,7 +73,8 @@ def quality_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     n_chars = txt.str.len().to_numpy(dtype=np.float64)
     n_tokens = low.str.count(TOKEN_RE).to_numpy(dtype=np.float64)
     n_punct = txt.str.count(PUNCT_RE).to_numpy(dtype=np.float64)
-    n_stop = low.str.count(LANG_STOPWORDS["en"]).to_numpy(dtype=np.float64)
+    n_stop = low.str.count(LANG_STOPWORDS["en"], flags=re.ASCII) \
+                .to_numpy(dtype=np.float64)
     denom_c = np.maximum(n_chars, 1.0)
     denom_t = np.maximum(n_tokens, 1.0)
     punct_ratio = n_punct / denom_c

@@ -29,12 +29,17 @@ def to_pandas(res):
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Normalize WITHIN a dtype family only (int widths → int64, floats
+    rounded). Cross-family drift (int64 vs float64 — e.g. DuckDB HUGEINT
+    sums arriving as float64) is deliberately NOT masked: the driver's
+    value-hash is dtype-sensitive (2059 != 2059.0), so the dtype check in
+    main() must see it."""
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
         elif np.issubdtype(df[c].dtype, np.floating):
-            df[c] = df[c].round(6)
+            df[c] = df[c].round(6).astype(np.float64)
         elif str(df[c].dtype).startswith("uint"):
             df[c] = df[c].astype(np.uint64)
         elif np.issubdtype(df[c].dtype, np.integer):
@@ -89,6 +94,9 @@ def main():
             status = f"SCHEMA MISMATCH got={list(got.columns)} want={list(want.columns)}"
         elif len(got) != len(want):
             status = f"ROWCOUNT got={len(got)} want={len(want)}"
+        elif [str(t) for t in got.dtypes] != [str(t) for t in want.dtypes]:
+            status = (f"DTYPE MISMATCH got={[str(t) for t in got.dtypes]} "
+                      f"want={[str(t) for t in want.dtypes]}")
         else:
             try:
                 pd.testing.assert_frame_equal(got, want, check_dtype=False,
