@@ -65,8 +65,14 @@ class PipelineConfig:
     # Verification
     jaccard_threshold: float = 0.7         # operating threshold for near-dup edges
     kmv_k: int = 1024                      # bottom-k shingle hashes kept for exact-ish verify
+    verify_broadcast_bytes: int = 8 << 30  # sketch-store budget before the join fallback
     substring_min_chunks: int = 1          # shared CDC chunks to call a substring dup
     substring_min_bytes: int = 2048        # shared chunk bytes to call a substring dup
+
+    # Dedupe-gain gate (A3 analog, rabin/rabin_dedup.c:1250-1257): metrics
+    # flag the run when dup_bytes / bytes_scanned falls below this ratio —
+    # the signal the reference uses to abandon dedup as not worth the index.
+    min_gain_ratio: float = 0.0
 
     # Stop-shingle (boilerplate) suppression for candidate generation:
     # shingles with document frequency ≥ this in a ~1k-doc sample are
@@ -105,6 +111,8 @@ class PipelineConfig:
         d["batch_size"] = None
         d["join_buckets"] = None
         d["cc_driver_edge_limit"] = None
+        d["verify_broadcast_bytes"] = None
+        d["min_gain_ratio"] = None
         s = json.dumps(d, sort_keys=True, default=str)
         return hashlib.sha256(s.encode()).hexdigest()[:16]
 

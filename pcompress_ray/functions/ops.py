@@ -206,6 +206,38 @@ def semi_join_filter(big, keys: set | np.ndarray, on: str, negate: bool = False)
     return big.map_batches(filt, batch_format="pyarrow")
 
 
+def materialized_block_refs(ds) -> list:
+    """Object refs of a Dataset's blocks. On a materialized Dataset this is
+    metadata-only; on a lazy one it triggers (one) execution."""
+    refs = []
+    for bundle in ds.iter_internal_ref_bundles():
+        refs.extend(bundle.block_refs)
+    return refs
+
+
+def block_rounds(ds, fn) -> list:
+    """Run ``fn(block: pa.Table) -> small picklable`` once per block as raw
+    Ray tasks and return the results.
+
+    For small reduction passes (counters, id collection) over an
+    already-materialized Dataset this skips the streaming-executor launch
+    (~0.5-1 s fixed latency per execution in this sandbox) that a
+    ``map_batches(...).take_all()`` would pay; blocks are read zero-copy
+    from plasma. Pandas blocks are converted per task.
+    """
+    import ray
+
+    def run(block):
+        if len(block) == 0:
+            return None  # empty partitions may carry no schema at all
+        t = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+        return fn(t)
+
+    rem = ray.remote(run)
+    out = ray.get([rem.remote(b) for b in materialized_block_refs(ds)])
+    return [r for r in out if r is not None]
+
+
 def zip_with_rank(ds, sort_key: str, rank_col: str = "rank"):
     """Dense global rank by sort_key: sort, then two-pass block-offset scan.
 

@@ -29,7 +29,6 @@ from pcompress_ray.config import PipelineConfig
 from pcompress_ray.pipelines.checkpoint import CheckpointManager
 from pcompress_ray.stages.candidates import lsh_candidates
 from pcompress_ray.stages.cdc import CDCChunker
-from pcompress_ray.stages.components import union_find
 from pcompress_ray.stages.exact import add_text_sha, chunk_exact_edges, doc_exact_edges
 from pcompress_ray.stages.extract import Extractor
 from pcompress_ray.stages.signatures import SignatureStage
@@ -128,32 +127,59 @@ def union_edges(*edge_dss):
     return grouped_partitions(out, ["a", "b"], best)
 
 
-def resolve_components(edges_ds, sig_ds, cfg: PipelineConfig):
-    """Edges → cluster table over ALL docs. Driver union-find below the edge
-    limit; distributed label propagation above it."""
+def _docs_with_bytes(sig_ds):
+    """(url, rank, doc_bytes) projection — doc_bytes = sum of CDC chunk
+    lengths, i.e. the normalized-text byte count (the unit of dedupe gain)."""
+
+    def derive(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        t = t.replace_schema_metadata(None)
+        counts = pc.list_value_length(t["chunk_lengths"]).fill_null(0) \
+                   .to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(t["chunk_lengths"]).to_numpy(zero_copy_only=False)
+        csum = np.concatenate([[0], np.cumsum(flat, dtype=np.int64)])
+        ends = np.cumsum(counts)
+        total = csum[ends] - csum[ends - counts]
+        return pa.table({"url": t["url"], "rank": t["rank"],
+                         "doc_bytes": pa.array(total)})
+
+    return sig_ds.select_columns(["url", "rank", "chunk_lengths"]) \
+                 .map_batches(derive, batch_format="pyarrow")
+
+
+def resolve_components(edges_ds, sig_ds, cfg: PipelineConfig,
+                       n_edges: int | None = None):
+    """Edges → cluster table over ALL docs. Driver vectorized min-label
+    components below the edge limit; distributed label propagation above."""
     import ray
 
-    n_edges = edges_ds.count()
+    from pcompress_ray.stages.components import (
+        lookup_labels,
+        min_label_components,
+    )
+
+    if n_edges is None:
+        n_edges = edges_ds.count()
     if n_edges <= cfg.cc_driver_edge_limit:
         edf = edges_ds.select_columns(["a", "b"]).to_pandas()
-        labels = union_find(edf["a"].to_numpy(), edf["b"].to_numpy()) if len(edf) \
-            else {}
-        ref = ray.put(labels)
+        keys, vals = min_label_components(edf["a"].to_numpy(),
+                                          edf["b"].to_numpy())
+        ref = ray.put((keys, vals))
 
         def assign(t: pa.Table) -> pa.Table:
             t = t.replace_schema_metadata(None)
-            lab = ray.get(ref)  # zero-copy local plasma read per task
-            ranks = t["rank"].to_numpy(zero_copy_only=False)
-            cid = np.array([lab.get(int(r), int(r)) for r in ranks],
-                           dtype=np.int64)
+            keys_, vals_ = ray.get(ref)  # zero-copy local plasma read per task
+            ranks = t["rank"].to_numpy(zero_copy_only=False).astype(np.int64)
+            cid = lookup_labels(keys_, vals_, ranks)
             return pa.table({
                 "url": t["url"],
                 "rank": t["rank"],
+                "doc_bytes": t["doc_bytes"],
                 "cluster_id": pa.array(cid),
-                "is_canonical": pa.array(cid == ranks.astype(np.int64)),
+                "is_canonical": pa.array(cid == ranks),
             })
 
-        return sig_ds.select_columns(["url", "rank"]).map_batches(
+        return _docs_with_bytes(sig_ds).map_batches(
             assign, batch_format="pyarrow")
 
     # scale path: distributed min-label propagation + join back to all docs
@@ -166,7 +192,7 @@ def resolve_components(edges_ds, sig_ds, cfg: PipelineConfig):
         t = t.replace_schema_metadata(None)
         return pa.table({"node": t["node"], "label": t["label"]})
 
-    joined = hash_join(sig_ds.select_columns(["url", "rank"]),
+    joined = hash_join(_docs_with_bytes(sig_ds),
                        labels_ds.map_batches(rn, batch_format="pyarrow"),
                        left_on="rank", right_on="node",
                        n_buckets=cfg.join_buckets, how="left")
@@ -176,9 +202,11 @@ def resolve_components(edges_ds, sig_ds, cfg: PipelineConfig):
         ranks = t["rank"].to_numpy(zero_copy_only=False).astype(np.int64)
         lab = t["label"].to_numpy(zero_copy_only=False)
         lab = np.where(pd.isna(lab), ranks, lab).astype(np.int64)
+        dbytes = t["doc_bytes"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table({
             "url": t["url"].cast(pa.string()),
             "rank": pa.array(ranks),
+            "doc_bytes": pa.array(dbytes),
             "cluster_id": pa.array(lab),
             "is_canonical": pa.array(lab == ranks),
         })
@@ -256,30 +284,67 @@ def dedup_pipeline(pages_ds, cfg: PipelineConfig | None = None,
 
     e_doc = doc_exact_edges(sig)
     e_sub = chunk_exact_edges(sig, cfg)
-    cand = lsh_candidates(sig, cfg).materialize()  # small; reused by verify joins
+    cand = lsh_candidates(sig, cfg).materialize()  # small; reused by verify
+    n_candidates = cand.count()                    # metadata (materialized)
     mark("candidates")
-    e_near = verify_candidates(cand, sig, cfg)
+    e_near = verify_candidates(cand, sig, cfg, n_pairs=n_candidates)
     edges = union_edges(e_doc, e_sub, e_near)
     edges = ck.materialize("edges", edges) if ck.enabled else edges.materialize()
+    n_edges = edges.count()                        # metadata (materialized)
     mark("edges")
 
-    clusters = resolve_components(edges, sig, cfg)
-    clusters = ck.materialize("clusters", clusters)
+    clusters = resolve_components(edges, sig, cfg, n_edges=n_edges)
+    clusters = ck.materialize("clusters", clusters) if ck.enabled \
+        else clusters.materialize()
     mark("clusters")
 
     pairs = edges_to_pairs(edges, sig, cfg) if compute_pairs else None
 
-    # lineage / metrics (A4 analog: compression statistics, pcompress.c:175-195)
-    edf_kinds = edges.groupby("kind").count().to_pandas() \
-        if edges.count() else pd.DataFrame({"kind": [], "count()": []})
+    # lineage / metrics (A4 analog: compression statistics, pcompress.c:175-195
+    # + dedupe-gain accounting, rabin/rabin_dedup.c:1250-1257, 1412-1420:
+    # the reference abandons dedup when matched bytes < index overhead).
+    # ONE parallel block-task round each over the (materialized) edges and
+    # clusters — per-block partial counters, no executor launch, no shuffle.
+    from pcompress_ray.functions.ops import block_rounds
+
+    def edge_counters(t: pa.Table) -> dict:
+        import pyarrow.compute as pc
+        vc = pc.value_counts(t["kind"])
+        return {str(k): int(v) for k, v in zip(vc.field("values").to_pylist(),
+                                               vc.field("counts").to_pylist())}
+
+    edges_by_kind: dict[str, int] = {}
+    for part in block_rounds(edges, edge_counters):
+        for k, v in part.items():
+            edges_by_kind[k] = edges_by_kind.get(k, 0) + v
+
+    def gain_counters(t: pa.Table) -> tuple:
+        b = t["doc_bytes"].to_numpy(zero_copy_only=False).astype(np.int64)
+        canon = t["is_canonical"].to_numpy(zero_copy_only=False).astype(bool)
+        return (len(t), int((~canon).sum()), int(b.sum()), int(b[~canon].sum()))
+
+    parts = block_rounds(clusters, gain_counters)
+    n_docs, n_dup_docs, bytes_scanned, dup_bytes = (
+        (np.array(parts, dtype=np.int64).sum(axis=0) if parts
+         else np.zeros(4, np.int64)).tolist())
+    gain_ratio = dup_bytes / bytes_scanned if bytes_scanned else 0.0
+
     metrics = {
         "config_hash": cfg.config_hash(),
-        "n_docs": int(sig.count()),
-        "n_candidates": int(cand.count()),
-        "n_edges": int(edges.count()),
-        "edges_by_kind": {str(r["kind"]): int(r["count()"])
-                          for _, r in edf_kinds.iterrows()},
+        "n_docs": int(n_docs),
+        "n_candidates": int(n_candidates),
+        "n_edges": int(n_edges),
+        "edges_by_kind": edges_by_kind,
+        # dedupe-gain gate (A3): would removing non-canonical docs pay for
+        # the index? The reference's analog threshold is matched-bytes vs
+        # index overhead; operators watch gain_ratio on real runs.
+        "bytes_scanned": int(bytes_scanned),
+        "dup_bytes": int(dup_bytes),
+        "n_dup_docs": int(n_dup_docs),
+        "gain_ratio": round(gain_ratio, 6),
+        "gain_below_threshold": bool(gain_ratio < cfg.min_gain_ratio),
     }
+    mark("metrics")
     if ck.enabled:
         ck.save_json("metrics", metrics)
     return DedupResult(signatures=sig, edges=edges, pairs=pairs,

@@ -66,31 +66,27 @@ def compute_stop_shingles(pages_ds, cfg: PipelineConfig,
                           sample_docs: int = 1024,
                           df_threshold: float = 0.5) -> np.ndarray:
     """Document-frequency pass: shingles present in ≥ df_threshold of a
-    deterministic rank-based sample are 'stop shingles' (site template /
+    deterministic prefix sample are 'stop shingles' (site template /
     boilerplate chrome). Returns a sorted uint64 array.
 
-    Deterministic: the sample is docs with rank % step == 0 (content-keyed,
-    independent of block order / parallelism). Driver-side DF count over
-    ~sample_docs docs (a few MB) — at 10^12 scale this is still a constant
-    ~1k-doc sample.
+    FRAGMENT-LEVEL sample: ``limit(sample_docs)`` reads only the first input
+    fragments (Ray Data stops the read early) — a constant-cost pass at any
+    corpus size, vs a full scan to select a strided sample. Deterministic:
+    input file/block order is fixed by the caller's read, independent of
+    parallelism. The prefix-vs-strided tradeoff is acceptable because stop
+    shingles only suppress banding (recall aid); verification Jaccard always
+    uses the full shingle set.
     """
     from pcompress_ray.stages.extract import Extractor
 
-    n = pages_ds.count()
-    if n == 0:
-        return np.empty(0, dtype=np.uint64)
-    step = max(1, n // sample_docs)
-    # projection pushdown: the sample pass only needs rank + the raw content
+    # projection pushdown: the sample pass only needs the raw content
     cols = pages_ds.schema().names
-    need = ["rank"] + (["text_norm"] if "text_norm" in cols
-                       else ["html"] if "html" in cols else ["text"])
-    pages_ds = pages_ds.select_columns(need)
+    need = ["text_norm"] if "text_norm" in cols \
+        else ["html"] if "html" in cols else ["text"]
+    sampled = pages_ds.select_columns(need).limit(sample_docs)
 
     def sample_shingles(t: pa.Table) -> pa.Table:
         t = t.replace_schema_metadata(None)
-        ranks = t["rank"].to_numpy(zero_copy_only=False)
-        keep = (ranks % step) == 0
-        t = t.filter(pa.array(keep))
         if "text_norm" not in t.column_names:
             t = Extractor()(t)
         outs = []
@@ -98,13 +94,13 @@ def compute_stop_shingles(pages_ds, cfg: PipelineConfig,
             outs.append(doc_shingles(txt, cfg.shingle_k).tobytes())
         return pa.table({"sh": pa.array(outs, pa.binary())})
 
-    rows = pages_ds.map_batches(sample_shingles, batch_format="pyarrow") \
-                   .take_all()
+    rows = sampled.map_batches(sample_shingles, batch_format="pyarrow") \
+                  .take_all()
     n_sampled = len(rows)
     if n_sampled == 0:
         return np.empty(0, dtype=np.uint64)
     all_sh = np.concatenate([np.frombuffer(r["sh"], dtype=np.uint64)
-                             for r in rows]) if rows else np.empty(0, np.uint64)
+                             for r in rows])
     if all_sh.size == 0:
         return np.empty(0, dtype=np.uint64)
     vals, cnts = np.unique(all_sh, return_counts=True)

@@ -9,8 +9,14 @@ within k (the common case for web pages with k=1024), a bottom-k estimate
 otherwise. This avoids the MinHash-signature estimator's ±1/√P noise at the
 decision threshold, which would cost recall on borderline pairs.
 
-The pair→sketch join is the partitioned hash join from functions/ops (pairs
-are O(duplicates), signatures are O(corpus); both sides shuffle only once).
+Scale shape: the participating docs' sketches are extracted by PARALLEL Ray
+tasks (one per materialized signature block, zero-copy plasma input); each
+task's value payload stays in the object store — only (rank, len) index
+arrays (16 B/doc) reach the driver, which builds a sorted lookup index and
+broadcasts it once. Verification is then a single map_batches with two
+binary-search lookups per pair. No per-pair sketch duplication, no shuffle,
+no driver byte-streaming. Falls back to two partitioned hash joins when the
+participating-sketch payload exceeds ``cfg.verify_broadcast_bytes``.
 """
 
 from __future__ import annotations
@@ -43,25 +49,110 @@ def kmv_jaccard(a: np.ndarray, b: np.ndarray, k: int) -> float:
 
 
 def _participating_ids(cand_ds) -> np.ndarray:
-    pdf = cand_ds.select_columns(["a", "b"]).to_pandas()
-    return np.unique(np.concatenate([pdf["a"].to_numpy(dtype=np.int64),
-                                     pdf["b"].to_numpy(dtype=np.int64)]))
+    """Distinct doc ranks appearing in any candidate pair.
+
+    Per-block np.unique in parallel Ray tasks (no executor launch — the
+    candidate Dataset is materialized), then a driver-side merge of the
+    already-deduplicated per-block arrays — the driver sees
+    O(distinct ids × blocks) int64s, never the raw pair list.
+    """
+    from pcompress_ray.functions.ops import block_rounds
+
+    def uniq(t: pa.Table) -> np.ndarray:
+        return np.unique(np.concatenate([
+            t["a"].to_numpy(zero_copy_only=False).astype(np.int64),
+            t["b"].to_numpy(zero_copy_only=False).astype(np.int64)]))
+
+    parts = [p for p in block_rounds(cand_ds, uniq) if p.size]
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(np.concatenate(parts))
 
 
-def verify_candidates(cand_ds, sig_ds, cfg: PipelineConfig):
+def _extract_sketch_block(block, sorted_ids: np.ndarray):
+    """One signature block → (ranks, lens, values) for participating docs.
+
+    Runs as a Ray task: ``block`` is a zero-copy plasma read; the uint64
+    value payload is returned as its own object so it stays in the object
+    store (the driver only ever touches ranks+lens).
+    """
+    t = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+    r = t["rank"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if sorted_ids.size:
+        idx = np.minimum(np.searchsorted(sorted_ids, r), sorted_ids.size - 1)
+        keep = sorted_ids[idx] == r
+    else:
+        keep = np.zeros(r.size, dtype=bool)
+    t = t.filter(pa.array(keep))
+    if len(t) == 0:
+        return (np.empty(0, np.int64), np.empty(0, np.int64)), \
+            np.empty(0, np.uint64)
+    arr = t["kmv"].combine_chunks()
+    off_dtype = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+    voff = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[
+        arr.offset : arr.offset + len(arr) + 1].astype(np.int64)
+    buf = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    ranks = t["rank"].to_numpy(zero_copy_only=False).astype(np.int64)
+    lens = np.diff(voff) // 8
+    values = buf[voff[0] : voff[-1]].view(np.uint64)
+    return (ranks, lens), values
+
+
+def build_sketch_store(sig_ds, ids: np.ndarray):
+    """Parallel CSR-ish sketch store over the participating docs.
+
+    Returns (index_ref, values_refs):
+      index = (sorted_ranks, block_of_row, start_in_block, len) — built on
+      the driver from per-block (ranks, lens) only; values_refs = one uint64
+      array per source block, resident in plasma, fetched zero-copy by each
+      verify task.
+    """
+    import ray
+
+    from pcompress_ray.functions.ops import materialized_block_refs
+
+    ids_ref = ray.put(ids)
+    extract = ray.remote(num_returns=2)(_extract_sketch_block)
+
+    # sig_ds is materialized by the pipeline: its block refs are free, and
+    # each extract task reads its block zero-copy from plasma (untouched
+    # columns are never deserialized) — no extra projection execution.
+    pairs = [extract.remote(b, ids_ref) for b in materialized_block_refs(sig_ds)]
+    meta = ray.get([p[0] for p in pairs])
+    values_refs = [p[1] for p in pairs]
+
+    ranks_parts, blk_parts, start_parts, len_parts = [], [], [], []
+    keep_refs = []
+    for bi, (ranks, lens) in enumerate(meta):
+        if ranks.size == 0:
+            continue
+        ranks_parts.append(ranks)
+        blk_parts.append(np.full(ranks.size, len(keep_refs), dtype=np.int32))
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
+        start_parts.append(starts)
+        len_parts.append(lens.astype(np.int64))
+        keep_refs.append(values_refs[bi])
+    if ranks_parts:
+        ranks_u = np.concatenate(ranks_parts)
+        order = np.argsort(ranks_u, kind="stable")
+        index = (ranks_u[order],
+                 np.concatenate(blk_parts)[order],
+                 np.concatenate(start_parts)[order],
+                 np.concatenate(len_parts)[order])
+    else:
+        index = (np.empty(0, np.int64), np.empty(0, np.int32),
+                 np.empty(0, np.int64), np.empty(0, np.int64))
+    return ray.put(index), keep_refs
+
+
+def verify_candidates(cand_ds, sig_ds, cfg: PipelineConfig,
+                      n_pairs: int | None = None):
     """Attach both sides' KMV sketches and keep pairs with J ≥ threshold.
 
     Returns edges (a, b, kind='near', jaccard:float64).
-
-    Fast path: the participating docs' sketches are packed into ONE
-    broadcast CSR-style store (ids, offsets, values) — ray.put once,
-    zero-copy numpy views in every task — and pairs are verified by a
-    single map_batches with two binary-search lookups per pair. No per-pair
-    sketch duplication, no shuffle. Falls back to two partitioned hash
-    joins when the participating-sketch payload exceeds the broadcast
-    budget (then each pair carries its sketches through the exchanges).
     """
-    n_pairs = cand_ds.count()
+    if n_pairs is None:
+        n_pairs = cand_ds.count()
     if n_pairs == 0:
         import ray.data as rd
 
@@ -70,9 +161,8 @@ def verify_candidates(cand_ds, sig_ds, cfg: PipelineConfig):
                                        "kind": pa.array([], pa.string()),
                                        "jaccard": pa.array([], pa.float64())}))
 
-    broadcast_budget = getattr(cfg, "verify_broadcast_bytes", 8 << 30)
     ids = _participating_ids(cand_ds) if n_pairs <= 50_000_000 else None
-    if ids is not None and ids.size * cfg.kmv_k * 8 <= broadcast_budget:
+    if ids is not None and ids.size * cfg.kmv_k * 8 <= cfg.verify_broadcast_bytes:
         return _verify_broadcast(cand_ds, sig_ds, cfg, ids)
     return _verify_join(cand_ds, sig_ds, cfg, ids)
 
@@ -80,64 +170,22 @@ def verify_candidates(cand_ds, sig_ds, cfg: PipelineConfig):
 def _verify_broadcast(cand_ds, sig_ds, cfg: PipelineConfig, ids: np.ndarray):
     import ray
 
-    ids_ref = ray.put(ids)
-
-    def pick(t: pa.Table) -> pa.Table:
-        t = t.replace_schema_metadata(None)
-        sorted_ids = ray.get(ids_ref)
-        r = t["rank"].to_numpy(zero_copy_only=False).astype(np.int64)
-        idx = np.searchsorted(sorted_ids, r)
-        idx_c = np.minimum(idx, sorted_ids.size - 1)
-        return t.filter(pa.array(sorted_ids[idx_c] == r))
-
-    # Arrow-native store build: pull the binary column's value buffer
-    # directly (no python bytes objects), then one gather into rank order.
-    r_parts, l_parts, v_parts = [], [], []
-    sk_ds = sig_ds.select_columns(["rank", "kmv"]) \
-                  .map_batches(pick, batch_format="pyarrow")
-    for t in sk_ds.iter_batches(batch_size=None, batch_format="pyarrow"):
-        if len(t) == 0:
-            continue
-        arr = t["kmv"].combine_chunks()
-        voff = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
-            arr.offset : arr.offset + len(arr) + 1].astype(np.int64)
-        buf = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
-        r_parts.append(t["rank"].to_numpy(zero_copy_only=False).astype(np.int64))
-        l_parts.append(np.diff(voff) // 8)
-        v_parts.append(buf[voff[0] : voff[-1]].view(np.uint64))
-    if r_parts:
-        ranks_u = np.concatenate(r_parts)
-        lens_u = np.concatenate(l_parts)
-        order = np.argsort(ranks_u, kind="stable")
-        ranks = ranks_u[order]
-        lens = lens_u[order]
-        offs = np.concatenate([[0], np.cumsum(lens)])
-        offs_u = np.concatenate([[0], np.cumsum(lens_u)])
-        values_u = np.concatenate(v_parts) if v_parts else np.empty(0, np.uint64)
-        values = np.empty(values_u.size, dtype=np.uint64)
-        for j, src in enumerate(order):  # ~1 memcpy per participating doc
-            values[offs[j] : offs[j + 1]] = \
-                values_u[offs_u[src] : offs_u[src] + lens_u[src]]
-    else:
-        ranks = np.empty(0, np.int64)
-        offs = np.zeros(1, np.int64)
-        values = np.empty(0, np.uint64)
-    store_ref = ray.put((ranks, offs, values))
-
+    index_ref, values_refs = build_sketch_store(sig_ds, ids)
     thresh = cfg.jaccard_threshold
     k = cfg.kmv_k
 
     def score(t: pa.Table) -> pa.Table:
         t = t.replace_schema_metadata(None)
-        ranks_, offs_, values_ = ray.get(store_ref)  # zero-copy plasma views
+        ranks_, blk_, start_, len_ = ray.get(index_ref)  # zero-copy plasma
+        vals = ray.get(values_refs)                      # zero-copy per block
         a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
         b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
         ia = np.searchsorted(ranks_, a)
         ib = np.searchsorted(ranks_, b)
         jac = np.empty(a.size, dtype=np.float64)
         for i in range(a.size):
-            va = values_[offs_[ia[i]] : offs_[ia[i] + 1]]
-            vb = values_[offs_[ib[i]] : offs_[ib[i] + 1]]
+            va = vals[blk_[ia[i]]][start_[ia[i]] : start_[ia[i]] + len_[ia[i]]]
+            vb = vals[blk_[ib[i]]][start_[ib[i]] : start_[ib[i]] + len_[ib[i]]]
             jac[i] = kmv_jaccard(va, vb, k)
         keep = jac >= thresh
         return pa.table({

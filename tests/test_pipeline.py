@@ -184,3 +184,70 @@ def test_pairs_have_urls(result):
     assert len(p) > 0
     assert set(p.columns) == {"url_a", "url_b", "kind", "similarity"}
     assert p.url_a.str.startswith("https://").all()
+
+
+def test_distributed_components_match_driver_path(corpus, result, ray_session):
+    """Scale path: resolve_components via distributed label propagation
+    (cc_driver_edge_limit=0) must reproduce the driver-path cluster table."""
+    import ray.data as rd
+
+    from pcompress_ray.pipelines.dedup import build_signatures, dedup_pipeline
+
+    pages, _, _ = corpus
+    ds = rd.from_arrow(pages).repartition(8)
+    res = dedup_pipeline(ds, PipelineConfig(cc_driver_edge_limit=0),
+                         compute_pairs=False)
+    got = res.clusters.to_pandas().sort_values("rank").reset_index(drop=True)
+    want = result["clusters"]
+    assert (got.cluster_id.to_numpy() == want.cluster_id.to_numpy()).all()
+    assert (got.is_canonical.to_numpy() == want.is_canonical.to_numpy()).all()
+
+
+def test_min_label_components_equals_union_find():
+    """Vectorized numpy components == the dict union-find oracle on a random
+    graph with chains (worst case for label propagation) and cliques."""
+    from pcompress_ray.stages.components import (
+        labels_to_lookup,
+        lookup_labels,
+        min_label_components,
+        union_find,
+    )
+
+    rng = np.random.default_rng(7)
+    # chains of length 50 + random clique edges + self-contained pairs
+    parts = []
+    base = 0
+    for _ in range(5):
+        n = 50
+        parts.append(np.stack([np.arange(base, base + n - 1),
+                               np.arange(base + 1, base + n)], axis=1))
+        base += n
+    clique = rng.choice(np.arange(base, base + 30), size=(60, 2))
+    parts.append(clique[clique[:, 0] != clique[:, 1]])
+    edges = np.concatenate(parts)
+    a, b = edges[:, 0].astype(np.int64), edges[:, 1].astype(np.int64)
+    keys, vals = min_label_components(a, b)
+    want = union_find(a, b)
+    assert len(keys) == len(want)
+    assert all(int(v) == want[int(k)] for k, v in zip(keys, vals))
+    # lookup helper: identity for unknown ids
+    got = lookup_labels(keys, vals, np.array([a[0], 10**9], dtype=np.int64))
+    assert got[0] == want[int(a[0])] and got[1] == 10**9
+
+
+def test_dedupe_gain_metrics(corpus, result, ray_session):
+    """A3 analog: gain counters present, consistent, threshold flag works."""
+    import ray.data as rd
+
+    from pcompress_ray.pipelines.dedup import dedup_pipeline
+
+    pages, _, _ = corpus
+    ds = rd.from_arrow(pages).repartition(4)
+    res = dedup_pipeline(ds, PipelineConfig(min_gain_ratio=0.9),
+                         compute_pairs=False)
+    m = res.metrics
+    assert m["bytes_scanned"] > 0
+    assert 0 < m["dup_bytes"] < m["bytes_scanned"]
+    assert m["n_dup_docs"] == int((~result["clusters"].is_canonical).sum())
+    assert m["gain_ratio"] == round(m["dup_bytes"] / m["bytes_scanned"], 6)
+    assert m["gain_below_threshold"] is (m["gain_ratio"] < 0.9)
