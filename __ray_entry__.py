@@ -379,6 +379,45 @@ def q_cdc_chunks(sf_dir: str):
     return out.map_batches(rn, batch_format="pyarrow")
 
 
+def q_content_type_stats(sf_dir: str):
+    """Byte-histogram TEXT/BINARY/MARKUP classifier (M7/F4 analyzer analog,
+    filters/analyzer/analyzer.c:32-99 semantics; SQL-matched)."""
+    from pcompress_ray.stages.textstats import content_type_batch
+
+    _setup()
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        content_type_batch, batch_format="pandas")
+
+
+def q_fixed_chunks(sf_dir: str):
+    """Fixed-block chunker (M2, reference -F mode) — per-doc chunk counts
+    + total bytes at a 64-byte block size (SQL-matched)."""
+    from pcompress_ray.config import PipelineConfig
+    from pcompress_ray.stages.cdc import CDCChunker
+
+    _setup()
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(
+        CDCChunker(PipelineConfig(), text_col="text", mode="fixed",
+                   fixed_block_size=64),
+        batch_format="pyarrow")
+
+    def rn(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        t = t.replace_schema_metadata(None)
+        counts = pc.list_value_length(t["chunk_lengths"]).fill_null(0) \
+                   .to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(t["chunk_lengths"]).to_numpy(zero_copy_only=False)
+        csum = np.concatenate([[0], np.cumsum(flat, dtype=np.int64)])
+        ends = np.cumsum(counts)
+        total = csum[ends] - csum[ends - counts]
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                         "n_chunks": t["n_chunks"].cast(pa.int64()),
+                         "chunk_bytes": pa.array(total)})
+
+    return out.map_batches(rn, batch_format="pyarrow")
+
+
 def q_minhash_signatures(sf_dir: str):
     """Signature stage output stats (M5/M6): shingles, simhash, minhash sum."""
     from pcompress_ray.config import PipelineConfig
@@ -524,6 +563,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_pairs": q_dedup_pairs,
         "cdc_chunks": q_cdc_chunks,
+        "fixed_chunks": q_fixed_chunks,
+        "content_type_stats": q_content_type_stats,
         "minhash_signatures": q_minhash_signatures,
         "quality_scores": q_quality_scores,
         "fingerprints": q_fingerprints,
@@ -636,6 +677,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
                    count(*) AS n_events
             FROM s GROUP BY user_id, session_id
+        """,
+        "fixed_chunks": """
+            SELECT doc_id,
+                   CAST(ceil(octet_length(encode(coalesce(text, ''))) / 64.0) AS BIGINT)
+                       AS n_chunks,
+                   CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT)
+                       AS chunk_bytes
+            FROM documents
+        """,
+        "content_type_stats": r"""
+            -- analyzer.c:32-99 rebuilt in SQL. All counted chars ('<','>',
+            -- ' ', controls) are single-byte ASCII, so char counts == byte
+            -- counts; tot8b = total bytes - ASCII chars (every byte of a
+            -- multi-byte UTF-8 char is >127).
+            WITH b AS (
+                SELECT doc_id,
+                       coalesce(text, '') AS t,
+                       CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes,
+                       replace(coalesce(text, ''), ' ', '') AS ns
+                FROM documents
+            ), c AS (
+                SELECT doc_id, n_bytes,
+                    n_bytes - length(regexp_replace(t, '[^\x00-\x7f]', '', 'g')) AS tot8b,
+                    CAST(length(t) - length(regexp_replace(t, '[\x00-\x1f]', '', 'g')) AS BIGINT) AS lbytes,
+                    CAST(length(t) - length(replace(t, ' ', '')) AS BIGINT) AS spc,
+                    CAST(length(t) - length(replace(t, '<', '')) AS BIGINT) AS tag1,
+                    CAST(length(t) - length(replace(t, '>', '')) AS BIGINT) AS tag2,
+                    CAST((length(ns) - length(replace(ns, '</', ''))) // 2
+                       + (length(ns) - length(replace(ns, '/>', ''))) // 2 AS BIGINT) AS tag3
+                FROM b
+            ), d AS (
+                SELECT *,
+                    CASE WHEN tag1 > tag2 - 4 AND tag1 < tag2 + 4
+                              AND tag3 > tag1 * 0.40
+                              AND tag1 + tag2 > spc * 0.06
+                         THEN '|MARKUP' ELSE '' END AS mk
+                FROM c
+            )
+            SELECT doc_id, n_bytes, tot8b, lbytes, spc, tag1, tag2, tag3,
+                CASE WHEN tot8b <= n_bytes / 10.0
+                          AND lbytes < (n_bytes // 2 + n_bytes // 4 + n_bytes // 8)
+                     THEN 'TEXT' ELSE 'BINARY' END || mk AS btype_10,
+                CASE WHEN tot8b + lbytes > n_bytes / 10.0 * 3
+                     THEN 'BINARY' ELSE 'TEXT' END || mk AS btype_30,
+                CASE WHEN tot8b + lbytes > n_bytes / 10.0 * 5
+                     THEN 'BINARY' ELSE 'TEXT' END || mk AS btype_50
+            FROM d
         """,
         "ann_topk": """
             SELECT query_id, neighbor_id FROM (

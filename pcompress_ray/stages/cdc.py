@@ -269,17 +269,49 @@ class CDCChunker:
     ``chunk_lengths:list<int32>``.
     """
 
-    def __init__(self, cfg: PipelineConfig | None = None, text_col: str = "text"):
+    def __init__(self, cfg: PipelineConfig | None = None, text_col: str = "text",
+                 mode: str = "rabin", fixed_block_size: int | None = None):
+        """``mode="fixed"`` disables the rolling-hash break test and cuts
+        every ``fixed_block_size`` bytes (default: the config's average
+        block size) with a trailing remainder block — the reference's
+        ``-F`` fixed-block dedup mode (rabin/rabin_dedup.c:513-538, where
+        DEDUPE_FIXED skips the fingerprint scan entirely)."""
+        if mode not in ("rabin", "fixed"):
+            raise ValueError(f"unknown chunk mode {mode!r}")
         self.cfg = cfg or PipelineConfig()
         self.text_col = text_col
+        self.mode = mode
         self.min_block = self.cfg.min_block_size
         self.max_block = self.cfg.max_block_size
+        self.fixed_block = fixed_block_size or self.cfg.avg_block_size
+
+    def _fixed_chunks(self, datas: list[bytes]):
+        fb = self.fixed_block
+        results = []
+        for data in datas:
+            n = len(data)
+            k = (n + fb - 1) // fb
+            offs = np.arange(k, dtype=np.int64) * fb
+            lens = np.full(k, fb, dtype=np.int64)
+            if k:
+                lens[-1] = n - offs[-1]
+            hashes = np.empty(k, dtype=np.uint64)
+            for j in range(k):
+                s = int(offs[j])
+                hashes[j] = int.from_bytes(
+                    hashlib.sha256(data[s : s + int(lens[j])]).digest()[:8],
+                    "little")
+            results.append((offs, lens, hashes))
+        return results
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         batch = batch.replace_schema_metadata(None)  # drop pandas metadata (unhashable in Ray's schema dedup)
         texts = batch[self.text_col].to_pylist()
         datas = [(t or "").encode("utf-8", "surrogatepass") for t in texts]
-        results = chunk_batch(datas, self.min_block, self.max_block)
+        if self.mode == "fixed":
+            results = self._fixed_chunks(datas)
+        else:
+            results = chunk_batch(datas, self.min_block, self.max_block)
         n_chunks = np.empty(len(texts), dtype=np.int32)
         hash_lists = []
         len_lists = []

@@ -119,6 +119,69 @@ def fingerprint_batch(df: pd.DataFrame, text_col: str = "text",
                          "fingerprint": out})
 
 
+def content_type_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Byte-histogram content classifier — the reference analyzer's exact
+    semantics (filters/analyzer/analyzer.c:32-99) over each document's UTF-8
+    bytes:
+
+      tot8b  = #bytes > 127        lbytes = #bytes < 32
+      spc    = #' '                tag1/tag2 = #'<' / #'>'
+      tag3   = #('<','/') + #('/','>') adjacent pairs with spaces skipped
+               (prev_byte only advances on non-space, analyzer.c:62-64)
+
+    Three significance levels (10/30/50%):
+      btype_30/50: BINARY iff tot8b+lbytes > 30%/50% of bytes, else TEXT
+      btype_10:    TEXT iff tot8b <= 10% AND lbytes < 7/8 of bytes
+                   (integer shifts, analyzer.c:88)
+      |MARKUP appended to all three iff |tag1-tag2| < 4 AND
+      tag3 > 0.4*tag1 AND tag1+tag2 > 0.06*spc (analyzer.c:94-99).
+
+    Integer counters + string labels — exactly SQL-expressible (the oracle
+    rebuilds every counter from octet_length/replace/regexp_replace).
+    """
+    n = len(df)
+    cols = {k: np.zeros(n, dtype=np.int64)
+            for k in ("n_bytes", "tot8b", "lbytes", "spc",
+                      "tag1", "tag2", "tag3")}
+    texts = df[text_col].fillna("").tolist()
+    for i, txt in enumerate(texts):
+        b = np.frombuffer(txt.encode("utf-8", "surrogatepass"), dtype=np.uint8)
+        cols["n_bytes"][i] = b.size
+        if b.size == 0:
+            continue
+        cols["tot8b"][i] = int((b > 127).sum())
+        cols["lbytes"][i] = int((b < 32).sum())
+        cols["spc"][i] = int((b == 32).sum())
+        cols["tag1"][i] = int((b == ord("<")).sum())
+        cols["tag2"][i] = int((b == ord(">")).sum())
+        ns = b[b != 32]  # prev_byte skips spaces (analyzer.c:62-64)
+        if ns.size >= 2:
+            cols["tag3"][i] = int(
+                ((ns[:-1] == ord("<")) & (ns[1:] == ord("/"))).sum()
+                + ((ns[:-1] == ord("/")) & (ns[1:] == ord(">"))).sum())
+    nb = cols["n_bytes"].astype(np.float64)
+    tot_8b = cols["tot8b"] + cols["lbytes"]
+    bin30 = tot_8b > nb / 10 * 3
+    bin50 = tot_8b > nb / 10 * 5
+    txt10 = (cols["tot8b"] <= nb / 10) & \
+        (cols["lbytes"] < ((cols["n_bytes"] >> 1) + (cols["n_bytes"] >> 2)
+                           + (cols["n_bytes"] >> 3)))
+    markup = ((cols["tag1"] > cols["tag2"] - 4)
+              & (cols["tag1"] < cols["tag2"] + 4)
+              & (cols["tag3"] > cols["tag1"] * 0.40)
+              & ((cols["tag1"] + cols["tag2"]) > cols["spc"] * 0.06))
+    suffix = np.where(markup, "|MARKUP", "").astype(object)
+
+    def lab(binary_mask):
+        return np.where(binary_mask, "BINARY", "TEXT").astype(object) + suffix
+
+    out = {"doc_id": df["doc_id"].astype(np.int64), **cols}
+    out["btype_10"] = lab(~txt10)
+    out["btype_30"] = lab(bin30)
+    out["btype_50"] = lab(bin50)
+    return pd.DataFrame(out)
+
+
 def token_explode(t: pa.Table, text_col: str = "text") -> pa.Table:
     """(token) rows — feeds the corpus-wide token-frequency aggregate."""
     t = t.replace_schema_metadata(None)
