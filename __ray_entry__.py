@@ -504,9 +504,10 @@ def q_simhash_neardup(sf_dir: str):
 
 
 def q_substring_spans(sf_dir: str):
-    """Exact longest-common-substring spans for substring-dup edges, via the
-    suffix-automaton verify stage. Runs on a synthesized planted-span corpus
-    (the sf documents are ~300 chars — below the 2 KiB span floor)."""
+    """Maximal shared spans (offsets + lengths) and exact LCS for
+    substring-dup edges, via rolling-hash LCS + CDC-anchored run coalescing.
+    Runs on a synthesized planted-span corpus (the sf documents are
+    ~300 chars — below the 2 KiB span floor)."""
     import ray.data as rd
 
     from pcompress_ray.config import PipelineConfig
@@ -527,6 +528,9 @@ def q_substring_spans(sf_dir: str):
         t = t.replace_schema_metadata(None)
         return pa.table({"a": t["a"].cast(pa.int64()),
                          "b": t["b"].cast(pa.int64()),
+                         "a_off": t["a_off"].cast(pa.int64()),
+                         "b_off": t["b_off"].cast(pa.int64()),
+                         "span_len": t["span_len"].cast(pa.int64()),
                          "lcs_bytes": t["lcs_bytes"].cast(pa.int64())})
 
     return spans.map_batches(rn, batch_format="pyarrow")

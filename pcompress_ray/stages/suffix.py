@@ -1,14 +1,19 @@
-"""Suffix-structure substring verification.
+"""Suffix-structure substring verification with span offsets.
 
 pcompress proves long shared spans byte-exactly through chunk-identity
-(SHA-256 per content-defined block, rabin/rabin_dedup.c:830-873); our
-chunk-hash shuffle already inherits that proof (identical 64-bit-truncated
-SHA-256 over ≥1 KiB chunks). This stage goes further for the pairs the
-chunk layer flags: it computes the exact LONGEST common substring between
-the two documents with a suffix automaton (O(|a|+|b|)), yielding the true
-span length and offsets — the detection-side analog of the reference's
-backward-reference span resolution (rabin/rabin_dedup.c:1571-1638) and of
-SURVEY §7.2 step 9's suffix-array stage.
+(SHA-256 per content-defined block, rabin/rabin_dedup.c:830-873) and then
+merges adjacent matched blocks into maximal backward-reference runs before
+emitting (offset, length) refs (run merging, rabin/rabin_dedup.c:1426-1448).
+This stage is the detection-side analog for the pairs the chunk layer flags:
+
+- ``lcs_with_offsets``: the exact LONGEST common substring between two byte
+  strings — length AND both offsets — via binary search over the span length
+  with vectorized 64-bit polynomial rolling hashes (O((n+m) log n), numpy
+  throughout, byte-verified so hash collisions cannot produce a false span).
+- ``shared_spans``: ALL maximal shared spans anchored on identical CDC
+  chunks: chunks with equal SHA-256 identity are matched, consecutive
+  matches are coalesced into runs (the reference's run merging), and each
+  run is extended byte-wise to its maximal span.
 
 Runs per verified pair (pairs ≪ corpus); texts are fetched by a partitioned
 hash join, so nothing here materializes the corpus.
@@ -22,76 +27,208 @@ import pyarrow as pa
 
 from pcompress_ray.config import PipelineConfig
 
+_HASH_P = 0x9E3779B97F4A7C15  # odd → invertible mod 2^64
 
-class _SuffixAutomaton:
-    """Minimal suffix automaton over bytes (arrays-of-dict transitions)."""
 
-    __slots__ = ("link", "length", "next", "last")
+def _inv_u64(p: int) -> int:
+    """Inverse of odd p modulo 2^64 (Newton iteration)."""
+    inv = p
+    for _ in range(6):
+        inv = (inv * (2 - p * inv)) & 0xFFFFFFFFFFFFFFFF
+    return inv
+
+
+_HASH_Q = _inv_u64(_HASH_P)
+
+
+def _powers(p: int, n: int) -> np.ndarray:
+    """[p^0, p^1, ..., p^n] as wrapping uint64."""
+    out = np.empty(n + 1, dtype=np.uint64)
+    out[0] = 1
+    if n:
+        np.multiply.accumulate(np.full(n, p, dtype=np.uint64), out=out[1:])
+    return out
+
+
+class _RollingHasher:
+    """All k-gram polynomial hashes of a byte string, any k, O(n) each.
+
+    h(i,k) = sum_j x[i+j] * p^(k-1-j)  (mod 2^64), computed from the
+    q-weighted prefix sum S[i] = sum_{j<i} x[j] q^j as
+    (S[i+k]-S[i]) * p^(i+k-1), where q = p^-1 mod 2^64. uint64 wraparound
+    is the modulus — no bigint math anywhere.
+    """
 
     def __init__(self, data: bytes):
-        self.link = [-1]
-        self.length = [0]
-        self.next = [{}]
-        self.last = 0
-        for ch in data:
-            self._extend(ch)
+        self.data = data
+        x = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+        n = x.size
+        self.n = n
+        self.pow_p = _powers(_HASH_P, n)
+        qpow = _powers(_HASH_Q, max(n - 1, 0))[:n]
+        self.prefix = np.zeros(n + 1, dtype=np.uint64)
+        if n:
+            np.cumsum(x * qpow, out=self.prefix[1:])
 
-    def _extend(self, ch: int):
-        cur = len(self.length)
-        self.length.append(self.length[self.last] + 1)
-        self.link.append(-1)
-        self.next.append({})
-        p = self.last
-        while p >= 0 and ch not in self.next[p]:
-            self.next[p][ch] = cur
-            p = self.link[p]
-        if p == -1:
-            self.link[cur] = 0
+    def kgram_hashes(self, k: int) -> np.ndarray:
+        n = self.n
+        if k > n:
+            return np.empty(0, dtype=np.uint64)
+        # p^(i+k-1) for i in [0, n-k]
+        return (self.prefix[k:] - self.prefix[:n - k + 1]) * self.pow_p[k - 1:n]
+
+
+def lcs_with_offsets(a: bytes, b: bytes) -> tuple[int, int, int]:
+    """(length, a_off, b_off) of the longest common substring.
+
+    Binary search on the length (a common k-substring implies a common
+    (k-1)-substring, so feasibility is monotone); each probe intersects the
+    two k-gram hash sets and byte-verifies the first intersection to rule
+    out 64-bit collisions.
+    """
+    if not a or not b:
+        return 0, 0, 0
+    ha, hb = _RollingHasher(a), _RollingHasher(b)
+
+    def probe(k: int):
+        va, vb = ha.kgram_hashes(k), hb.kgram_hashes(k)
+        common, ia, ib = np.intersect1d(va, vb, return_indices=True)
+        for t in range(common.size):
+            i, j = int(ia[t]), int(ib[t])
+            if a[i:i + k] == b[j:j + k]:
+                return i, j
+        return None
+
+    lo, hi = 0, min(len(a), len(b))  # lo = feasible, hi+1 = infeasible bound
+    best = (0, 0)
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        hit = probe(mid)
+        if hit is not None:
+            lo, best = mid, hit
         else:
-            q = self.next[p][ch]
-            if self.length[p] + 1 == self.length[q]:
-                self.link[cur] = q
-            else:
-                clone = len(self.length)
-                self.length.append(self.length[p] + 1)
-                self.link.append(self.link[q])
-                self.next.append(dict(self.next[q]))
-                while p >= 0 and self.next[p].get(ch) == q:
-                    self.next[p][ch] = clone
-                    p = self.link[p]
-                self.link[q] = clone
-                self.link[cur] = clone
-        self.last = cur
+            hi = mid - 1
+    return lo, best[0], best[1]
 
 
 def longest_common_substring(a: bytes, b: bytes) -> int:
     """Length of the longest common substring of two byte strings."""
-    if not a or not b:
+    return lcs_with_offsets(a, b)[0]
+
+
+def _common_prefix_len(x: bytes, y: bytes) -> int:
+    n = min(len(x), len(y))
+    if n == 0:
         return 0
-    if len(b) < len(a):
-        a, b = b, a
-    sam = _SuffixAutomaton(a)
-    v, l, best = 0, 0, 0
-    for ch in b:
-        while v and ch not in sam.next[v]:
-            v = sam.link[v]
-            l = sam.length[v]
-        if ch in sam.next[v]:
-            v = sam.next[v][ch]
-            l += 1
+    xa = np.frombuffer(x[:n], dtype=np.uint8)
+    ya = np.frombuffer(y[:n], dtype=np.uint8)
+    neq = xa != ya
+    return int(neq.argmax()) if neq.any() else n
+
+
+_REPEAT_CAP = 8  # boilerplate guard: skip chunk hashes occurring more often
+
+
+def shared_spans(a: bytes, b: bytes, min_block: int, max_block: int,
+                 min_span: int = 0) -> list[tuple[int, int, int]]:
+    """Maximal shared spans [(a_off, b_off, length), ...] anchored on CDC.
+
+    1. CDC-chunk both strings (content-defined boundaries ⇒ identical
+       content chunks identically after the first in-span cut).
+    2. Match chunks by 64-bit SHA identity; hashes occurring more than
+       _REPEAT_CAP times in either doc are skipped (boilerplate — pairing
+       them is quadratic and low-information).
+    3. Coalesce index-consecutive matches into runs — the reference's run
+       merging (rabin/rabin_dedup.c:1426-1448): adjacent matched blocks
+       become ONE backward reference.
+    4. Extend each run byte-wise left and right to its maximal span, then
+       merge overlapping spans on the same alignment diagonal.
+    """
+    from pcompress_ray.stages.cdc import chunk_batch
+
+    (offs_a, lens_a, hash_a), (offs_b, lens_b, hash_b) = \
+        chunk_batch([a, b], min_block, max_block)
+    if hash_a.size == 0 or hash_b.size == 0:
+        return []
+    ua, ca = np.unique(hash_a, return_counts=True)
+    ub, cb = np.unique(hash_b, return_counts=True)
+    ok_a = ua[ca <= _REPEAT_CAP]
+    ok_b = ub[cb <= _REPEAT_CAP]
+    common = np.intersect1d(ok_a, ok_b)
+    if common.size == 0:
+        return []
+    # all (i, j) chunk-index pairs with equal hash (bounded by repeat cap)
+    mask_a = np.isin(hash_a, common)
+    mask_b = np.isin(hash_b, common)
+    ii = np.flatnonzero(mask_a)
+    jj = np.flatnonzero(mask_b)
+    order = np.argsort(hash_b[jj], kind="stable")
+    jj_sorted = jj[order]
+    hb_sorted = hash_b[jj_sorted]
+    starts = np.searchsorted(hb_sorted, hash_a[ii], side="left")
+    stops = np.searchsorted(hb_sorted, hash_a[ii], side="right")
+    reps = stops - starts
+    pi = np.repeat(ii, reps)
+    # for each i, the slice jj_sorted[starts[t]:stops[t]]
+    pj = jj_sorted[np.concatenate(
+        [np.arange(s, e) for s, e in zip(starts, stops)])] if pi.size else \
+        np.empty(0, dtype=np.int64)
+    if pi.size == 0:
+        return []
+    # run coalescing: sort by (chunk-index diagonal, i); a run continues
+    # where both indices advance by exactly 1
+    diag = pi - pj
+    order = np.lexsort((pi, diag))
+    pi, pj, diag = pi[order], pj[order], diag[order]
+    new_run = np.ones(pi.size, dtype=bool)
+    new_run[1:] = (diag[1:] != diag[:-1]) | (pi[1:] != pi[:-1] + 1)
+    spans = []
+    run_starts = np.flatnonzero(new_run)
+    run_ends = np.append(run_starts[1:], pi.size) - 1
+    for s, e in zip(run_starts, run_ends):
+        i0, j0 = int(pi[s]), int(pj[s])
+        i1, j1 = int(pi[e]), int(pj[e])
+        a_off = int(offs_a[i0])
+        b_off = int(offs_b[j0])
+        length = int(offs_a[i1] + lens_a[i1]) - a_off
+        # byte-verify the anchored run (64-bit chunk ids could collide)
+        if a[a_off:a_off + length] != b[b_off:b_off + length]:
+            continue
+        # maximal byte extension (anchors only cover whole chunks)
+        left = _common_prefix_len(a[:a_off][::-1], b[:b_off][::-1])
+        a_off -= left
+        b_off -= left
+        length += left
+        right = _common_prefix_len(a[a_off + length:], b[b_off + length:])
+        length += right
+        spans.append((a_off, b_off, length))
+    # merge overlapping/adjacent spans on the same byte diagonal
+    spans.sort(key=lambda t: (t[0] - t[1], t[0]))
+    merged: list[list[int]] = []
+    for a_off, b_off, length in spans:
+        if merged and merged[-1][0] - merged[-1][1] == a_off - b_off \
+                and a_off <= merged[-1][0] + merged[-1][2]:
+            last = merged[-1]
+            last[2] = max(last[2], a_off + length - last[0])
         else:
-            v, l = 0, 0
-        if l > best:
-            best = l
-    return best
+            merged.append([a_off, b_off, length])
+    out = [(a, b, ln) for a, b, ln in merged if ln >= min_span]
+    out.sort()
+    return out
 
 
 def substring_verify(edges_ds, pages_ds, cfg: PipelineConfig):
-    """Attach exact LCS byte length to substring-kind edges.
+    """Exact shared-span resolution for substring-kind edges.
 
     edges_ds: (a, b, kind, jaccard); pages_ds must carry (rank, text_norm or
-    text). Returns (a, b, lcs_bytes) for substring edges with
-    lcs_bytes ≥ cfg.substring_min_bytes.
+    text). For each substring edge whose exact LCS ≥ cfg.substring_min_bytes,
+    emits one row per maximal shared span:
+    (a, b, a_off, b_off, span_len, lcs_bytes) — a_off/b_off are byte offsets
+    into the two documents, span_len the shared-run byte length after
+    coalescing, lcs_bytes the pair's exact longest-common-substring length
+    (repeated on every span row of the pair). The LCS span itself is always
+    present as a row (chunk-anchored runs recover it via byte extension; if
+    the corpus-dependent anchors miss it, it is added explicitly).
     """
     import pyarrow.compute as pc
 
@@ -118,19 +255,38 @@ def substring_verify(edges_ds, pages_ds, cfg: PipelineConfig):
                    n_buckets=cfg.join_buckets)
 
     min_bytes = cfg.substring_min_bytes
+    min_block, max_block = cfg.min_block_size, cfg.max_block_size
 
     def score(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"a": [], "b": [], "a_off": [], "b_off": [],
+                "span_len": [], "lcs_bytes": []}
         if len(g) == 0:
-            return pd.DataFrame({"a": [], "b": [], "lcs_bytes": []})
-        lcs = np.empty(len(g), dtype=np.int64)
+            return pd.DataFrame({k: pd.Series(v, dtype=np.int64)
+                                 for k, v in cols.items()})
         ta = g["text_a"].tolist()
         tb = g[text_col].tolist()
+        aa = g["a"].to_numpy(dtype=np.int64)
+        bb = g["b"].to_numpy(dtype=np.int64)
         for i in range(len(g)):
-            lcs[i] = longest_common_substring(
-                (ta[i] or "").encode(), (tb[i] or "").encode())
-        out = pd.DataFrame({"a": g["a"].to_numpy(dtype=np.int64),
-                            "b": g["b"].to_numpy(dtype=np.int64),
-                            "lcs_bytes": lcs})
-        return out[out["lcs_bytes"] >= min_bytes]
+            da = (ta[i] or "").encode()
+            db = (tb[i] or "").encode()
+            lcs, la, lb = lcs_with_offsets(da, db)
+            if lcs < min_bytes:
+                continue
+            spans = shared_spans(da, db, min_block, max_block)
+            if not any(ao <= la and bo <= lb
+                       and ao + ln >= la + lcs and bo + ln >= lb + lcs
+                       for ao, bo, ln in spans):
+                spans.append((la, lb, lcs))
+                spans.sort()
+            for ao, bo, ln in spans:
+                cols["a"].append(aa[i])
+                cols["b"].append(bb[i])
+                cols["a_off"].append(ao)
+                cols["b_off"].append(bo)
+                cols["span_len"].append(ln)
+                cols["lcs_bytes"].append(lcs)
+        return pd.DataFrame({k: pd.Series(v, dtype=np.int64)
+                             for k, v in cols.items()})
 
     return j2.map_batches(score, batch_format="pandas")
