@@ -118,8 +118,13 @@ def q_q3_top_orders(sf_dir: str):
     from pcompress_ray.functions.ops import broadcast_join, hash_join
 
     _setup()
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    cust = cust[cust.c_mktsegment == "BUILDING"][["c_custkey"]]
+    # filter the dimension distributively; only BUILDING keys reach the driver
+    cust = (_read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+            .map_batches(lambda t: t.replace_schema_metadata(None)
+                         .filter(pc.equal(t["c_mktsegment"], "BUILDING"))
+                         .select(["c_custkey"]),
+                         batch_format="pyarrow")
+            .to_pandas())
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
@@ -205,15 +210,16 @@ def q_lang_stats(sf_dir: str):
 
 
 def q_top_tokens(sf_dir: str):
-    """Corpus token frequency top-50 (explode + groupby + sort + limit)."""
-    from ray.data.aggregate import Count
+    """Corpus token frequency top-50 (map-side combine + groupby-sum +
+    sort + limit) — only (token, partial_count) rows enter the shuffle."""
+    from ray.data.aggregate import Sum
 
-    from pcompress_ray.stages.textstats import token_explode
+    from pcompress_ray.stages.textstats import token_counts
 
     _setup()
     ds = _read(sf_dir, "documents", ["text"])
-    out = (ds.map_batches(token_explode, batch_format="pyarrow")
-           .groupby("token").aggregate(Count(alias_name="n")))
+    out = (ds.map_batches(token_counts, batch_format="pyarrow")
+           .groupby("token").aggregate(Sum("n", alias_name="n")))
 
     def rn(t: pa.Table) -> pa.Table:
         t = t.replace_schema_metadata(None)
@@ -285,22 +291,41 @@ def q_events_hourly(sf_dir: str):
 
 
 def q_sessionize(sf_dir: str):
-    """Gap-based sessionization per user (ordered map_groups; 1800s gap)."""
+    """Gap-based sessionization per user (1800s gap). Hash-partitioned by
+    user_id; ONE vectorized scan per partition (sort by user,ts; numpy
+    segment boundaries) — not one Python call per user."""
+    from pcompress_ray.functions.ops import grouped_partitions
+
     _setup()
     ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
 
-    def sess(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        us = g["ts"].astype("int64").to_numpy()
-        gap = np.diff(us, prepend=us[0] if len(us) else 0)
-        new = (gap > 1_800_000_000).astype(np.int64)
-        sid = np.cumsum(new)
-        out = pd.DataFrame({"user_id": g["user_id"].astype(np.int64),
-                            "session_id": sid})
-        return (out.groupby(["user_id", "session_id"], as_index=False)
-                .size().rename(columns={"size": "n_events"}))
+    def sess_part(part: pd.DataFrame) -> pd.DataFrame:
+        if len(part) == 0:
+            return pd.DataFrame({"user_id": pd.Series(dtype=np.int64),
+                                 "session_id": pd.Series(dtype=np.int64),
+                                 "n_events": pd.Series(dtype=np.int64)})
+        part = part.sort_values(["user_id", "ts", "event_id"])
+        uid = part["user_id"].to_numpy(dtype=np.int64)
+        us = part["ts"].astype("int64").to_numpy()
+        n = len(part)
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        np.not_equal(uid[1:], uid[:-1], out=new_user[1:])
+        gap_break = np.empty(n, dtype=bool)
+        gap_break[0] = False
+        gap_break[1:] = (us[1:] - us[:-1]) > 1_800_000_000
+        new_sess = new_user | gap_break
+        # session_id restarts at 0 per user
+        gsid = np.cumsum(new_sess) - 1
+        uidx = np.cumsum(new_user) - 1
+        sid = gsid - gsid[new_user][uidx]
+        starts = np.flatnonzero(new_sess)
+        sizes = np.diff(np.append(starts, n))
+        return pd.DataFrame({"user_id": uid[starts],
+                             "session_id": sid[starts],
+                             "n_events": sizes.astype(np.int64)})
 
-    res = ds.groupby("user_id").map_groups(sess, batch_format="pandas")
+    res = grouped_partitions(ds, ["user_id"], sess_part)
 
     def rn(t: pa.Table) -> pa.Table:
         t = t.replace_schema_metadata(None)

@@ -103,11 +103,13 @@ def hash_join(left, right, left_on: str, right_on: str, n_buckets: int = 32,
     Both sides are padded to ONE combined schema (missing columns = typed
     nulls; right columns colliding with left names get ``suffix``), tagged
     with ``__bucket`` = hash(key) % B and ``__side``, unioned, and one
-    groupby("__bucket") co-locates buckets; a pandas merge joins inside
-    ``map_groups``. One shuffle of each side total.
+    groupby("__bucket") co-locates buckets; an Arrow (Acero) hash join runs
+    inside ``map_groups``. One shuffle of each side total.
 
-    Note: int64 columns travel through pandas as float64 in mixed groups —
-    exact for |v| < 2^53; consumers cast back.
+    The per-bucket join is pure Arrow — int64/uint64 keys and payloads keep
+    their exact types (no pandas float64 round-trip, so 64-bit hash columns
+    survive bit-exactly). Output row order within a bucket is whatever the
+    join emits; downstream consumers sort/aggregate.
     """
     def _pa_type(t):
         if isinstance(t, pa.DataType):
@@ -153,15 +155,26 @@ def hash_join(left, right, left_on: str, right_on: str, n_buckets: int = 32,
     lt = left.map_batches(tag_left, batch_format="pyarrow")
     rt = right.map_batches(tag_right, batch_format="pyarrow")
     out_cols = lnames + rnames_out
+    join_type = "left outer" if how == "left" else "inner"
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g.loc[g["__side"] == 0, lnames]
-        rg = g.loc[g["__side"] == 1, rnames_out]
-        out = lg.merge(rg, left_on=left_on, right_on=right_on_out,
-                       how=("left" if how == "left" else "inner"))
-        return out[out_cols] if len(out.columns) else out
+    def merge(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-    return lt.union(rt).groupby("__bucket").map_groups(merge, batch_format="pandas")
+        g = g.replace_schema_metadata(None)
+        lg = g.filter(pc.equal(g["__side"], 0)).select(lnames)
+        rg = g.filter(pc.equal(g["__side"], 1)).select(rnames_out)
+        # Acero drops/coalesces the right key; carry a copy so the output
+        # keeps pandas-merge column semantics (right key null on unmatched
+        # left rows of a left join)
+        rg = rg.append_column("__rk", rg[right_on_out])
+        out = lg.join(rg, keys=[left_on], right_keys=[right_on_out],
+                      join_type=join_type)
+        cols = {c: out[c] for c in out.column_names if c != "__rk"}
+        cols[right_on_out] = out["__rk"]
+        return pa.table(cols).select(out_cols)
+
+    return lt.union(rt).groupby("__bucket").map_groups(
+        merge, batch_format="pyarrow")
 
 
 def broadcast_join(big, small_df: pd.DataFrame, big_on: str, small_on: str,

@@ -13,6 +13,7 @@ EXACTLY matching semantics (same regex, same integer/float arithmetic).
 from __future__ import annotations
 
 import re
+from collections import Counter
 
 import numpy as np
 import pandas as pd
@@ -182,11 +183,15 @@ def content_type_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame
     return pd.DataFrame(out)
 
 
-def token_explode(t: pa.Table, text_col: str = "text") -> pa.Table:
-    """(token) rows — feeds the corpus-wide token-frequency aggregate."""
+def token_counts(t: pa.Table, text_col: str = "text") -> pa.Table:
+    """(token, n) partial counts per batch — the map-side combiner for the
+    corpus token-frequency aggregate. Only distinct-tokens-per-batch rows
+    enter the shuffle (vs one row per token occurrence), so the groupby
+    exchange is bounded by vocabulary size × batches, not corpus size."""
     t = t.replace_schema_metadata(None)
     texts = t[text_col].to_pylist()
-    toks = []
+    c: Counter = Counter()
     for x in texts:
-        toks.extend(_FP_RE.findall((x or "").lower()))
-    return pa.table({"token": pa.array(toks, pa.string())})
+        c.update(_FP_RE.findall((x or "").lower()))
+    return pa.table({"token": pa.array(list(c.keys()), pa.string()),
+                     "n": pa.array(list(c.values()), pa.int64())})
