@@ -486,12 +486,14 @@ def q_fingerprints(sf_dir: str):
 
 
 def q_lsh_ann_pairs(sf_dir: str):
-    """Hyperplane-LSH bucketed near-dup pairs (ANN scale path)."""
+    """Hyperplane-LSH bucketed near-dup pairs (ANN scale path). (4 bits,
+    16 tables) is calibrated for the low 0.35 cosine threshold:
+    P(collide) = 1-(1-(1-arccos(0.35)/pi)^4)^16 ≈ 0.92 per pair."""
     from pcompress_ray.stages.ann import lsh_bucketed_pairs
 
     _setup()
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    out = lsh_bucketed_pairs(emb, 0.35, dim=64)
+    out = lsh_bucketed_pairs(emb, 0.35, dim=64, n_bits=4, n_tables=16)
 
     def rn(t: pa.Table) -> pa.Table:
         t = t.replace_schema_metadata(None)

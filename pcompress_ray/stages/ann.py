@@ -14,11 +14,21 @@ import pyarrow as pa
 
 
 def _matrix(col) -> np.ndarray:
-    """list<float> column → (n, d) float64 matrix."""
-    lst = col.to_pylist()
-    if not lst:
+    """list<float> column → (n, d) float64 matrix (zero-copy flatten for
+    fixed-dim, null-free columns; row-list fallback otherwise)."""
+    import pyarrow.compute as pc
+
+    n = len(col)
+    if n == 0:
         return np.empty((0, 0))
-    return np.asarray(lst, dtype=np.float64)
+    try:
+        if isinstance(col, (pa.Array, pa.ChunkedArray)) and col.null_count == 0:
+            flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+            if flat.size % n == 0:
+                return flat.reshape(n, flat.size // n).astype(np.float64)
+    except Exception:
+        pass
+    return np.asarray(col.to_pylist(), dtype=np.float64)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -142,49 +152,122 @@ class HyperplaneLSH:
 
 def lsh_bucketed_pairs(emb_ds, threshold: float, dim: int,
                        id_col: str = "vec_id", emb_col: str = "embedding",
-                       bucket_cap: int = 512):
+                       bucket_cap: int = 512, n_tables: int = 8,
+                       n_bits: int = 12):
     """Scale path: candidate pairs from hyperplane-LSH buckets, verified by
-    exact cosine inside each bucket group (carries the vector in the group —
-    buckets are small by construction; oversized buckets are subsampled)."""
+    exact cosine inside each bucket — all emitted pairs are true
+    ≥-threshold pairs (the approximation only affects recall).
+
+    Shuffle shape: one row per (vector, table) with the embedding carried as
+    a compact float32 BINARY payload (list columns crash Ray's pandas
+    shuffle concat here; binary is also n_tables× smaller than float64).
+    Buckets are processed per hash PARTITION (grouped_partitions — one
+    vectorized call per partition, not one Python call per bucket): size-2
+    buckets (the common case) in one batched dot product, larger buckets by
+    per-bucket matmul. Oversized buckets (> bucket_cap) are NOT truncated:
+    members are ordered by their projection on a fixed direction (cosine
+    neighbors have close projections) and compared in 50%-overlapping
+    windows of bucket_cap — linear pair count, no silent member drop; only
+    projection-distant in-bucket pairs are skipped, the same approximation
+    LSH itself makes.
+
+    Calibration: P(pair at cosine c collides in ≥1 table) =
+    1-(1-(1-arccos(c)/π)^n_bits)^n_tables. The (12, 8) default targets
+    high-cosine near-dup (c ≥ 0.9); low thresholds need fewer bits / more
+    tables (e.g. (4, 16) for c ≈ 0.35).
+    """
+    from pcompress_ray.functions.ops import grouped_partitions
+    from pcompress_ray.hashing import splitmix64
+
     sig = emb_ds.select_columns([id_col, emb_col]).map_batches(
-        HyperplaneLSH, fn_constructor_kwargs={"dim": dim, "emb_col": emb_col},
+        HyperplaneLSH,
+        fn_constructor_kwargs={"dim": dim, "emb_col": emb_col,
+                               "n_tables": n_tables, "n_bits": n_bits},
         batch_format="pyarrow", concurrency=(1, 4))
 
     def explode(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
         t = t.replace_schema_metadata(None)
+        n = len(t)
         n_tab = pc.list_value_length(t["lsh_buckets"]).to_numpy(zero_copy_only=False)
         ids = np.repeat(t[id_col].to_numpy(zero_copy_only=False), n_tab)
-        tab_ids = np.concatenate([np.arange(c, dtype=np.int32) for c in n_tab]) \
-            if len(n_tab) else np.empty(0, np.int32)
-        embs = t[emb_col].to_pylist()
-        emb_rep = [e for e, c in zip(embs, n_tab) for _ in range(c)]
+        tab_ids = np.concatenate([np.arange(c, dtype=np.uint64) for c in n_tab]) \
+            if n else np.empty(0, np.uint64)
+        buckets = pc.list_flatten(t["lsh_buckets"]).to_numpy(zero_copy_only=False)
+        # one mixed 64-bit bucket key per (table, bucket)
+        bkey = splitmix64(buckets.astype(np.uint64)
+                          ^ splitmix64(tab_ids + np.uint64(1)))
+        M = _matrix(t[emb_col]).astype(np.float32)
+        emb_bin = [M[i].tobytes() for i in range(n)]
+        rep = np.repeat(np.arange(n), n_tab)
         return pa.table({
-            "table_id": pa.array(tab_ids),
-            "bucket": pc.list_flatten(t["lsh_buckets"]),
+            "bkey": pa.array(bkey),
             id_col: pa.array(ids.astype(np.int64)),
-            emb_col: pa.array(emb_rep, pa.list_(pa.float32())),
+            "emb_f32": pa.array([emb_bin[i] for i in rep], pa.binary()),
         })
 
-    def emit(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(id_col)
-        if len(g) < 2:
-            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
-        if len(g) > bucket_cap:
-            g = g.head(bucket_cap)
-        ids = g[id_col].to_numpy(dtype=np.int64)
-        M = _normalize(np.asarray(g[emb_col].tolist(), dtype=np.float64))
-        S = M @ M.T
-        ai, bi = np.nonzero(np.triu(S >= threshold, k=1))
-        a, b = ids[ai], ids[bi]
+    proj_dir = np.random.default_rng(12345).standard_normal(dim)
+
+    def emit(part: pd.DataFrame) -> pd.DataFrame:
+        from pcompress_ray.functions.ops import group_boundaries
+
+        empty = pd.DataFrame({"vec_a": pd.Series(dtype=np.int64),
+                              "vec_b": pd.Series(dtype=np.int64),
+                              "cosine": pd.Series(dtype=np.float64)})
+        part = part.drop_duplicates(["bkey", id_col])
+        if len(part) < 2:
+            return empty
+        part = part.sort_values(["bkey", id_col])
+        keys = part["bkey"].to_numpy(dtype=np.uint64)
+        ids = part[id_col].to_numpy(dtype=np.int64)
+        E = _normalize(np.frombuffer(
+            b"".join(part["emb_f32"].tolist()),
+            dtype=np.float32).astype(np.float64).reshape(len(part), dim))
+        first, _, sizes = group_boundaries(keys)
+        starts = np.flatnonzero(first)
+        out_a, out_b, out_c = [], [], []
+        # size-2 buckets: one batched row-wise dot product
+        s2 = starts[sizes == 2]
+        if s2.size:
+            cs = (E[s2] * E[s2 + 1]).sum(axis=1)
+            ok = cs >= threshold
+            out_a.append(ids[s2][ok]); out_b.append(ids[s2 + 1][ok])
+            out_c.append(cs[ok])
+
+        def bucket_pairs(seg_ids, S):
+            ai, bi = np.nonzero(np.triu(S >= threshold, k=1))
+            out_a.append(seg_ids[ai]); out_b.append(seg_ids[bi])
+            out_c.append(S[ai, bi])
+
+        for s_idx, m in zip(starts[sizes >= 3], sizes[sizes >= 3]):
+            seg = slice(s_idx, s_idx + int(m))
+            seg_ids, Eseg = ids[seg], E[seg]
+            if m <= bucket_cap:
+                bucket_pairs(seg_ids, Eseg @ Eseg.T)
+            else:
+                # projection-ordered overlapping windows (no member drop)
+                order = np.argsort(Eseg @ proj_dir, kind="stable")
+                seg_ids, Eseg = seg_ids[order], Eseg[order]
+                step = max(bucket_cap // 2, 1)
+                for w0 in range(0, int(m) - 1, step):
+                    wi = slice(w0, min(w0 + bucket_cap, int(m)))
+                    bucket_pairs(seg_ids[wi], Eseg[wi] @ Eseg[wi].T)
+        if not out_a:
+            return empty
+        a = np.concatenate(out_a); b = np.concatenate(out_b)
         lo, hi = np.minimum(a, b), np.maximum(a, b)
-        return pd.DataFrame({"vec_a": lo, "vec_b": hi, "cosine": S[ai, bi]})
+        return pd.DataFrame({"vec_a": lo.astype(np.int64),
+                             "vec_b": hi.astype(np.int64),
+                             "cosine": np.concatenate(out_c)}) \
+            .drop_duplicates(["vec_a", "vec_b"])
 
-    from ray.data.aggregate import Max
+    pairs = grouped_partitions(sig.map_batches(explode, batch_format="pyarrow"),
+                               ["bkey"], emit)
 
-    pairs = (sig.map_batches(explode, batch_format="pyarrow")
-             .groupby(["table_id", "bucket"])
-             .map_groups(emit, batch_format="pandas"))
-    # dedup across tables
-    return pairs.groupby(["vec_a", "vec_b"]).aggregate(
-        Max("cosine", alias_name="cosine"))
+    # dedup across tables: partition-level pandas max (Ray's multi-key
+    # .aggregate() is per-group Python — unusable at pair cardinality)
+    def dedup(part: pd.DataFrame) -> pd.DataFrame:
+        return part.groupby(["vec_a", "vec_b"], as_index=False, sort=False) \
+            .agg(cosine=("cosine", "max"))
+
+    return grouped_partitions(pairs, ["vec_a", "vec_b"], dedup)

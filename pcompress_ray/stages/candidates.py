@@ -193,13 +193,29 @@ def simhash_candidates(sig_ds, cfg: PipelineConfig):
         r = part["rank"].to_numpy(dtype=np.int64)
         sh = part["simhash"].to_numpy(dtype=np.uint64)
         out_a, out_b = [], []
-        for s_idx, m in zip(starts[sizes >= 2], sizes[sizes >= 2]):
-            rs = r[s_idx:s_idx + int(m)][:cap]
-            ss = sh[s_idx:s_idx + int(m)][:cap]
+
+        def ham_pairs(rs, ss):
             ai, bi = np.triu_indices(rs.size, k=1)
-            d = hamming64(ss[ai], ss[bi])
-            ok = d <= max_d
+            ok = hamming64(ss[ai], ss[bi]) <= max_d
             out_a.append(rs[ai[ok]]); out_b.append(rs[bi[ok]])
+
+        for s_idx, m in zip(starts[sizes >= 2], sizes[sizes >= 2]):
+            rs = r[s_idx:s_idx + int(m)]
+            ss = sh[s_idx:s_idx + int(m)]
+            if m <= cap:
+                ham_pairs(rs, ss)
+            else:
+                # hot band bucket: NO truncation — sort members by full
+                # fingerprint (Hamming-close fingerprints sort nearby) and
+                # compare in 50%-overlapping windows of cap; linear pair
+                # count, every member participates, all pairs still
+                # Hamming-verified (no false positives introduced)
+                order = np.argsort(ss, kind="stable")
+                rs_o, ss_o = rs[order], ss[order]
+                step = max(cap // 2, 1)
+                for w0 in range(0, int(m) - 1, step):
+                    wi = slice(w0, min(w0 + cap, int(m)))
+                    ham_pairs(rs_o[wi], ss_o[wi])
         if not out_a:
             return pd.DataFrame({"a": np.empty(0, np.int64),
                                  "b": np.empty(0, np.int64)})
