@@ -470,11 +470,32 @@ def q_minhash_signatures(sf_dir: str):
 
 
 def q_quality_scores(sf_dir: str):
+    """Quality scoring (length/punct/stopword ratios + composite score),
+    SQL-matched: float ratios rounded to 6 places on both sides."""
+    import pyarrow.compute as pc
+
     from pcompress_ray.stages.textstats import quality_batch
 
     _setup()
-    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+    out = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         quality_batch, batch_format="pandas")
+
+    def rnd(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        # composite score as scaled int (floor(x*1e6+0.5)): same IEEE ops
+        # as the SQL twin, immune to round()'s half-even/half-away divergence
+        sc = t["quality_score"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "n_tokens": t["n_tokens"].cast(pa.int64()),
+            "punct_ratio": pc.round(t["punct_ratio"], 6),
+            "stopword_ratio": pc.round(t["stopword_ratio"], 6),
+            "avg_token_len": pc.round(t["avg_token_len"], 6),
+            "quality_score_e6": pa.array(
+                np.floor(sc * 1e6 + 0.5).astype(np.int64)),
+        })
+
+    return out.map_batches(rnd, batch_format="pyarrow")
 
 
 def q_fingerprints(sf_dir: str):
@@ -483,6 +504,23 @@ def q_fingerprints(sf_dir: str):
     _setup()
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         fingerprint_batch, batch_format="pandas")
+
+
+def q_ivf_topk(sf_dir: str):
+    """IVF coarse-quantized top-5 for query vectors vec_id<10 (the ANN
+    scale path for top-k; recall vs brute force pinned in pytest)."""
+    from pcompress_ray.stages.ann import ivf_topk
+
+    _setup()
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = ivf_topk(emb, np.arange(10), k=5, n_centroids=32, nprobe=16)
+
+    def rn(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        return pa.table({"query_id": t["query_id"].cast(pa.int64()),
+                         "neighbor_id": t["neighbor_id"].cast(pa.int64())})
+
+    return out.map_batches(rn, batch_format="pyarrow")
 
 
 def q_lsh_ann_pairs(sf_dir: str):
@@ -577,6 +615,34 @@ def q_media_features(sf_dir: str):
     return out.select_columns(["media_id", "media_type", "media_type_detected"])
 
 
+def q_audio_features(sf_dir: str):
+    """REAL audio decode (PCM WAV struct parse + FFT features) over the
+    synthetic media table — actor-pool stage, small batches (binary rows)."""
+    import ray.data as rd
+
+    from pcompress_ray.stages.multimodal import AudioFeatureStage, make_fake_media_table
+
+    _setup()
+    media = rd.from_arrow(make_fake_media_table(200))
+    out = media.map_batches(AudioFeatureStage, batch_format="pyarrow",
+                            batch_size=32, concurrency=(1, 2))
+
+    def rn(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        t = t.replace_schema_metadata(None)
+        t = t.filter(pc.equal(t["is_audio"], True))
+        return pa.table({
+            "media_id": t["media_id"].cast(pa.int64()),
+            "sample_rate": t["sample_rate"].cast(pa.int64()),
+            "n_samples": t["n_samples"].cast(pa.int64()),
+            "duration_ms_decoded": t["duration_ms_decoded"].cast(pa.int64()),
+            "zero_crossings": t["zero_crossings"].cast(pa.int64()),
+            "dominant_freq_hz": pc.round(t["dominant_freq_hz"], 3),
+        })
+
+    return out.map_batches(rn, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q1_pricing": q_q1_pricing,
@@ -600,7 +666,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": q_quality_scores,
         "fingerprints": q_fingerprints,
         "lsh_ann_pairs": q_lsh_ann_pairs,
+        "ivf_topk": q_ivf_topk,
         "media_features": q_media_features,
+        "audio_features": q_audio_features,
         "simhash_neardup": q_simhash_neardup,
         "substring_spans": q_substring_spans,
     }
@@ -716,6 +784,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT)
                        AS chunk_bytes
             FROM documents
+        """,
+        "quality_scores": r"""
+            -- exact float twin of textstats.quality_batch (same ops, same
+            -- order, both sides rounded to 6 places)
+            WITH c AS (
+                SELECT doc_id,
+                    CAST(length(coalesce(text, '')) AS DOUBLE) AS n_chars,
+                    CAST(len(regexp_extract_all(lower(coalesce(text, '')),
+                        '[a-z0-9]+')) AS DOUBLE) AS n_tokens,
+                    CAST(len(regexp_extract_all(coalesce(text, ''),
+                        '[!-/:-@\[-`{-~]')) AS DOUBLE) AS n_punct,
+                    CAST(len(regexp_extract_all(lower(coalesce(text, '')),
+                        '\b(the|and|of|to|in|is)\b')) AS DOUBLE) AS n_stop
+                FROM documents
+            ), r AS (
+                SELECT doc_id, n_tokens,
+                    n_punct / greatest(n_chars, 1.0) AS punct_ratio,
+                    n_stop / greatest(n_tokens, 1.0) AS stop_ratio,
+                    CASE WHEN n_tokens > 0
+                         THEN n_chars / greatest(n_tokens, 1.0)
+                         ELSE 0.0 END AS avg_token_len
+                FROM c
+            )
+            SELECT doc_id,
+                CAST(n_tokens AS BIGINT) AS n_tokens,
+                round(punct_ratio, 6) AS punct_ratio,
+                round(stop_ratio, 6) AS stopword_ratio,
+                round(avg_token_len, 6) AS avg_token_len,
+                CAST(floor((least(n_tokens / 100.0, 1.0) * 0.4
+                    + least(stop_ratio * 5.0, 1.0) * 0.3
+                    + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.3)
+                    * 1000000.0 + 0.5) AS BIGINT) AS quality_score_e6
+            FROM r
         """,
         "content_type_stats": r"""
             -- analyzer.c:32-99 rebuilt in SQL. All counted chars ('<','>',

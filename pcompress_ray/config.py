@@ -45,6 +45,7 @@ class PipelineConfig:
     """
 
     # CDC (reference constants; see module-level constants above)
+    chunker: str = "rabin"                 # registry slot: "rabin" | "fixed" (-F)
     rab_blk_sz: int = 0                    # avg 2048, min 1024
     max_block_size: int = MAX_BLOCK_SIZE_GLOBAL
     chunk_hash_bits: int = 64              # truncated SHA-256 → uint64 shuffle key (M3)
@@ -84,6 +85,12 @@ class PipelineConfig:
     simhash_bits: int = 64
     simhash_hamming_threshold: int = 3
 
+    # Locality sort (O4 analog, archive/pc_archive.c:640-700): one early
+    # sort by (registered_domain, url) to co-locate likely duplicates
+    # before the chunk/band shuffles. Execution knob — does not change
+    # results (parallelism-invariance holds either way).
+    locality_sort: bool = False
+
     # Execution
     batch_size: int = 256                  # rows per batch for heavy text stages
     sig_concurrency: int | tuple = 8       # actor pool size for the signature stage
@@ -113,6 +120,7 @@ class PipelineConfig:
         d["cc_driver_edge_limit"] = None
         d["verify_broadcast_bytes"] = None
         d["min_gain_ratio"] = None
+        d["locality_sort"] = None
         s = json.dumps(d, sort_keys=True, default=str)
         return hashlib.sha256(s.encode()).hexdigest()[:16]
 

@@ -66,6 +66,17 @@ class CheckpointManager:
         self._mark(stage)
         return rd.read_parquet(final)
 
+    def save_table(self, stage: str, table):
+        """Atomically write a small pyarrow Table as one parquet file."""
+        if not self.enabled:
+            return
+        import pyarrow.parquet as pq
+
+        p = self.path(stage) + ".parquet"
+        pq.write_table(table, p + ".tmp")
+        os.replace(p + ".tmp", p)
+        self._mark(stage)
+
     def save_json(self, stage: str, obj: dict):
         if not self.enabled:
             return

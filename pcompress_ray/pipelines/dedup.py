@@ -28,7 +28,6 @@ import pyarrow as pa
 from pcompress_ray.config import PipelineConfig
 from pcompress_ray.pipelines.checkpoint import CheckpointManager
 from pcompress_ray.stages.candidates import lsh_candidates
-from pcompress_ray.stages.cdc import CDCChunker
 from pcompress_ray.stages.exact import add_text_sha, chunk_exact_edges, doc_exact_edges
 from pcompress_ray.stages.extract import Extractor
 from pcompress_ray.stages.signatures import SignatureStage
@@ -46,6 +45,7 @@ class DedupResult:
     pairs: object       # Dataset (url_a, url_b, kind, similarity)
     clusters: object    # Dataset (url, cluster_id, is_canonical)
     metrics: dict = field(default_factory=dict)
+    lineage: object = None  # pa.Table — one row per (stage, block)
 
 
 def build_signatures(pages_ds, cfg: PipelineConfig, stop_ref=None):
@@ -54,11 +54,15 @@ def build_signatures(pages_ds, cfg: PipelineConfig, stop_ref=None):
     ``stop_ref``: optional ray ObjectRef of a sorted uint64 stop-shingle
     array (boilerplate suppression for banding; see compute_stop_shingles).
     """
+    from pcompress_ray.registry import resolve
+
     ds = pages_ds.map_batches(Extractor(), batch_format="pyarrow",
                               batch_size=cfg.batch_size)
     ds = ds.map_batches(add_text_sha, batch_format="pyarrow",
                         batch_size=cfg.batch_size)
-    ds = ds.map_batches(CDCChunker(cfg, text_col="text_norm"),
+    # chunker resolved through the plugin registry (SURVEY §2.10) —
+    # "rabin" (CDC) by default, "fixed" = the reference's -F mode
+    ds = ds.map_batches(resolve("chunker", cfg.chunker)(cfg),
                         batch_format="pyarrow", batch_size=cfg.batch_size)
     if getattr(cfg, "sig_use_actors", False):
         conc = cfg.sig_concurrency
@@ -242,6 +246,46 @@ def edges_to_pairs(edges_ds, sig_ds, cfg: PipelineConfig):
     return j2.map_batches(rn2, batch_format="pyarrow")
 
 
+def lineage_table(stage_dss: dict[str, object], config_hash: str) -> pa.Table:
+    """Per-partition lineage records (S8 analog of the reference's metadata
+    stream, meta_stream.c): one row per (stage, block) of each materialized
+    stage Dataset — row/byte counters plus the rank range the block covers,
+    keyed by the semantic config hash. Collected by parallel per-block Ray
+    tasks (zero-copy plasma reads, no executor launch); the table itself is
+    tiny (#blocks rows) and is what a resuming/auditing run reads to decide
+    which partitions are complete and what they contained.
+    """
+    import ray
+
+    from pcompress_ray.functions.ops import materialized_block_refs
+
+    @ray.remote
+    def blk_meta(block, stage: str, idx: int) -> tuple:
+        t = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+        lo = hi = -1
+        for col in ("rank", "a"):
+            if col in t.column_names and len(t):
+                r = t[col].to_numpy(zero_copy_only=False)
+                lo, hi = int(np.min(r)), int(np.max(r))
+                break
+        return (stage, idx, len(t), int(t.nbytes), lo, hi)
+
+    refs = []
+    for stage, ds in stage_dss.items():
+        for i, b in enumerate(materialized_block_refs(ds)):
+            refs.append(blk_meta.remote(b, stage, i))
+    rows = ray.get(refs)
+    return pa.table({
+        "stage": pa.array([r[0] for r in rows], pa.string()),
+        "block_id": pa.array([r[1] for r in rows], pa.int32()),
+        "n_rows": pa.array([r[2] for r in rows], pa.int64()),
+        "n_bytes": pa.array([r[3] for r in rows], pa.int64()),
+        "min_rank": pa.array([r[4] for r in rows], pa.int64()),
+        "max_rank": pa.array([r[5] for r in rows], pa.int64()),
+        "config_hash": pa.array([config_hash] * len(rows), pa.string()),
+    })
+
+
 def dedup_pipeline(pages_ds, cfg: PipelineConfig | None = None,
                    checkpoint_dir: str | None = None,
                    compute_pairs: bool = True) -> DedupResult:
@@ -262,6 +306,14 @@ def dedup_pipeline(pages_ds, cfg: PipelineConfig | None = None,
             print(f"[dedup_pipeline] {label}: {now - t_last:.1f}s",
                   file=sys.stderr, flush=True)
             t_last = now
+
+    # locality sort (O4): co-locate likely duplicates (same registered
+    # domain) before the heavy shuffles — opt-in, result-invariant
+    if cfg.locality_sort:
+        from pcompress_ray.stages.locality import locality_sort
+
+        pages_ds = locality_sort(pages_ds)
+        mark("locality_sort")
 
     # stop-shingle (boilerplate) pass: constant-size sample, one broadcast
     stop_ref = None
@@ -344,11 +396,16 @@ def dedup_pipeline(pages_ds, cfg: PipelineConfig | None = None,
         "gain_ratio": round(gain_ratio, 6),
         "gain_below_threshold": bool(gain_ratio < cfg.min_gain_ratio),
     }
+    # per-partition lineage records (S8) — tiny (#blocks rows)
+    lineage = lineage_table({"signatures": sig, "edges": edges,
+                             "clusters": clusters}, cfg.config_hash())
+    metrics["lineage_blocks"] = len(lineage)
     mark("metrics")
     if ck.enabled:
+        ck.save_table("lineage", lineage)
         ck.save_json("metrics", metrics)
     return DedupResult(signatures=sig, edges=edges, pairs=pairs,
-                       clusters=clusters, metrics=metrics)
+                       clusters=clusters, metrics=metrics, lineage=lineage)
 
 
 def write_outputs(res: DedupResult, out_dir: str):
@@ -362,6 +419,10 @@ def write_outputs(res: DedupResult, out_dir: str):
     res.clusters.write_parquet(os.path.join(out_dir, "clusters"))
     if res.pairs is not None:
         res.pairs.write_parquet(os.path.join(out_dir, "dup_pairs"))
+    if res.lineage is not None:
+        import pyarrow.parquet as pq
+
+        pq.write_table(res.lineage, os.path.join(out_dir, "lineage.parquet"))
     with open(os.path.join(out_dir, "metrics.json"), "w") as f:
         json.dump(res.metrics, f, indent=1, default=str)
     return out_dir

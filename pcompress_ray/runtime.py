@@ -25,6 +25,7 @@ _REGISTERED = False
 _SUBMODULES = [
     "pcompress_ray.config",
     "pcompress_ray.hashing",
+    "pcompress_ray.registry",
     "pcompress_ray.runtime",
     "pcompress_ray.stages.cdc",
     "pcompress_ray.stages.extract",
@@ -36,11 +37,12 @@ _SUBMODULES = [
     "pcompress_ray.stages.textstats",
     "pcompress_ray.stages.ann",
     "pcompress_ray.stages.multimodal",
+    "pcompress_ray.stages.suffix",
+    "pcompress_ray.stages.locality",
     "pcompress_ray.sources.corpus",
     "pcompress_ray.functions.ops",
     "pcompress_ray.pipelines.dedup",
     "pcompress_ray.pipelines.checkpoint",
-    "pcompress_ray.state.broadcast",
 ]
 
 

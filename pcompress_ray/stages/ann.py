@@ -123,6 +123,99 @@ def cosine_neardup_pairs(emb_ds, threshold: float,
     return rd.from_arrow_refs(refs)
 
 
+def _train_centroids(sample: np.ndarray, n_centroids: int, n_iter: int = 10,
+                     seed: int = 99) -> np.ndarray:
+    """Spherical k-means on a bounded sample (driver-side, Lloyd iterations
+    over a ≤few-thousand-row matrix — the IVF 'coarse quantizer' training;
+    at 100 TB the sample is still constant-size)."""
+    rng = np.random.default_rng(seed)
+    sample = _normalize(sample)
+    n = sample.shape[0]
+    k = min(n_centroids, n)
+    C = sample[rng.choice(n, size=k, replace=False)]
+    for _ in range(n_iter):
+        assign = (sample @ C.T).argmax(axis=1)
+        for ci in range(k):
+            m = assign == ci
+            if m.any():
+                C[ci] = sample[m].mean(axis=0)
+        C = _normalize(C)
+    return C
+
+
+def ivf_topk(emb_ds, query_ids: np.ndarray, k: int = 5, n_centroids: int = 64,
+             nprobe: int = 8, train_sample: int = 4096,
+             id_col: str = "vec_id", emb_col: str = "embedding"):
+    """IVF (inverted-file) top-k: coarse-quantize vectors to spherical
+    k-means centroids, then each query scores ONLY vectors whose centroid is
+    among its ``nprobe`` nearest — the classic recall/compute dial
+    (nprobe = n_centroids degenerates to brute force).
+
+    Scale shape: centroids are trained once on a constant-size sample and
+    broadcast (ray.put once); assignment + masked scoring happen inside one
+    streaming map_batches; only per-batch partial top-k rows reach the final
+    small groupby(query_id). No full-corpus materialization anywhere.
+    """
+    import ray
+
+    from pcompress_ray.functions.ops import semi_join_filter
+
+    # bounded training sample + query matrix (both constant-size pulls)
+    sample_tab = emb_ds.select_columns([emb_col]).limit(train_sample).to_pandas()
+    C = _train_centroids(
+        np.asarray(sample_tab[emb_col].tolist(), dtype=np.float64), n_centroids)
+
+    qset = set(int(q) for q in query_ids)
+    q_tab = semi_join_filter(emb_ds.select_columns([id_col, emb_col]),
+                             qset, on=id_col).to_pandas().sort_values(id_col)
+    Q = _normalize(np.asarray(q_tab[emb_col].tolist(), dtype=np.float64))
+    qids = q_tab[id_col].to_numpy(dtype=np.int64)
+    # nprobe nearest centroids per query → (nq, n_centroids) probe mask
+    qc = Q @ C.T
+    np_eff = min(nprobe, C.shape[0])
+    probe = np.argpartition(-qc, np_eff - 1, axis=1)[:, :np_eff]
+    probe_mask = np.zeros((Q.shape[0], C.shape[0]), dtype=bool)
+    probe_mask[np.arange(Q.shape[0])[:, None], probe] = True
+    ref = ray.put((qids, Q, C, probe_mask))
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        qids_, Q_, C_, mask_ = ray.get(ref)
+        M = _normalize(_matrix(t[emb_col]))
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cent = (M @ C_.T).argmax(axis=1)           # (nb,) centroid per vector
+        S = Q_ @ M.T                               # (nq, nb)
+        S = np.where(mask_[:, cent], S, -np.inf)   # probe filter
+        out_q, out_n, out_c = [], [], []
+        kk = min(k + 1, S.shape[1])
+        for qi in range(S.shape[0]):
+            idx = np.argpartition(-S[qi], kk - 1)[:kk]
+            idx = idx[np.isfinite(S[qi][idx])]
+            out_q.append(np.full(idx.size, qids_[qi], dtype=np.int64))
+            out_n.append(ids[idx])
+            out_c.append(S[qi][idx])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            "neighbor_id": pa.array(np.concatenate(out_n)),
+            "cosine": pa.array(np.concatenate(out_c), pa.float64()),
+        })
+
+    partials = emb_ds.select_columns([id_col, emb_col]).map_batches(
+        partial, batch_format="pyarrow")
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["neighbor_id"] != g["query_id"]]
+        g = g.sort_values(["cosine", "neighbor_id"],
+                          ascending=[False, True]).head(k)
+        return g[["query_id", "neighbor_id", "cosine"]]
+
+    return partials.groupby("query_id").map_groups(topk, batch_format="pandas")
+
+
 class HyperplaneLSH:
     """Actor-pool stage: random-hyperplane signatures → bucket keys.
 

@@ -3,10 +3,13 @@
 Images/audio/video are treated as opaque ``binary`` columns with typed
 metadata (the reference's file-type tagging, utils/utils.h:276-340 +
 archive/pc_arc_filter.c per-type filters, is the byte-level precedent).
-The decode/resize/feature kernels themselves are STUBBED — the codec
-libraries are not in this container — behind a deterministic fake, but all
-Ray-side plumbing (schema contract, actor-pool stage shape, batch sizing,
-output layout) is real and tested.
+
+The AUDIO path is REAL: PCM WAV needs only struct parsing + numpy, so
+``AudioFeatureStage`` genuinely decodes and extracts signal features
+(tested against planted sine frequencies). The image/video kernels are
+STUBBED — their codec libraries are not in this container — behind a
+deterministic fake, but all Ray-side plumbing (schema contract, actor-pool
+stage shape, batch sizing, output layout) is real and tested.
 
 Real-deployment note: decode stages are the canonical actor-pool case (codec
 context per actor), with SMALL batch_size (large binary rows — see
@@ -17,6 +20,7 @@ threading.
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import numpy as np
 import pyarrow as pa
@@ -82,6 +86,89 @@ class ImageDecodeStage:
                                  pa.array(types, pa.string()))
 
 
+def build_wav(samples: np.ndarray, rate: int) -> bytes:
+    """Minimal 16-bit mono PCM WAV container around a sample array."""
+    data = np.asarray(samples).astype("<i2").tobytes()
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, rate, rate * 2, 2, 16)
+    hdr = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + 8 + len(data), b"WAVE")
+    return hdr + fmt + struct.pack("<4sI", b"data", len(data)) + data
+
+
+def parse_wav(payload: bytes):
+    """RIFF/WAVE chunk walk → (rate, mono float64 samples) or None.
+
+    Pure struct parsing + np.frombuffer — PCM WAV needs no codec library,
+    so this decode path is REAL (not a stub) even in this container.
+    """
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, rate, channels, raw = 12, None, 1, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        sz = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        body = payload[pos + 8:pos + 8 + sz]
+        if cid == b"fmt " and len(body) >= 8:
+            _, channels, rate = struct.unpack("<HHI", body[:8])
+        elif cid == b"data":
+            raw = body
+        pos += 8 + sz + (sz & 1)
+    if rate is None or raw is None or channels == 0:
+        return None
+    s = np.frombuffer(raw[: len(raw) // 2 * 2], dtype="<i2").astype(np.float64)
+    if channels > 1:
+        s = s[: s.size // channels * channels].reshape(-1, channels).mean(axis=1)
+    return int(rate), s
+
+
+class AudioFeatureStage:
+    """Actor-pool stage: WAV payload → real signal features (NOT a stub).
+
+    Per audio/wav row: sample count/rate, duration, RMS level,
+    zero-crossing count and the dominant frequency (rfft argmax) — the
+    feature-extraction shape of a speech-corpus pipeline, computed
+    vectorized per file. Non-WAV rows pass through with nulls (route by
+    ``media_type_detected`` upstream for mixed corpora).
+    """
+
+    def __init__(self, payload_col: str = "payload"):
+        self.payload_col = payload_col
+        # real deployment: heavier codec/model state would load HERE
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        payloads = t[self.payload_col].to_pylist()
+        n = len(payloads)
+        cols = {"sample_rate": np.full(n, -1, np.int64),
+                "n_samples": np.full(n, -1, np.int64),
+                "duration_ms_decoded": np.full(n, -1, np.int64),
+                "rms": np.full(n, np.nan, np.float64),
+                "zero_crossings": np.full(n, -1, np.int64),
+                "dominant_freq_hz": np.full(n, np.nan, np.float64)}
+        ok = np.zeros(n, dtype=bool)
+        for i, p in enumerate(payloads):
+            parsed = parse_wav(p or b"")
+            if parsed is None:
+                continue
+            rate, s = parsed
+            if s.size == 0 or rate <= 0:
+                continue
+            ok[i] = True
+            cols["sample_rate"][i] = rate
+            cols["n_samples"][i] = s.size
+            cols["duration_ms_decoded"][i] = int(s.size * 1000 // rate)
+            cols["rms"][i] = float(np.sqrt(np.mean(s * s)))
+            cols["zero_crossings"][i] = int(
+                np.count_nonzero(np.signbit(s[1:]) != np.signbit(s[:-1])))
+            spec = np.abs(np.fft.rfft(s))
+            if spec.size > 1:
+                cols["dominant_freq_hz"][i] = float(
+                    (1 + int(np.argmax(spec[1:]))) * rate / s.size)
+        out = t.append_column("is_audio", pa.array(ok))
+        for name, arr in cols.items():
+            out = out.append_column(name, pa.array(arr))
+        return out
+
+
 class FrameSampleStage:
     """Actor-pool stage contract for video frame sampling (stubbed).
 
@@ -124,6 +211,7 @@ def make_fake_media_table(n: int, seed: int = 11) -> pa.Table:
     rng = np.random.default_rng(seed)
     payloads = []
     types = []
+    rate = 8000
     for i in range(n):
         body = rng.integers(0, 256, int(rng.integers(200, 2000)),
                             dtype=np.uint8).tobytes()
@@ -131,7 +219,12 @@ def make_fake_media_table(n: int, seed: int = 11) -> pa.Table:
         if kind == 0:
             payloads.append(b"\x89PNG\r\n\x1a\n" + body)
         elif kind == 1:
-            payloads.append(b"RIFF" + body[:4] + b"WAVE" + body)
+            # REAL playable WAV: sine at a per-row frequency (decodable by
+            # AudioFeatureStage without any codec library)
+            freq = 200.0 + 40.0 * (i % 10)
+            tgrid = np.arange(int(rate * 0.2)) / rate
+            samples = (np.sin(2 * np.pi * freq * tgrid) * 12000).astype(np.int16)
+            payloads.append(build_wav(samples, rate))
         else:
             payloads.append(body[:4] + b"ftyp" + body)
         types.append(["image/png", "audio/wav", "video/mp4"][kind])

@@ -37,6 +37,34 @@ def test_lsh_ann_recall_vs_exact(ray_session):
     np.testing.assert_allclose(m["cosine_got"], m["cosine_want"], atol=1e-9)
 
 
+def test_ivf_topk_recall_vs_brute_force(ray_session):
+    """IVF with nprobe=16/32 recovers >=0.85 of the exact top-5 neighbor set;
+    nprobe = n_centroids must be EXACTLY brute force."""
+    import numpy as np
+    import ray.data as rd
+
+    import pcompress_ray
+
+    pcompress_ray.register_for_ray()
+    from pcompress_ray.stages.ann import brute_force_topk, ivf_topk
+
+    emb = rd.read_parquet(f"{SF_DIR}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    qids = np.arange(10)
+    exact = brute_force_topk(emb, qids, k=5).to_pandas()
+    got = ivf_topk(emb, qids, k=5, n_centroids=32, nprobe=16).to_pandas()
+    exact_set = set(zip(exact.query_id.astype(int), exact.neighbor_id.astype(int)))
+    got_set = set(zip(got.query_id.astype(int), got.neighbor_id.astype(int)))
+    assert len(exact_set) == 50
+    # uniform-random synthetic embeddings are IVF's worst case (no cluster
+    # structure), hence the generous nprobe; real embedding corpora cluster
+    assert len(exact_set & got_set) / len(exact_set) >= 0.85
+    # full probe == brute force, exactly
+    full = ivf_topk(emb, qids, k=5, n_centroids=32, nprobe=32).to_pandas()
+    full_set = set(zip(full.query_id.astype(int), full.neighbor_id.astype(int)))
+    assert full_set == exact_set
+
+
 def test_lsh_ann_hot_bucket_windows(ray_session):
     """A tiny bucket_cap forces the projection-ordered overlapping-window
     path; pairs must still be true pairs and recall must not collapse

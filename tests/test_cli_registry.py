@@ -1,0 +1,77 @@
+"""CLI + plugin-registry tests (SURVEY §2.10 user-extension surface)."""
+
+import argparse
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pcompress_ray.config import PipelineConfig
+
+
+def test_registry_resolve_and_register():
+    from pcompress_ray.registry import names, register, resolve
+    from pcompress_ray.stages.cdc import CDCChunker
+
+    cfg = PipelineConfig()
+    ch = resolve("chunker", "rabin")(cfg)
+    assert isinstance(ch, CDCChunker) and ch.mode == "rabin"
+    assert resolve("chunker", "fixed")(cfg).mode == "fixed"
+    assert {"rabin", "fixed"} <= set(names("chunker"))
+
+    @register("chunker", "test_custom")
+    def custom(cfg):
+        return CDCChunker(cfg, mode="fixed", fixed_block_size=128)
+
+    assert resolve("chunker", "test_custom")(cfg).fixed_block == 128
+    with pytest.raises(KeyError):
+        resolve("chunker", "nope")
+    with pytest.raises(KeyError):
+        register("nosuchslot", "x")
+
+
+def test_fixed_chunker_pipeline_runs(ray_session):
+    """The registry's 'fixed' chunker (-F mode) drives the full pipeline."""
+    import ray.data as rd
+
+    import pcompress_ray
+
+    pcompress_ray.register_for_ray()
+    from pcompress_ray.pipelines.dedup import dedup_pipeline
+    from pcompress_ray.sources.corpus import make_corpus
+
+    pages, _, _ = make_corpus(50, 42, with_oracle=False)
+    pages = pages.append_column(
+        "rank", pa.array(np.arange(len(pages["url"]), dtype=np.int64)))
+    res = dedup_pipeline(rd.from_arrow(pages).repartition(2),
+                         PipelineConfig(chunker="fixed"), compute_pairs=False)
+    assert res.clusters.count() == 50
+    # exact duplicate docs must still cluster (doc-hash layer is chunker-free)
+    cl = res.clusters.to_pandas()
+    assert (~cl.is_canonical).sum() > 0
+
+
+def test_cli_dedup_roundtrip(ray_session, tmp_path, capsys):
+    """CLI dedup command end-to-end: parquet in -> clusters/lineage/metrics
+    out (rank derived from url order)."""
+    import pcompress_ray
+
+    pcompress_ray.register_for_ray()
+    from pcompress_ray.cli import cmd_dedup
+    from pcompress_ray.sources.corpus import make_corpus
+
+    pages, _, _ = make_corpus(50, 42, with_oracle=False)
+    inp = str(tmp_path / "pages.parquet")
+    pq.write_table(pages, inp)  # NO rank column — CLI must derive it
+    out = str(tmp_path / "out")
+    rc = cmd_dedup(argparse.Namespace(
+        input=inp, output=out, checkpoint_dir=None, locality_sort=False,
+        pairs=False, num_cpus=None))
+    assert rc == 0
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["n_docs"] == 50
+    assert os.path.isdir(os.path.join(out, "clusters"))
+    assert os.path.exists(os.path.join(out, "lineage.parquet"))

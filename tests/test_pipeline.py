@@ -177,6 +177,45 @@ def test_metrics_and_outputs(corpus, ray_session, tmp_path):
         assert json.load(f)["n_docs"] == N_DOCS
     back = rd.read_parquet(os.path.join(out, "clusters")).count()
     assert back == N_DOCS
+    # per-partition lineage (S8): every materialized stage covered, row
+    # counters consistent with the stage tables, written to outputs
+    lin = res.lineage.to_pandas()
+    assert set(lin.stage) == {"signatures", "edges", "clusters"}
+    sums = lin.groupby("stage").n_rows.sum()
+    assert sums["signatures"] == N_DOCS
+    assert sums["clusters"] == N_DOCS
+    assert sums["edges"] == m["n_edges"]
+    assert (lin.config_hash == PipelineConfig().config_hash()).all()
+    assert os.path.exists(os.path.join(out, "lineage.parquet"))
+
+
+def test_locality_sort_invariance(corpus, ray_session):
+    """cfg.locality_sort re-orders blocks by registered domain but must not
+    change the cluster table (execution knob, not semantics)."""
+    import ray.data as rd
+
+    from pcompress_ray.pipelines.dedup import dedup_pipeline
+
+    pages, _, _ = corpus
+    outs = []
+    for loc in (False, True):
+        ds = rd.from_arrow(pages).repartition(4)
+        res = dedup_pipeline(ds, PipelineConfig(locality_sort=loc),
+                             compute_pairs=False)
+        outs.append(res.clusters.to_pandas().sort_values("rank")
+                    .reset_index(drop=True)[["url", "cluster_id", "is_canonical"]])
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_registered_domains():
+    from pcompress_ray.stages.locality import registered_domains
+
+    got = registered_domains(pd.Series([
+        "https://www.example.com/a/b", "http://sub.x.co/path?q=1",
+        "https://example.com", "ftp://user@files.host.org:21/f",
+        "plainhost/page", "https://localhost/x"]))
+    assert got.tolist() == ["example.com", "x.co", "example.com",
+                            "host.org", "plainhost", "localhost"]
 
 
 def test_pairs_have_urls(result):
