@@ -523,6 +523,31 @@ def q_ivf_topk(sf_dir: str):
     return out.map_batches(rn, batch_format="pyarrow")
 
 
+def q_ngram_jaccard(sf_dir: str):
+    """Exact token-5-gram Jaccard dedup pairs over documents (threshold
+    0.5) — the SQL-oracle-checked exact counterpart of the MinHash path.
+    jaccard emitted as floor(j*1e6+0.5) so both engines do identical IEEE
+    ops (round() half-modes differ on exact dyadic halves)."""
+    from pcompress_ray.stages.candidates import ngram_jaccard_pairs
+
+    _setup()
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ngram_jaccard_pairs(docs, k=5, threshold=0.5)
+
+    def rn(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        jac = t["jaccard"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_a": t["doc_a"].cast(pa.int64()),
+            "doc_b": t["doc_b"].cast(pa.int64()),
+            "inter": t["inter"].cast(pa.int64()),
+            "union_sz": t["union_sz"].cast(pa.int64()),
+            "jaccard_e6": pa.array(np.floor(jac * 1e6 + 0.5).astype(np.int64)),
+        })
+
+    return out.map_batches(rn, batch_format="pyarrow")
+
+
 def q_lsh_ann_pairs(sf_dir: str):
     """Hyperplane-LSH bucketed near-dup pairs (ANN scale path). (4 bits,
     16 tables) is calibrated for the low 0.35 cosine threshold:
@@ -667,6 +692,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": q_fingerprints,
         "lsh_ann_pairs": q_lsh_ann_pairs,
         "ivf_topk": q_ivf_topk,
+        "ngram_jaccard": q_ngram_jaccard,
         "media_features": q_media_features,
         "audio_features": q_audio_features,
         "simhash_neardup": q_simhash_neardup,
@@ -784,6 +810,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT)
                        AS chunk_bytes
             FROM documents
+        """,
+        "ngram_jaccard": r"""
+            -- exact token-5-gram Jaccard >= 0.5 (string shingles; the Ray
+            -- side uses 64-bit shingle hashes — collision odds ~2^-64)
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(coalesce(text, '')),
+                                          '[a-z0-9]+') AS t
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS s
+                FROM toks, UNNEST(range(1, len(t) - 3)) AS u(i)
+                WHERE len(t) >= 5
+            ), sz AS (
+                SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       count(*) AS inter
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT p.doc_a, p.doc_b,
+                   CAST(p.inter AS BIGINT) AS inter,
+                   CAST(sa.n + sb.n - p.inter AS BIGINT) AS union_sz,
+                   CAST(floor(p.inter / (sa.n + sb.n - p.inter)
+                              * 1000000.0 + 0.5) AS BIGINT) AS jaccard_e6
+            FROM pairs p
+            JOIN sz sa ON sa.doc_id = p.doc_a
+            JOIN sz sb ON sb.doc_id = p.doc_b
+            WHERE p.inter / (sa.n + sb.n - p.inter) >= 0.5
         """,
         "quality_scores": r"""
             -- exact float twin of textstats.quality_batch (same ops, same

@@ -233,6 +233,120 @@ def simhash_candidates(sig_ds, cfg: PipelineConfig):
     return grouped_partitions(pairs, ["a", "b"], dedup)
 
 
+def ngram_jaccard_pairs(docs_ds, k: int = 5, threshold: float = 0.5,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        n_parts: int = 64):
+    """EXACT token-n-gram Jaccard similarity for all doc pairs sharing ≥1
+    shingle — the small/exact dedup tool (SQL-oracle-checkable), counterpart
+    of the approximate MinHash path.
+
+    Shape: per-doc distinct shingle hashes → explode (shingle, doc) →
+    hash-partitioned co-occurrence pairs (one vectorized call per
+    partition) → per-pair intersection counts → Jaccard from broadcast
+    set sizes. Exactness requires counting EVERY co-occurrence, which is
+    inherently quadratic in shingle-bucket size — at corpus scale use the
+    MinHash/LSH pipeline (with stop-shingles and salting) and reserve this
+    operator for bounded inputs or verification.
+
+    Returns (doc_a, doc_b, inter, union_sz, jaccard) with jaccard ≥
+    threshold — inter/union_sz are exact integers, jaccard the raw float64
+    division (the SQL oracle reproduces all of them bit-for-bit).
+    """
+    import ray
+
+    from pcompress_ray.functions.ops import group_boundaries, grouped_partitions
+    from pcompress_ray.hashing import hash_strings, shingle_hashes
+    from pcompress_ray.stages.textstats import _FP_RE
+
+    def explode(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = t[text_col].to_pylist()
+        out_sh, out_id = [], []
+        for i, txt in enumerate(texts):
+            toks = _FP_RE.findall((txt or "").lower())
+            if len(toks) < k:
+                continue
+            sh = np.unique(shingle_hashes(
+                hash_strings(np.asarray(toks, dtype=object)), k))
+            out_sh.append(sh)
+            out_id.append(np.full(sh.size, ids[i], dtype=np.int64))
+        sh_all = np.concatenate(out_sh) if out_sh else np.empty(0, np.uint64)
+        id_all = np.concatenate(out_id) if out_id else np.empty(0, np.int64)
+        return pa.table({"sh": pa.array(sh_all), id_col: pa.array(id_all)})
+
+    def sizes_tab(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = t[text_col].to_pylist()
+        sz = np.zeros(len(texts), dtype=np.int64)
+        for i, txt in enumerate(texts):
+            toks = _FP_RE.findall((txt or "").lower())
+            if len(toks) >= k:
+                sz[i] = np.unique(shingle_hashes(
+                    hash_strings(np.asarray(toks, dtype=object)), k)).size
+        return pa.table({id_col: pa.array(ids), "n_sh": pa.array(sz)})
+
+    docs = docs_ds.select_columns([id_col, text_col]).materialize()
+    # set sizes: small (one row per doc id); broadcast as a sorted lookup
+    sizes = docs.map_batches(sizes_tab, batch_format="pyarrow").to_pandas()
+    sizes = sizes.sort_values(id_col)
+    size_ref = ray.put((sizes[id_col].to_numpy(dtype=np.int64),
+                        sizes["n_sh"].to_numpy(dtype=np.int64)))
+
+    def co_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.drop_duplicates(["sh", id_col]).sort_values(["sh", id_col])
+        sh = part["sh"].to_numpy(dtype=np.uint64)
+        ids = part[id_col].to_numpy(dtype=np.int64)
+        first, _, sizes_ = group_boundaries(sh)
+        starts = np.flatnonzero(first)
+        out_a, out_b = [], []
+        s2 = starts[sizes_ == 2]
+        if s2.size:
+            out_a.append(ids[s2]); out_b.append(ids[s2 + 1])
+        for s_idx, m in zip(starts[sizes_ >= 3], sizes_[sizes_ >= 3]):
+            seg = ids[s_idx:s_idx + int(m)]
+            ai, bi = np.triu_indices(int(m), k=1)
+            out_a.append(seg[ai]); out_b.append(seg[bi])
+        if not out_a:
+            return pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                                 "b": pd.Series(dtype=np.int64),
+                                 "inter": pd.Series(dtype=np.int64)})
+        a = np.concatenate(out_a); b = np.concatenate(out_b)
+        # map-side combine: per-partition pair counts
+        df = pd.DataFrame({"a": a, "b": b})
+        out = df.groupby(["a", "b"], as_index=False, sort=False).size()
+        return out.rename(columns={"size": "inter"}).astype(np.int64)
+
+    pairs = grouped_partitions(
+        docs.map_batches(explode, batch_format="pyarrow"), ["sh"], co_pairs,
+        n_parts=n_parts)
+
+    def reduce_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        if len(part) == 0:
+            return pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
+                                 "doc_b": pd.Series(dtype=np.int64),
+                                 "inter": pd.Series(dtype=np.int64),
+                                 "union_sz": pd.Series(dtype=np.int64),
+                                 "jaccard": pd.Series(dtype=np.float64)})
+        agg = part.groupby(["a", "b"], as_index=False, sort=False)["inter"].sum()
+        ids_sorted, sz_sorted = ray.get(size_ref)
+        sa = sz_sorted[np.searchsorted(ids_sorted, agg["a"].to_numpy())]
+        sb = sz_sorted[np.searchsorted(ids_sorted, agg["b"].to_numpy())]
+        inter = agg["inter"].to_numpy(dtype=np.int64)
+        union = sa + sb - inter
+        jac = inter / union
+        keep = jac >= threshold
+        return pd.DataFrame({
+            "doc_a": agg["a"].to_numpy(dtype=np.int64)[keep],
+            "doc_b": agg["b"].to_numpy(dtype=np.int64)[keep],
+            "inter": inter[keep],
+            "union_sz": union[keep].astype(np.int64),
+            "jaccard": jac[keep]})
+
+    return grouped_partitions(pairs, ["a", "b"], reduce_pairs, n_parts=n_parts)
+
+
 def lsh_candidates(sig_ds, cfg: PipelineConfig):
     """Candidate (a,b) pairs, deduplicated across bands."""
     from pcompress_ray.functions.ops import grouped_partitions
