@@ -86,32 +86,53 @@ _POLY_MASK_U = U64(POLY_MASK)
 _BREAK_MASK_U = U64(RAB_BLK_MASK)
 
 
+_SCRATCH: dict[str, np.ndarray] = {}
+
+
+def _scratch(name: str, n: int, dtype) -> np.ndarray:
+    """Per-worker reusable buffer (first-touch page faults are ~1000x slow
+    in this sandbox, so fresh multi-MB allocations per batch dominate the
+    kernel cost; a worker-lifetime scratch pool pays the fault once)."""
+    buf = _SCRATCH.get(name)
+    if buf is None or buf.size < n:
+        buf = _SCRATCH[name] = np.empty(max(int(n * 1.25), 1 << 16), dtype)
+    return buf[:n]
+
+
 def candidate_positions(data: bytes | np.ndarray) -> np.ndarray:
     """All positions i where the rolling-hash break test fires (ignoring min/max).
 
     A position i means "a block may end at byte i" (block boundary after i,
-    matching the reference's ``last_offset = i+1``).
+    matching the reference's ``last_offset = i+1``). Allocation-free in
+    steady state: all large temporaries come from the worker scratch pool.
     """
     b = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray)) else data
     n = b.shape[0]
     if n == 0:
         return np.empty(0, dtype=np.int64)
-    bu = b.astype(U64)
-    h = np.zeros(n, dtype=U64)
+    bu = _scratch("cdc_bu", n, U64)
+    np.copyto(bu, b, casting="unsafe")
+    h = _scratch("cdc_h", n, U64)
+    h[:] = 0
+    tmp = _scratch("cdc_tmp", n, U64)
     # windowed polynomial hash via 16 shifted multiply-adds (sum < 2^52, no overflow)
-    for k in range(_WIN):
+    for k in range(min(_WIN, n)):
         w = _POW[k]
         if k == 0:
-            h += bu * w
+            np.multiply(bu, w, out=h)
         else:
-            h[k:] += bu[:-k] * w
+            np.multiply(bu[: n - k], w, out=tmp[: n - k])
+            h[k:] += tmp[: n - k]
     h &= _POLY_MASK_U
     # pushed-out byte at position i is b[i-16] (zero when the window isn't full)
-    pushed = np.zeros(n, dtype=np.uint8)
+    pushed = _scratch("cdc_pushed", n, np.uint8)
+    pushed[:_WIN] = 0
     if n > _WIN:
         pushed[_WIN:] = b[:-_WIN]
-    cur = h ^ _IR_TAB[pushed]
-    return np.flatnonzero((cur & _BREAK_MASK_U) == 0)
+    np.take(_IR_TAB, pushed, out=tmp)
+    np.bitwise_xor(h, tmp, out=h)
+    h &= _BREAK_MASK_U
+    return np.flatnonzero(h == 0)
 
 
 def cut_points(data: bytes, min_block: int, max_block: int) -> np.ndarray:

@@ -253,15 +253,31 @@ class SignatureStage:
                 Lmax = sz
                 gj += 1
             idxs = order[gi:gj]
-            P = np.zeros((idxs.size, Lmax), dtype=U64)
-            valid = np.zeros((idxs.size, Lmax), dtype=bool)
+            from pcompress_ray.stages.cdc import _scratch
+
+            cells = idxs.size * Lmax
+            P = _scratch("sig_P", cells, U64).reshape(idxs.size, Lmax)
+            P[:] = 0
+            pad_rows, pad_cols = [], []
             for row, di in enumerate(idxs):
                 s = sh_per_doc[di]
                 P[row, : s.size] = s
-                valid[row, : s.size] = True
+                if s.size < Lmax:
+                    pad_rows.append(np.full(Lmax - s.size, row, dtype=np.int64))
+                    pad_cols.append(np.arange(s.size, Lmax, dtype=np.int64))
+            pad = (np.concatenate(pad_rows), np.concatenate(pad_cols)) \
+                if pad_rows else None
+            # one reusable rectangle for all 128 permutations (a fresh v per
+            # perm = 128 large allocations per group — first-touch murder
+            # in this sandbox); padding poisoned to MAXU so the min is a
+            # plain dense reduction (where= reductions are ~3x slower)
+            v = _scratch("sig_v", cells, U64).reshape(idxs.size, Lmax)
             for p in range(cfg.num_perm):
-                v = P * self.a[p] + self.b[p]
-                sigs[idxs, p] = np.min(v, axis=1, where=valid, initial=MAXU)
+                np.multiply(P, self.a[p], out=v)
+                v += self.b[p]
+                if pad is not None:
+                    v[pad] = MAXU
+                sigs[idxs, p] = v.min(axis=1)
             gi = gj
         # band hashes: vectorized across the batch, one combine per band
         bands = np.empty((n, cfg.lsh_bands), dtype=U64)
