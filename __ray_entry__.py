@@ -640,6 +640,36 @@ def q_media_features(sf_dir: str):
     return out.select_columns(["media_id", "media_type", "media_type_detected"])
 
 
+def q_image_features(sf_dir: str):
+    """REAL image decode (stdlib-zlib PNG parse + unfiltering) over the
+    synthetic media table: dimensions + channel statistics."""
+    import ray.data as rd
+
+    from pcompress_ray.stages.multimodal import ImageDecodeStage, make_fake_media_table
+
+    _setup()
+    media = rd.from_arrow(make_fake_media_table(200))
+    out = media.map_batches(ImageDecodeStage, fn_constructor_kwargs={"dim": 16},
+                            batch_format="pyarrow", batch_size=32,
+                            concurrency=(1, 2))
+
+    def rn(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        t = t.replace_schema_metadata(None)
+        t = t.filter(pc.equal(t["media_type_detected"], "image/png"))
+        f = np.asarray(t["features"].to_pylist(), dtype=np.float32)
+        return pa.table({
+            "media_id": t["media_id"].cast(pa.int64()),
+            "img_w": pa.array(f[:, 0].astype(np.int64)),
+            "img_h": pa.array(f[:, 1].astype(np.int64)),
+            "channels": pa.array(f[:, 2].astype(np.int64)),
+            "mean_e3": pa.array(np.floor(f[:, 3].astype(np.float64) * 1e3
+                                         + 0.5).astype(np.int64)),
+        })
+
+    return out.map_batches(rn, batch_format="pyarrow")
+
+
 def q_audio_features(sf_dir: str):
     """REAL audio decode (PCM WAV struct parse + FFT features) over the
     synthetic media table — actor-pool stage, small batches (binary rows)."""
@@ -695,6 +725,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": q_ngram_jaccard,
         "media_features": q_media_features,
         "audio_features": q_audio_features,
+        "image_features": q_image_features,
         "simhash_neardup": q_simhash_neardup,
         "substring_spans": q_substring_spans,
     }

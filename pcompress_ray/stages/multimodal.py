@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -49,14 +50,127 @@ def detect_media_type(payload: bytes) -> str:
     return "application/octet-stream"
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, rgb, gray+a, rgba
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data)))
+
+
+def build_png(arr: np.ndarray) -> bytes:
+    """Minimal 8-bit PNG encoder (filter 0 rows, stdlib zlib) for
+    (H, W) grayscale or (H, W, 3|4) color arrays."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, c = a.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    raw = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b""))
+
+
+def parse_png(payload: bytes):
+    """Real PNG decode (stdlib zlib + scanline unfiltering) → (H, W, C)
+    uint8 array, or None for non-PNG / unsupported variants (non-8-bit,
+    interlaced, palette). All five filter types (None/Sub/Up/Average/Paeth)
+    are implemented; Sub/Up vectorized, Average/Paeth per-pixel (rare rows).
+    """
+    if len(payload) < 8 or payload[:8] != _PNG_SIG:
+        return None
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos:pos + 4])
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or not idat:
+        return None
+    w, h, depth, ctype_i, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8 or interlace or ctype_i not in _PNG_CHANNELS:
+        return None
+    c = _PNG_CHANNELS[ctype_i]
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * c
+    if len(raw) != h * (stride + 1):
+        return None
+    out = np.zeros((h, stride), dtype=np.uint8)
+    rawm = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    for y in range(h):
+        ftype = int(rawm[y, 0])
+        row = rawm[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if ftype == 0:
+            rec = row
+        elif ftype == 2:  # Up
+            rec = row + prev
+        elif ftype == 1:  # Sub — per-channel cumsum (mod-256 at the end is
+            # equivalent to per-step wrapping; int64 guards the running sum)
+            rec = row.reshape(-1, c).astype(np.int64).cumsum(axis=0).ravel()
+        elif ftype == 3:  # Average
+            rec = np.empty(stride, np.int32)
+            for i in range(stride):
+                left = rec[i - c] if i >= c else 0
+                rec[i] = row[i] + ((left + prev[i]) >> 1)
+                rec[i] &= 0xFF
+        elif ftype == 4:  # Paeth
+            rec = np.empty(stride, np.int32)
+            for i in range(stride):
+                a_ = rec[i - c] if i >= c else 0
+                b_ = prev[i]
+                c_ = prev[i - c] if i >= c else 0
+                p = a_ + b_ - c_
+                pa_, pb_, pc_ = abs(p - a_), abs(p - b_), abs(p - c_)
+                pr = a_ if (pa_ <= pb_ and pa_ <= pc_) else \
+                    (b_ if pb_ <= pc_ else c_)
+                rec[i] = (row[i] + pr) & 0xFF
+        else:
+            return None
+        out[y] = rec & 0xFF
+    return out.reshape(h, w, c)
+
+
+def png_features(img: np.ndarray, dim: int) -> np.ndarray:
+    """Deterministic real features from a decoded image: dims, global and
+    per-channel mean/std, 8-bin luminance histogram — padded/truncated to
+    ``dim`` float32 (the fixed-vector contract of the decode stage)."""
+    h, w, c = img.shape
+    f = [float(w), float(h), float(c),
+         float(img.mean()), float(img.std())]
+    for ch in range(c):
+        f.append(float(img[:, :, ch].mean()))
+        f.append(float(img[:, :, ch].std()))
+    lum = img.mean(axis=2).ravel()
+    hist, _ = np.histogram(lum, bins=8, range=(0, 256))
+    f.extend((hist / max(lum.size, 1)).tolist())
+    out = np.zeros(dim, dtype=np.float32)
+    out[:min(dim, len(f))] = np.asarray(f[:dim], dtype=np.float32)
+    return out
+
+
 class ImageDecodeStage:
     """Actor-pool stage: binary image → fixed-size float feature vector.
 
-    ``fake=True`` (default in this container) produces a DETERMINISTIC
-    feature from the payload bytes (sha256-seeded), preserving the full
-    contract: output column ``features: list<float32>[dim]`` + pass-through
-    metadata. With ``fake=False`` it raises NotImplementedError where the
-    real decoder (PIL/libvips) would be called.
+    PNG payloads are decoded FOR REAL (stdlib zlib + unfiltering,
+    ``parse_png``) and yield genuine image statistics (``png_features``).
+    For other formats (JPEG etc. — codec libs absent in this container):
+    ``fake=True`` (default) produces a DETERMINISTIC sha256-seeded feature
+    preserving the full contract (``features: list<float32>[dim]``);
+    ``fake=False`` raises NotImplementedError where the real decoder
+    (PIL/libvips) would be called.
     """
 
     def __init__(self, dim: int = 64, fake: bool = True,
@@ -67,10 +181,13 @@ class ImageDecodeStage:
         # real deployment: codec/model handle loaded HERE, once per actor
 
     def _features(self, payload: bytes) -> np.ndarray:
+        img = parse_png(payload)
+        if img is not None:
+            return png_features(img, self.dim)
         if not self.fake:
             raise NotImplementedError(
-                "image decode requires an image library not present in this "
-                "container; run with fake=True or install a decoder")
+                "non-PNG image decode requires an image library not present "
+                "in this container; run with fake=True or install a decoder")
         seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "little")
         rng = np.random.default_rng(seed)
         return rng.standard_normal(self.dim).astype(np.float32)
@@ -217,7 +334,11 @@ def make_fake_media_table(n: int, seed: int = 11) -> pa.Table:
                             dtype=np.uint8).tobytes()
         kind = i % 3
         if kind == 0:
-            payloads.append(b"\x89PNG\r\n\x1a\n" + body)
+            # REAL decodable PNG: deterministic gradient + noise image
+            img = (np.add.outer(np.arange(24), np.arange(32))[..., None]
+                   * np.array([3, 5, 7]) % 256
+                   + rng.integers(0, 32, (24, 32, 3))).astype(np.uint8)
+            payloads.append(build_png(img))
         elif kind == 1:
             # REAL playable WAV: sine at a per-row frequency (decodable by
             # AudioFeatureStage without any codec library)

@@ -5,9 +5,10 @@ import pyarrow as pa
 
 from pcompress_ray.stages.multimodal import (AudioFeatureStage,
                                              FrameSampleStage,
-                                             ImageDecodeStage, build_wav,
-                                             detect_media_type,
-                                             make_fake_media_table, parse_wav)
+                                             ImageDecodeStage, build_png,
+                                             build_wav, detect_media_type,
+                                             make_fake_media_table, parse_png,
+                                             parse_wav, png_features)
 
 
 def test_wav_roundtrip_exact():
@@ -45,6 +46,72 @@ def test_audio_features_recover_planted_frequency():
         assert out["duration_ms_decoded"][int(i)].as_py() == 200
         assert out["zero_crossings"][int(i)].as_py() > 0
         assert out["rms"][int(i)].as_py() > 1000
+
+
+def test_png_roundtrip_exact():
+    rng = np.random.default_rng(13)
+    for shape in ((17, 23), (16, 16, 3), (8, 9, 4)):
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        got = parse_png(build_png(img))
+        want = img if img.ndim == 3 else img[:, :, None]
+        np.testing.assert_array_equal(got, want)
+
+
+def test_png_all_filter_types():
+    """Hand-encode each scanline filter (None/Sub/Up/Average/Paeth) and
+    check the decoder reconstructs the original exactly."""
+    import struct
+    import zlib
+
+    from pcompress_ray.stages.multimodal import _PNG_SIG, _png_chunk
+
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+    h, w, c = img.shape
+
+    def flt(y, ftype):
+        row = img[y].astype(np.int32).ravel()
+        prev = img[y - 1].astype(np.int32).ravel() if y else np.zeros(w * c, np.int32)
+        out = np.empty(w * c, np.int32)
+        for i in range(w * c):
+            a = int(img[y].ravel()[i - c]) if i >= c else 0
+            b = int(prev[i])
+            cc = int(prev[i - c]) if i >= c else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - cc
+                pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa_ <= pb_ and pa_ <= pc_) else (b if pb_ <= pc_ else cc)
+            out[i] = (row[i] - pred) & 0xFF
+        return bytes([ftype]) + out.astype(np.uint8).tobytes()
+
+    raw = b"".join(flt(y, y % 5) for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    payload = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+               + _png_chunk(b"IDAT", zlib.compress(raw))
+               + _png_chunk(b"IEND", b""))
+    np.testing.assert_array_equal(parse_png(payload), img)
+
+
+def test_image_stage_real_png_features():
+    """PNG rows get REAL image statistics (dims + channel means), not the
+    sha-seeded fake."""
+    tab = make_fake_media_table(6)
+    out = ImageDecodeStage(dim=32)(tab)
+    feats = np.asarray(out["features"].to_pylist(), dtype=np.float32)
+    for i in range(0, 6, 3):  # PNG rows
+        img = parse_png(tab["payload"][i].as_py())
+        assert img is not None and img.shape == (24, 32, 3)
+        np.testing.assert_allclose(feats[i], png_features(img, 32))
+        assert feats[i][0] == 32 and feats[i][1] == 24 and feats[i][2] == 3
+        assert abs(feats[i][3] - img.mean()) < 1e-3
 
 
 def test_image_decode_stub_contract():
