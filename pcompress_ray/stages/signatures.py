@@ -258,26 +258,20 @@ class SignatureStage:
             cells = idxs.size * Lmax
             P = _scratch("sig_P", cells, U64).reshape(idxs.size, Lmax)
             P[:] = 0
-            pad_rows, pad_cols = [], []
+            valid = _scratch("sig_valid", cells, bool).reshape(idxs.size, Lmax)
+            valid[:] = False
             for row, di in enumerate(idxs):
                 s = sh_per_doc[di]
                 P[row, : s.size] = s
-                if s.size < Lmax:
-                    pad_rows.append(np.full(Lmax - s.size, row, dtype=np.int64))
-                    pad_cols.append(np.arange(s.size, Lmax, dtype=np.int64))
-            pad = (np.concatenate(pad_rows), np.concatenate(pad_cols)) \
-                if pad_rows else None
+                valid[row, : s.size] = True
             # one reusable rectangle for all 128 permutations (a fresh v per
             # perm = 128 large allocations per group — first-touch murder
-            # in this sandbox); padding poisoned to MAXU so the min is a
-            # plain dense reduction (where= reductions are ~3x slower)
+            # in this sandbox)
             v = _scratch("sig_v", cells, U64).reshape(idxs.size, Lmax)
             for p in range(cfg.num_perm):
                 np.multiply(P, self.a[p], out=v)
                 v += self.b[p]
-                if pad is not None:
-                    v[pad] = MAXU
-                sigs[idxs, p] = v.min(axis=1)
+                sigs[idxs, p] = np.min(v, axis=1, where=valid, initial=MAXU)
             gi = gj
         # band hashes: vectorized across the batch, one combine per band
         bands = np.empty((n, cfg.lsh_bands), dtype=U64)
