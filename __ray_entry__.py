@@ -368,6 +368,36 @@ def q_embedding_neardup(sf_dir: str):
     return out.map_batches(rn, batch_format="pyarrow")
 
 
+def q_embedding_clusters(sf_dir: str):
+    """Connected components over exact cosine>=0.35 embedding pairs →
+    (vec_id, cluster_id = min vec_id of the component). Oracle-checked:
+    the SQL twin walks the same edges with a recursive CTE. Scale path for
+    real corpora: lsh_bucketed_pairs + distributed label_propagation
+    (stages/components.py); this query is the exact small-scale tool."""
+    from pcompress_ray.stages.ann import cosine_neardup_pairs
+    from pcompress_ray.stages.components import (lookup_labels,
+                                                 min_label_components)
+
+    _setup()
+    import ray
+
+    emb = _read(sf_dir, "embeddings", ["vec_id"])
+    emb_full = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    pdf = cosine_neardup_pairs(emb_full, 0.35).to_pandas()  # small (oracle twin)
+    keys, vals = min_label_components(pdf["vec_a"].to_numpy(np.int64),
+                                      pdf["vec_b"].to_numpy(np.int64))
+    ref = ray.put((keys, vals))
+
+    def assign(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        keys_, vals_ = ray.get(ref)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cid = lookup_labels(keys_, vals_, ids)
+        return pa.table({"vec_id": pa.array(ids), "cluster_id": pa.array(cid)})
+
+    return emb.map_batches(assign, batch_format="pyarrow")
+
+
 def q_dedup_clusters(sf_dir: str):
     res = _dedup_clusters(sf_dir)
     return res.clusters.select_columns(["url", "cluster_id", "is_canonical"])
@@ -723,6 +753,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_ann_pairs": q_lsh_ann_pairs,
         "ivf_topk": q_ivf_topk,
         "ngram_jaccard": q_ngram_jaccard,
+        "embedding_clusters": q_embedding_clusters,
         "media_features": q_media_features,
         "audio_features": q_audio_features,
         "image_features": q_image_features,
@@ -841,6 +872,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT)
                        AS chunk_bytes
             FROM documents
+        """,
+        "embedding_clusters": """
+            -- connected components over cosine>=0.35 pairs: min reachable
+            -- vec_id per node via recursive label walk (edges both ways;
+            -- the lbl < node guard keeps the walk monotone-decreasing)
+            WITH RECURSIVE p AS (
+                SELECT a.vec_id AS va, b.vec_id AS vb
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+            ), e AS (
+                SELECT va AS a, vb AS b FROM p
+                UNION ALL SELECT vb, va FROM p
+            ), walk(node, lbl) AS (
+                SELECT vec_id, vec_id FROM embeddings
+                UNION
+                SELECT e.b, w.lbl FROM walk w JOIN e ON e.a = w.node
+                WHERE w.lbl < e.b
+            )
+            SELECT node AS vec_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+            FROM walk GROUP BY node
         """,
         "ngram_jaccard": r"""
             -- exact token-5-gram Jaccard >= 0.5 (string shingles; the Ray
