@@ -336,6 +336,53 @@ def q_sessionize(sf_dir: str):
     return res.map_batches(rn, batch_format="pyarrow")
 
 
+def q_events_sliding(sf_dir: str):
+    """Trailing 3-hour sliding-window aggregate per user (RANGE window over
+    sparse hours) — the streaming-window analog, computed as ONE vectorized
+    scan per user hash-partition (composite-key searchsorted for the window
+    left edge; no per-user Python). Value sums are integer micro-units
+    (floor(v*1e6+0.5) per EVENT) so window sums are exact integers on both
+    engines — float window sums would differ in summation order."""
+    from pcompress_ray.functions.ops import grouped_partitions
+
+    _setup()
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def slide(part: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"user_id": pd.Series(dtype=np.int64),
+                              "hour_id": pd.Series(dtype=np.int64),
+                              "n_events_3h": pd.Series(dtype=np.int64),
+                              "sum_value_e6_3h": pd.Series(dtype=np.int64)})
+        if len(part) == 0:
+            return empty
+        uid = part["user_id"].to_numpy(dtype=np.int64)
+        hour = part["ts"].astype("int64").to_numpy() // 3_600_000_000
+        ve6 = np.floor(part["value"].to_numpy(dtype=np.float64) * 1e6
+                       + 0.5).astype(np.int64)
+        order = np.lexsort((hour, uid))
+        uid, hour, ve6 = uid[order], hour[order], ve6[order]
+        n = uid.size
+        first = np.empty(n, dtype=bool)
+        first[0] = True
+        first[1:] = (uid[1:] != uid[:-1]) | (hour[1:] != hour[:-1])
+        gid = np.cumsum(first) - 1
+        cnt = np.bincount(gid)
+        sv = np.bincount(gid, weights=ve6.astype(np.float64)).astype(np.int64)
+        gu, gh = uid[first], hour[first]
+        comp = (gu << np.int64(32)) | gh  # epoch-hour < 2^31
+        left = np.searchsorted(comp, (gu << np.int64(32)) | (gh - 2))
+        csn = np.concatenate([[0], np.cumsum(cnt)])
+        csv = np.concatenate([[0], np.cumsum(sv)])
+        idx = np.arange(gu.size)
+        return pd.DataFrame({
+            "user_id": gu,
+            "hour_id": gh,
+            "n_events_3h": (csn[idx + 1] - csn[left]).astype(np.int64),
+            "sum_value_e6_3h": (csv[idx + 1] - csv[left]).astype(np.int64)})
+
+    return grouped_partitions(ds, ["user_id"], slide)
+
+
 def q_ann_topk(sf_dir: str):
     """Brute-force cosine top-5 for query vectors vec_id<10 (int output)."""
     from pcompress_ray.stages.ann import brute_force_topk
@@ -739,6 +786,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens": q_top_tokens,
         "exact_dup_docs": q_exact_dup_docs,
         "events_hourly": q_events_hourly,
+        "events_sliding": q_events_sliding,
         "sessionize": q_sessionize,
         "ann_topk": q_ann_topk,
         "embedding_neardup": q_embedding_neardup,
@@ -848,6 +896,23 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 6) AS sum_value
             FROM events
             GROUP BY user_id, hour_id
+        """,
+        "events_sliding": """
+            WITH e AS (
+                SELECT user_id,
+                       CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_id,
+                       CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v_e6
+                FROM events
+            ), h AS (
+                SELECT user_id, hour_id, count(*) AS n, sum(v_e6) AS sv
+                FROM e GROUP BY user_id, hour_id
+            )
+            SELECT user_id, hour_id,
+                   CAST(sum(n) OVER w AS BIGINT) AS n_events_3h,
+                   CAST(sum(sv) OVER w AS BIGINT) AS sum_value_e6_3h
+            FROM h
+            WINDOW w AS (PARTITION BY user_id ORDER BY hour_id
+                         RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)
         """,
         "sessionize": """
             WITH w AS (

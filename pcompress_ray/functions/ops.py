@@ -200,21 +200,48 @@ def broadcast_join(big, small_df: pd.DataFrame, big_on: str, small_on: str,
     return big.map_batches(probe, batch_format="pandas")
 
 
-def semi_join_filter(big, keys: set | np.ndarray, on: str, negate: bool = False):
-    """Semi/anti join: broadcast the key set, filter inside map_batches."""
+def semi_join_filter(big, keys, on: str, negate: bool = False,
+                     approx: bool = False):
+    """Semi/anti join: broadcast the key set once, filter inside map_batches.
+
+    Exact mode broadcasts a sorted int64 array and filters by vectorized
+    searchsorted (8 B/key). ``approx=True`` broadcasts a Bloom filter
+    instead (~10 bits/key, ~80× smaller) — keeps ~1% false positives, never
+    drops a true match; use as a prefilter when a later stage re-verifies
+    (anti-join with approx is NOT sound and is rejected).
+    """
     import ray
 
-    keyset = set(int(k) for k in keys) if not isinstance(keys, set) else keys
-    ref = ray.put(keyset)
-
-    def filt(t: pa.Table) -> pa.Table:
-        t = t.replace_schema_metadata(None)
-        ks = ray.get(ref)
-        col = t[on].to_numpy(zero_copy_only=False)
-        mask = np.fromiter((c in ks for c in col), dtype=bool, count=len(col))
+    arr = np.sort(np.fromiter((int(k) for k in keys), dtype=np.int64)) \
+        if isinstance(keys, set) else np.sort(np.asarray(keys, dtype=np.int64))
+    if approx:
         if negate:
-            mask = ~mask
-        return t.filter(pa.array(mask))
+            raise ValueError("approx anti-join would drop rows on Bloom "
+                             "false positives — not sound")
+        from pcompress_ray.functions.bloom import BloomFilter
+
+        ref = ray.put(BloomFilter.build(arr))
+
+        def filt(t: pa.Table) -> pa.Table:
+            t = t.replace_schema_metadata(None)
+            bf = ray.get(ref)
+            col = t[on].to_numpy(zero_copy_only=False).astype(np.int64)
+            return t.filter(pa.array(bf.contains(col)))
+    else:
+        ref = ray.put(arr)
+
+        def filt(t: pa.Table) -> pa.Table:
+            t = t.replace_schema_metadata(None)
+            ks = ray.get(ref)
+            col = t[on].to_numpy(zero_copy_only=False).astype(np.int64)
+            if ks.size == 0:
+                mask = np.zeros(col.size, dtype=bool)
+            else:
+                idx = np.minimum(np.searchsorted(ks, col), ks.size - 1)
+                mask = ks[idx] == col
+            if negate:
+                mask = ~mask
+            return t.filter(pa.array(mask))
 
     return big.map_batches(filt, batch_format="pyarrow")
 

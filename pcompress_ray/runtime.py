@@ -41,6 +41,7 @@ _SUBMODULES = [
     "pcompress_ray.stages.locality",
     "pcompress_ray.sources.corpus",
     "pcompress_ray.functions.ops",
+    "pcompress_ray.functions.bloom",
     "pcompress_ray.pipelines.dedup",
     "pcompress_ray.pipelines.checkpoint",
 ]

@@ -286,6 +286,56 @@ class AudioFeatureStage:
         return out
 
 
+def build_mp4(duration_ms: int, timescale: int = 1000,
+              body: bytes = b"") -> bytes:
+    """Minimal ISO-BMFF container: ftyp + moov(mvhd) (+ opaque mdat)."""
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I4s", 8 + len(payload), btype) + payload
+
+    ftyp = box(b"ftyp", struct.pack(">4sI4s", b"isom", 512, b"mp41"))
+    dur = duration_ms * timescale // 1000
+    mvhd = box(b"mvhd", struct.pack(">BxxxIIII", 0, 0, 0, timescale, dur))
+    return ftyp + box(b"moov", mvhd) + box(b"mdat", body)
+
+
+def parse_mp4(payload: bytes):
+    """ISO-BMFF box walk → (timescale, duration_ms) from moov/mvhd, or
+    None. Pure struct parsing (like parse_wav) — real, no codec library."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        return None
+
+    def walk(buf: bytes, depth: int = 0):
+        pos = 0
+        while pos + 8 <= len(buf) and depth < 4:
+            (sz,) = struct.unpack(">I", buf[pos:pos + 4])
+            btype = buf[pos + 4:pos + 8]
+            if sz < 8:
+                return None
+            body = buf[pos + 8:pos + sz]
+            if btype == b"mvhd" and len(body) >= 20:
+                ver = body[0]
+                if ver == 0:
+                    _, _, ts, dur = struct.unpack(">IIII", body[4:20])
+                elif len(body) >= 28:
+                    _, _, ts, dur = struct.unpack(">QQIQ", body[4:32]) \
+                        if len(body) >= 32 else (0, 0, 0, 0)
+                else:
+                    return None
+                return (ts, dur)
+            if btype in (b"moov",):
+                got = walk(body, depth + 1)
+                if got:
+                    return got
+            pos += sz
+        return None
+
+    got = walk(payload)
+    if not got or got[0] == 0:
+        return None
+    ts, dur = got
+    return int(ts), int(dur * 1000 // ts)
+
+
 class FrameSampleStage:
     """Actor-pool stage contract for video frame sampling (stubbed).
 
@@ -347,7 +397,8 @@ def make_fake_media_table(n: int, seed: int = 11) -> pa.Table:
             samples = (np.sin(2 * np.pi * freq * tgrid) * 12000).astype(np.int16)
             payloads.append(build_wav(samples, rate))
         else:
-            payloads.append(body[:4] + b"ftyp" + body)
+            # REAL parseable MP4 container: known duration, opaque mdat
+            payloads.append(build_mp4(500 + 100 * (i % 7), body=body))
         types.append(["image/png", "audio/wav", "video/mp4"][kind])
     return pa.table({
         "media_id": pa.array(np.arange(n, dtype=np.int64)),

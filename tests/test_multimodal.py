@@ -5,10 +5,12 @@ import pyarrow as pa
 
 from pcompress_ray.stages.multimodal import (AudioFeatureStage,
                                              FrameSampleStage,
-                                             ImageDecodeStage, build_png,
-                                             build_wav, detect_media_type,
-                                             make_fake_media_table, parse_png,
-                                             parse_wav, png_features)
+                                             ImageDecodeStage, build_mp4,
+                                             build_png, build_wav,
+                                             detect_media_type,
+                                             make_fake_media_table, parse_mp4,
+                                             parse_png, parse_wav,
+                                             png_features)
 
 
 def test_wav_roundtrip_exact():
@@ -125,6 +127,20 @@ def test_image_decode_stub_contract():
     assert out["features"].to_pylist() == out2["features"].to_pylist()
     det = out["media_type_detected"].to_pylist()
     assert det[0] == "image/png" and det[1] == "audio/wav" and det[2] == "video/mp4"
+
+
+def test_mp4_metadata_roundtrip():
+    p = build_mp4(1234, timescale=600, body=b"x" * 100)
+    assert detect_media_type(p) == "video/mp4"
+    ts, dur_ms = parse_mp4(p)
+    assert ts == 600
+    assert abs(dur_ms - 1234) <= 2  # timescale quantization
+    assert parse_mp4(b"garbage" * 10) is None
+    # the media table's mp4 rows are genuinely parseable
+    tab = make_fake_media_table(9)
+    for i in (2, 5, 8):
+        got = parse_mp4(tab["payload"][i].as_py())
+        assert got is not None and got[1] == 500 + 100 * (i % 7)
 
 
 def test_frame_sample_stub_contract():

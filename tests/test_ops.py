@@ -58,6 +58,39 @@ def test_hash_join_matches_pandas(rds):
     np.testing.assert_allclose(got["y"].to_numpy(), want["y"].to_numpy())
 
 
+def test_bloom_filter_no_false_negatives():
+    from pcompress_ray.functions.bloom import BloomFilter
+
+    rng = np.random.default_rng(17)
+    keys = rng.integers(0, 2**62, 50_000, dtype=np.int64)
+    bf = BloomFilter.build(keys, bits_per_key=10)
+    assert bf.contains(keys).all()  # NEVER a false negative
+    probe = rng.integers(0, 2**62, 100_000, dtype=np.int64)
+    novel = probe[~np.isin(probe, keys)]
+    fp = bf.contains(novel).mean()
+    assert fp < 0.03, fp  # ~1% expected at 10 bits/key
+
+
+def test_semi_join_exact_and_bloom(rds):
+    import pytest
+
+    from pcompress_ray.functions.ops import semi_join_filter
+
+    df = pd.DataFrame({"k": np.arange(1000, dtype=np.int64),
+                       "v": np.arange(1000)})
+    ds = rds.from_pandas(df).repartition(3)
+    keys = np.arange(0, 1000, 7, dtype=np.int64)
+    got = semi_join_filter(ds, keys, on="k").to_pandas()
+    assert sorted(got.k) == sorted(keys.tolist())
+    anti = semi_join_filter(ds, keys, on="k", negate=True).to_pandas()
+    assert len(anti) == 1000 - len(keys)
+    # Bloom prefilter: superset of the exact result, no true match dropped
+    approx = semi_join_filter(ds, keys, on="k", approx=True).to_pandas()
+    assert set(keys.tolist()) <= set(approx.k.astype(int))
+    with pytest.raises(ValueError):
+        semi_join_filter(ds, keys, on="k", negate=True, approx=True)
+
+
 def test_hash_join_left_outer(rds):
     from pcompress_ray.functions.ops import hash_join
 
