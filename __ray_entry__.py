@@ -174,6 +174,95 @@ def q_customer_nation(sf_dir: str):
     return out.map_batches(rn, batch_format="pyarrow")
 
 
+def q_top_orders_per_segment(sf_dir: str):
+    """Top-3 orders by total price per market segment — top-k PER GROUP,
+    computed as map-side partial top-k per batch, then one vectorized
+    final top-k per hash partition (never a global sort)."""
+    from pcompress_ray.functions.ops import broadcast_join, grouped_partitions
+
+    _setup()
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    j = broadcast_join(orders, cust, "o_custkey", "c_custkey")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # map-side combine: only each batch's per-segment top-3 survive
+        return df.sort_values(["o_totalprice", "o_orderkey"],
+                              ascending=[False, True]) \
+            .groupby("c_mktsegment", sort=False).head(3)
+
+    def final(part: pd.DataFrame) -> pd.DataFrame:
+        if len(part) == 0:
+            return pd.DataFrame({"segment": pd.Series(dtype=object),
+                                 "o_orderkey": pd.Series(dtype=np.int64),
+                                 "total_e2": pd.Series(dtype=np.int64)})
+        top = part.sort_values(["o_totalprice", "o_orderkey"],
+                               ascending=[False, True]) \
+            .groupby("c_mktsegment", sort=False).head(3)
+        return pd.DataFrame({
+            "segment": top["c_mktsegment"].astype(str),
+            "o_orderkey": top["o_orderkey"].to_numpy(dtype=np.int64),
+            "total_e2": np.floor(top["o_totalprice"].to_numpy(np.float64)
+                                 * 100 + 0.5).astype(np.int64)})
+
+    parts = j.map_batches(partial, batch_format="pandas")
+    return grouped_partitions(parts, ["c_mktsegment"], final, n_parts=8)
+
+
+def q_customers_without_orders(sf_dir: str):
+    """Anti-join: customers with NO order above 300k (distributed filter on
+    the fact side, distinct keys pulled, broadcast key-set anti-filter)."""
+    import pyarrow.compute as pc
+
+    from pcompress_ray.functions.ops import semi_join_filter
+
+    _setup()
+    okeys = (_read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+             .map_batches(lambda t: t.replace_schema_metadata(None)
+                          .filter(pc.greater(t["o_totalprice"], 300000.0))
+                          .select(["o_custkey"]), batch_format="pyarrow")
+             .to_pandas()["o_custkey"].unique())
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    out = semi_join_filter(cust, okeys, on="c_custkey", negate=True)
+
+    def rn(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        return pa.table({"c_custkey": t["c_custkey"].cast(pa.int64()),
+                         "c_name": t["c_name"].cast(pa.string())})
+
+    return out.map_batches(rn, batch_format="pyarrow")
+
+
+def q_hourly_active_users(sf_dir: str):
+    """Distinct users per hour: per-batch (hour, user) dedup (map-side
+    combine), then vectorized distinct-count per hash partition."""
+    from pcompress_ray.functions.ops import grouped_partitions
+
+    _setup()
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hour = us // 3_600_000_000
+        comp = np.unique((hour << np.int64(32)) | uid)  # batch-level dedup
+        return pa.table({"hour_id": pa.array(comp >> np.int64(32)),
+                         "comp": pa.array(comp)})
+
+    def count(part: pd.DataFrame) -> pd.DataFrame:
+        if len(part) == 0:
+            return pd.DataFrame({"hour_id": pd.Series(dtype=np.int64),
+                                 "n_users": pd.Series(dtype=np.int64)})
+        comp = np.unique(part["comp"].to_numpy(dtype=np.int64))
+        hours = comp >> np.int64(32)
+        uh, cnt = np.unique(hours, return_counts=True)
+        return pd.DataFrame({"hour_id": uh, "n_users": cnt.astype(np.int64)})
+
+    parts = ds.map_batches(derive, batch_format="pyarrow")
+    return grouped_partitions(parts, ["hour_id"], count, n_parts=16)
+
+
 def q_doc_stats(sf_dir: str):
     """Per-doc token/char/punct counts (M7 analyzer analog, SQL-matched)."""
     from pcompress_ray.stages.textstats import doc_stats_batch
@@ -787,6 +876,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dup_docs": q_exact_dup_docs,
         "events_hourly": q_events_hourly,
         "events_sliding": q_events_sliding,
+        "top_orders_per_segment": q_top_orders_per_segment,
+        "customers_without_orders": q_customers_without_orders,
+        "hourly_active_users": q_hourly_active_users,
         "sessionize": q_sessionize,
         "ann_topk": q_ann_topk,
         "embedding_neardup": q_embedding_neardup,
@@ -896,6 +988,27 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 6) AS sum_value
             FROM events
             GROUP BY user_id, hour_id
+        """,
+        "top_orders_per_segment": """
+            SELECT segment, o_orderkey, total_e2 FROM (
+                SELECT c.c_mktsegment AS segment, o.o_orderkey,
+                       CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
+                           AS total_e2,
+                       row_number() OVER (PARTITION BY c.c_mktsegment
+                                          ORDER BY o.o_totalprice DESC,
+                                                   o.o_orderkey) AS rn
+                FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+            WHERE rn <= 3
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN
+                (SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)
+        """,
+        "hourly_active_users": """
+            SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_id,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1
         """,
         "events_sliding": """
             WITH e AS (
