@@ -92,9 +92,15 @@ _SCRATCH: dict[str, np.ndarray] = {}
 def _scratch(name: str, n: int, dtype) -> np.ndarray:
     """Per-worker reusable buffer (first-touch page faults are ~1000x slow
     in this sandbox, so fresh multi-MB allocations per batch dominate the
-    kernel cost; a worker-lifetime scratch pool pays the fault once)."""
+    kernel cost; a worker-lifetime scratch pool pays the fault once).
+
+    The pool is a module global in a pickle-by-value module: if the driver
+    populated it before a task spec was pickled, workers receive COPIES
+    whose backing buffers are read-only — detected and replaced here.
+    """
     buf = _SCRATCH.get(name)
-    if buf is None or buf.size < n:
+    if buf is None or buf.size < n or buf.dtype != dtype \
+            or not buf.flags.writeable:
         buf = _SCRATCH[name] = np.empty(max(int(n * 1.25), 1 << 16), dtype)
     return buf[:n]
 
