@@ -246,6 +246,9 @@ def q_hourly_active_users(sf_dir: str):
         us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
         uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         hour = us // 3_600_000_000
+        if uid.size and (uid.max() >= 1 << 32 or uid.min() < 0):
+            raise ValueError("hourly_active_users packs (hour, user) into "
+                             "one int64; user_id must fit in uint32")
         comp = np.unique((hour << np.int64(32)) | uid)  # batch-level dedup
         return pa.table({"hour_id": pa.array(comp >> np.int64(32)),
                          "comp": pa.array(comp)})

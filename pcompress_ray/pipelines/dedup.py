@@ -298,14 +298,16 @@ def dedup_pipeline(pages_ds, cfg: PipelineConfig | None = None,
     ck = CheckpointManager(checkpoint_dir, cfg.config_hash())
     timing = os.environ.get("PCOMPRESS_RAY_TIMING") == "1"
     t_last = time.time()
+    phase_sec: dict[str, float] = {}
 
     def mark(label):
         nonlocal t_last
+        now = time.time()
+        phase_sec[label.split(" ")[0]] = round(now - t_last, 3)
         if timing:
-            now = time.time()
             print(f"[dedup_pipeline] {label}: {now - t_last:.1f}s",
                   file=sys.stderr, flush=True)
-            t_last = now
+        t_last = now
 
     # locality sort (O4): co-locate likely duplicates (same registered
     # domain) before the heavy shuffles — opt-in, result-invariant
@@ -395,6 +397,8 @@ def dedup_pipeline(pages_ds, cfg: PipelineConfig | None = None,
         "n_dup_docs": int(n_dup_docs),
         "gain_ratio": round(gain_ratio, 6),
         "gain_below_threshold": bool(gain_ratio < cfg.min_gain_ratio),
+        # wall seconds per phase (driver-observed; A4 statistics analog)
+        "phase_sec": phase_sec,
     }
     # per-partition lineage records (S8) — tiny (#blocks rows)
     lineage = lineage_table({"signatures": sig, "edges": edges,
