@@ -32,7 +32,10 @@ QUERY_NAMES = ["q1_pricing", "q3_top_orders", "customer_nation", "doc_stats",
                "lang_id", "top_tokens", "events_hourly", "sessionize",
                "ann_topk", "embedding_neardup", "exact_dup_docs",
                "cdc_chunks", "dedup_clusters", "content_type_stats",
-               "quality_scores", "lsh_ann_pairs", "ivf_topk"]
+               "quality_scores", "lsh_ann_pairs", "ivf_topk",
+               "events_sliding", "hourly_active_users",
+               "top_orders_per_segment", "ngram_jaccard",
+               "embedding_clusters"]
 
 
 def run_bench() -> dict:

@@ -52,8 +52,17 @@ def cmd_dedup(args) -> int:
     _init_ray(args.num_cpus)
     cfg = PipelineConfig(locality_sort=args.locality_sort)
     pages = _ensure_rank(rd.read_parquet(args.input))
-    res = dedup_pipeline(pages, cfg, checkpoint_dir=args.checkpoint_dir,
-                         compute_pairs=args.pairs)
+    if getattr(args, "increment", False):
+        from pcompress_ray.pipelines.incremental import (
+            dedup_increment_from_checkpoint)
+
+        if not args.checkpoint_dir:
+            raise SystemExit("--increment requires --checkpoint-dir")
+        res = dedup_increment_from_checkpoint(args.checkpoint_dir, pages, cfg,
+                                              compute_pairs=args.pairs)
+    else:
+        res = dedup_pipeline(pages, cfg, checkpoint_dir=args.checkpoint_dir,
+                             compute_pairs=args.pairs)
     out = write_outputs(res, args.output)
     print(json.dumps({"output": out, **res.metrics}))
     return 0
@@ -96,6 +105,9 @@ def main(argv=None) -> int:
     d.add_argument("--locality-sort", action="store_true")
     d.add_argument("--pairs", action="store_true",
                    help="also emit the url-pair table")
+    d.add_argument("--increment", action="store_true",
+                   help="fold --input as NEW docs into the run checkpointed "
+                        "at --checkpoint-dir (incremental dedup)")
     d.add_argument("--num-cpus", type=int, default=None)
     d.set_defaults(fn=cmd_dedup)
 

@@ -327,6 +327,11 @@ def dedup_pipeline(pages_ds, cfg: PipelineConfig | None = None,
         stop = compute_stop_shingles(pages_ds, cfg, cfg.stop_shingle_sample,
                                      cfg.stop_shingle_df)
         stop_ref = ray.put(stop)
+        if ck.enabled:
+            # persisted so an incremental run bands NEW docs with the SAME
+            # boilerplate suppression (pipelines/incremental.py)
+            ck.save_table("stop_shingles",
+                          pa.table({"sh": pa.array(stop, pa.uint64())}))
         mark(f"stop_shingles ({stop.size})")
 
     # signatures are consumed by four downstream stages — materialize ONCE

@@ -43,6 +43,7 @@ _SUBMODULES = [
     "pcompress_ray.functions.ops",
     "pcompress_ray.functions.bloom",
     "pcompress_ray.pipelines.dedup",
+    "pcompress_ray.pipelines.incremental",
     "pcompress_ray.pipelines.checkpoint",
 ]
 

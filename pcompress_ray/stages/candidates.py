@@ -347,11 +347,43 @@ def ngram_jaccard_pairs(docs_ds, k: int = 5, threshold: float = 0.5,
     return grouped_partitions(pairs, ["a", "b"], reduce_pairs, n_parts=n_parts)
 
 
-def lsh_candidates(sig_ds, cfg: PipelineConfig):
-    """Candidate (a,b) pairs, deduplicated across bands."""
+def band_key(band_ids: np.ndarray, band_hashes: np.ndarray) -> np.ndarray:
+    """One mixed uint64 key per (band_id, band_hash) bucket."""
+    return splitmix64(band_hashes.astype(np.uint64)
+                      ^ splitmix64(band_ids.astype(np.uint64) + np.uint64(1)))
+
+
+def lsh_candidates(sig_ds, cfg: PipelineConfig, prefilter_bands=None):
+    """Candidate (a,b) pairs, deduplicated across bands.
+
+    ``prefilter_bands``: optional sorted uint64 array (ray ObjectRef) of
+    mixed (band_id, band_hash) keys — only those buckets are processed
+    (incremental path: buckets a new document lands in). A filtered bucket
+    keeps its FULL membership, so its pair output is identical to a full
+    recompute of that bucket.
+    """
     from pcompress_ray.functions.ops import grouped_partitions
 
-    pairs = grouped_partitions(explode_bands(sig_ds),
+    bands = explode_bands(sig_ds)
+    if prefilter_bands is not None:
+        import ray
+
+        keys_ref = prefilter_bands
+
+        def filt(t: pa.Table) -> pa.Table:
+            t = t.replace_schema_metadata(None)
+            keys = ray.get(keys_ref)
+            bk = band_key(
+                t["band_id"].to_numpy(zero_copy_only=False),
+                t["band_hash"].to_numpy(zero_copy_only=False))
+            idx = np.minimum(np.searchsorted(keys, bk), keys.size - 1) \
+                if keys.size else np.zeros(bk.size, dtype=np.int64)
+            mask = keys[idx] == bk if keys.size else np.zeros(bk.size, bool)
+            return t.filter(pa.array(mask))
+
+        bands = bands.map_batches(filt, batch_format="pyarrow")
+
+    pairs = grouped_partitions(bands,
                                ["band_id", "band_hash"],
                                band_partition_pairs(cfg))
 

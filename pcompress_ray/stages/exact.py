@@ -38,15 +38,31 @@ def add_text_sha(batch: pa.Table, text_col: str = "text_norm") -> pa.Table:
     return batch.append_column("text_sha256", pa.array(shas, pa.string()))
 
 
-def doc_exact_edges(sig_ds):
+def doc_exact_edges(sig_ds, prefilter_shas=None):
     """Edges (a,b,kind='exact',jaccard=1.0) for identical normalized text.
 
     Star topology to the min-rank member — the backward-ref analog; a group
     of m identical docs emits m-1 edges (linear, skew-safe even for the
     mega-group of empty documents).
+
+    ``prefilter_shas``: optional ray ObjectRef of a frozenset of sha hex
+    strings — only groups whose sha is in the set are processed (the
+    incremental path: shas touched by new documents).
     """
 
+    import ray
+
     from pcompress_ray.functions.ops import group_boundaries, grouped_partitions
+
+    keys = sig_ds.select_columns(["text_sha256", "rank"])
+    if prefilter_shas is not None:
+        def filt(t: pa.Table) -> pa.Table:
+            t = t.replace_schema_metadata(None)
+            shaset = ray.get(prefilter_shas)
+            mask = pd.Series(t["text_sha256"].to_pylist()).isin(shaset)
+            return t.filter(pa.array(mask.to_numpy()))
+
+        keys = keys.map_batches(filt, batch_format="pyarrow")
 
     def stars(part: pd.DataFrame) -> pd.DataFrame:
         # vectorized over ALL sha groups in the partition
@@ -59,9 +75,7 @@ def doc_exact_edges(sig_ds):
         return pd.DataFrame({"a": a[keep], "b": r[keep],
                              "kind": "exact", "jaccard": 1.0})
 
-    return grouped_partitions(
-        sig_ds.select_columns(["text_sha256", "rank"]),
-        ["text_sha256"], stars)
+    return grouped_partitions(keys, ["text_sha256"], stars)
 
 
 def explode_chunks(sig_ds):
@@ -83,7 +97,7 @@ def explode_chunks(sig_ds):
                  .map_batches(explode, batch_format="pyarrow")
 
 
-def chunk_exact_edges(sig_ds, cfg: PipelineConfig):
+def chunk_exact_edges(sig_ds, cfg: PipelineConfig, prefilter_hashes=None):
     """Substring-duplicate edges from shared CDC chunks.
 
     explode → groupby(chunk_hash) star pairs (dedup per group first: a doc
@@ -91,8 +105,22 @@ def chunk_exact_edges(sig_ds, cfg: PipelineConfig):
     once) → groupby(a,b) sum shared bytes → filter ≥ substring_min_bytes.
     Only multi-chunk docs participate: a single-chunk doc identical to part
     of another is still caught because its whole text IS one chunk.
+
+    ``prefilter_hashes``: optional sorted uint64 chunk-hash array (as a ray
+    ObjectRef) — only those hash groups are processed (incremental path:
+    every chunk a new doc carries). New-involving pairs keep their FULL
+    shared_bytes (a chunk shared with a new doc is by definition in the
+    filter), and subset-computed old-old pairs can only under-count, so no
+    edge appears that a full recompute would filter out.
     """
     chunks = explode_chunks(sig_ds)
+    if prefilter_hashes is not None:
+        from pcompress_ray.functions.ops import semi_join_filter
+
+        import ray
+
+        chunks = semi_join_filter(chunks, ray.get(prefilter_hashes),
+                                  on="chunk_hash")
 
     from pcompress_ray.functions.ops import group_boundaries, grouped_partitions
 
