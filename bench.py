@@ -167,12 +167,18 @@ def run_scaling():
     reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
     pairs = []
     for _ in range(reps):
+        # per-pair hardware calibration: external load arrives in waves on
+        # this host, so each pair records what the cores themselves could
+        # scale to IN ITS OWN WINDOW — a pair whose ceiling is depressed
+        # was measured through host noise, not engine behavior
+        ceiling = _hw_ceiling(lo, hi)
         r_lo = run(lo)
         r_hi = run(hi)
         eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
         pairs.append({f"sec_{lo}": r_lo["value"], f"sec_{hi}": r_hi["value"],
                       f"docs_per_sec_{lo}": r_lo["docs_per_sec"],
                       f"docs_per_sec_{hi}": r_hi["docs_per_sec"],
+                      "hw_ceiling": ceiling,
                       "efficiency": round(eff, 3)})
     best = max(pairs, key=lambda p: p["efficiency"])
     print(json.dumps({
@@ -180,7 +186,6 @@ def run_scaling():
                   "fresh-process runs, same corpus)",
         **{k: v for k, v in best.items() if k != "efficiency"},
         "scaling_efficiency": best["efficiency"],
-        "hw_ceiling_pure_cpu_burn": _hw_ceiling(lo, hi),
         "all_pairs": pairs,
         "bench_docs": int(ndocs),
     }))
