@@ -795,6 +795,225 @@ def q_substring_spans(sf_dir: str):
     return spans.map_batches(rn, batch_format="pyarrow")
 
 
+def q_asof_purchase(sf_dir: str):
+    """As-of join: each 'click' event matched to the user's most recent
+    'purchase' at-or-before it (inclusive; -1 if none). The asof operator
+    Ray Data lacks, composed as tagged union + one hash shuffle on user_id
+    + a vectorized forward-fill scan per partition (functions/ops.py)."""
+    import pyarrow.compute as pc
+
+    from pcompress_ray.functions.ops import asof_join
+
+    _setup()
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def prep(kind):
+        def f(t: pa.Table) -> pa.Table:
+            t = t.replace_schema_metadata(None)
+            t = t.filter(pc.equal(t["event_type"], kind))
+            return pa.table({"event_id": t["event_id"].cast(pa.int64()),
+                             "user_id": t["user_id"].cast(pa.int64()),
+                             "ts_us": t["ts"].cast(pa.int64())})
+        return f
+
+    clicks = ev.map_batches(prep("click"), batch_format="pyarrow")
+    buys = ev.map_batches(prep("purchase"), batch_format="pyarrow")
+    out = asof_join(clicks, buys, by="user_id", on="ts_us",
+                    right_val="event_id", out_col="matched_event_id")
+
+    def rn(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        return pa.table({"event_id": t["event_id"].cast(pa.int64()),
+                         "user_id": t["user_id"].cast(pa.int64()),
+                         "ts_us": t["ts_us"].cast(pa.int64()),
+                         "matched_event_id":
+                             t["matched_event_id"].cast(pa.int64())})
+
+    return out.map_batches(rn, batch_format="pyarrow")
+
+
+def q_price_band_join(sf_dir: str):
+    """Range (band) join: per part, how many lineitems have unit price
+    (l_extendedprice / l_quantity) within ±2% of p_retailprice. Quantized
+    bucketize-and-replicate band join — the pair set (1.1M at sf0.01) is
+    never materialized, only counted (functions/ops.py band_join_count)."""
+    import pyarrow.compute as pc
+
+    from pcompress_ray.functions.ops import band_join_count
+
+    _setup()
+    part = _read(sf_dir, "part", ["p_partkey", "p_retailprice"])
+    li = _read(sf_dir, "lineitem", ["l_extendedprice", "l_quantity"])
+
+    def unit(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        u = pc.divide(t["l_extendedprice"].cast(pa.float64()),
+                      t["l_quantity"].cast(pa.float64()))
+        return pa.table({"unit_price": u})
+
+    li_u = li.map_batches(unit, batch_format="pyarrow")
+    return band_join_count(part, li_u, left_key="p_partkey",
+                           left_val="p_retailprice", right_val="unit_price",
+                           lo_mul=0.98, hi_mul=1.02, width=25.0)
+
+
+def q_events_rollup(sf_dir: str):
+    """ROLLUP aggregate: (event_type, hour) detail + per-type subtotals +
+    grand total, from ONE shuffle — the subtotal levels re-aggregate the
+    (small) detail result, never the raw events. Value sums are integer
+    micro-units so all three levels are order-independent and exact."""
+    from ray.data.aggregate import Count, Sum
+
+    _setup()
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "event_type": t["event_type"].cast(pa.string()),
+            "hour_id": pa.array(us // 3_600_000_000),
+            "v_e6": pa.array(np.floor(v * 1e6 + 0.5).astype(np.int64))})
+
+    detail = (ds.map_batches(derive, batch_format="pyarrow")
+              .groupby(["event_type", "hour_id"])
+              .aggregate(Count(alias_name="n_events"),
+                         Sum("v_e6", alias_name="sum_value_e6")))
+
+    def lvl0(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        return pa.table({"event_type": t["event_type"].cast(pa.string()),
+                         "hour_id": t["hour_id"].cast(pa.int64()),
+                         "n_events": t["n_events"].cast(pa.int64()),
+                         "sum_value_e6": t["sum_value_e6"].cast(pa.int64())})
+
+    detail = detail.map_batches(lvl0, batch_format="pyarrow").materialize()
+    by_type = (detail.groupby("event_type")
+               .aggregate(Sum("n_events", alias_name="n_events"),
+                          Sum("sum_value_e6", alias_name="sum_value_e6")))
+
+    def lvl1(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        n = len(t)
+        return pa.table({
+            "event_type": t["event_type"].cast(pa.string()),
+            "hour_id": pa.array(np.full(n, -1, dtype=np.int64)),
+            "n_events": t["n_events"].cast(pa.int64()),
+            "sum_value_e6": t["sum_value_e6"].cast(pa.int64())})
+
+    tot = detail.aggregate(Sum("n_events", alias_name="n"),
+                           Sum("sum_value_e6", alias_name="sv"))
+    import ray.data as rd
+
+    total = rd.from_arrow(pa.table({
+        "event_type": pa.array(["ALL"]),
+        "hour_id": pa.array([-1], pa.int64()),
+        "n_events": pa.array([int(tot["n"])], pa.int64()),
+        "sum_value_e6": pa.array([int(tot["sv"])], pa.int64())}))
+    return detail.union(by_type.map_batches(lvl1, batch_format="pyarrow"),
+                        total)
+
+
+def q_lang_token_diversity(sf_dir: str):
+    """Per-language DISTINCT token count + total occurrences. Distinct runs
+    as per-batch (lang, token) dedup (map-side combine) → hash-partition
+    on (lang, token) → partition-local dedup + per-lang partial counts →
+    tiny per-lang sum; token occurrences never leave the map side."""
+    import re
+
+    from ray.data.aggregate import Sum
+
+    from pcompress_ray.functions.ops import grouped_partitions
+
+    _setup()
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+    tok = re.compile(r"[a-z0-9]+")
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        # map-side combine: (lang, token, partial count) per batch
+        toks = [tok.findall((t or "").lower()) for t in df["text"]]
+        lang = np.repeat(df["lang"].to_numpy(),
+                         np.fromiter((len(x) for x in toks), dtype=np.int64,
+                                     count=len(toks)))
+        flat = np.concatenate([np.asarray(x, dtype=object) for x in toks]) \
+            if toks else np.empty(0, dtype=object)
+        p = pd.DataFrame({"lang": lang, "token": flat})
+        return p.groupby(["lang", "token"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+
+    def count_part(part: pd.DataFrame) -> pd.DataFrame:
+        if len(part) == 0:
+            return pd.DataFrame({"lang": pd.Series(dtype=object),
+                                 "n_distinct": pd.Series(dtype=np.int64),
+                                 "n_occ": pd.Series(dtype=np.int64)})
+        # every (lang, token) pair lands in exactly one partition
+        g = part.groupby("lang", as_index=False).agg(
+            n_distinct=("token", "nunique"), n_occ=("n", "sum"))
+        g["n_distinct"] = g["n_distinct"].astype(np.int64)
+        g["n_occ"] = g["n_occ"].astype(np.int64)
+        return g
+
+    parts = grouped_partitions(ds.map_batches(pairs, batch_format="pandas"),
+                               ["lang", "token"], count_part, n_parts=32)
+    out = parts.groupby("lang").aggregate(
+        Sum("n_distinct", alias_name="n_distinct_tokens"),
+        Sum("n_occ", alias_name="n_tokens"))
+
+    def rn(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        return pa.table({
+            "lang": t["lang"].cast(pa.string()),
+            "n_distinct_tokens": t["n_distinct_tokens"].cast(pa.int64()),
+            "n_tokens": t["n_tokens"].cast(pa.int64())})
+
+    return out.map_batches(rn, batch_format="pyarrow")
+
+
+def q_lang_length_quantiles(sf_dir: str):
+    """Per-language exact p50/p90 of n_chars (linear interpolation, the
+    quantile_cont contract), one vectorized pass per lang hash-partition.
+    Emitted as e6-scaled ints; the SQL twin interpolates with the same
+    IEEE ops. Exact quantiles need the group co-located — at 100-TB group
+    sizes swap in a t-digest/KLL sketch merge instead."""
+    from pcompress_ray.functions.ops import group_boundaries, grouped_partitions
+
+    _setup()
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+
+    def quant(part: pd.DataFrame) -> pd.DataFrame:
+        if len(part) == 0:
+            return pd.DataFrame({"lang": pd.Series(dtype=object),
+                                 "n_docs": pd.Series(dtype=np.int64),
+                                 "p50_e6": pd.Series(dtype=np.int64),
+                                 "p90_e6": pd.Series(dtype=np.int64)})
+        part = part.sort_values(["lang", "n_chars"])
+        langs = part["lang"].to_numpy()
+        x = part["n_chars"].to_numpy(dtype=np.float64)
+        first, gid, sizes = group_boundaries(langs)
+        starts = np.flatnonzero(first)
+        out = {"lang": langs[starts], "n_docs": sizes.astype(np.int64)}
+        for q, col in ((0.5, "p50_e6"), (0.9, "p90_e6")):
+            h = (sizes - 1) * q
+            f = np.floor(h)
+            lo = x[starts + f.astype(np.int64)]
+            hi = x[starts + np.minimum(f.astype(np.int64) + 1, sizes - 1)]
+            v = lo + (hi - lo) * (h - f)
+            out[col] = np.floor(v * 1e6 + 0.5).astype(np.int64)
+        return pd.DataFrame(out)
+
+    res = grouped_partitions(ds, ["lang"], quant, n_parts=8)
+
+    def rn(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        return pa.table({"lang": t["lang"].cast(pa.string()),
+                         "n_docs": t["n_docs"].cast(pa.int64()),
+                         "p50_e6": t["p50_e6"].cast(pa.int64()),
+                         "p90_e6": t["p90_e6"].cast(pa.int64())})
+
+    return res.map_batches(rn, batch_format="pyarrow")
+
+
 def q_media_features(sf_dir: str):
     """Multimodal plumbing: magic-byte typing + (stubbed) decode features."""
     import ray.data as rd
@@ -902,6 +1121,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_features": q_image_features,
         "simhash_neardup": q_simhash_neardup,
         "substring_spans": q_substring_spans,
+        "asof_purchase": q_asof_purchase,
+        "price_band_join": q_price_band_join,
+        "events_rollup": q_events_rollup,
+        "lang_token_diversity": q_lang_token_diversity,
+        "lang_length_quantiles": q_lang_length_quantiles,
     }
 
 
@@ -1175,6 +1399,78 @@ def oracle_sql() -> dict[str, str]:
                 CASE WHEN tot8b + lbytes > n_bytes / 10.0 * 5
                      THEN 'BINARY' ELSE 'TEXT' END || mk AS btype_50
             FROM d
+        """,
+        "asof_purchase": """
+            -- deterministic: (user_id, ts) is unique within each event_type
+            WITH l AS (SELECT event_id, user_id,
+                              CAST(epoch_us(ts) AS BIGINT) AS ts_us
+                       FROM events WHERE event_type = 'click'),
+            r AS (SELECT event_id AS r_event, user_id,
+                         CAST(epoch_us(ts) AS BIGINT) AS ts_us
+                  FROM events WHERE event_type = 'purchase')
+            SELECT l.event_id, l.user_id, l.ts_us,
+                   coalesce(r.r_event, -1) AS matched_event_id
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
+        """,
+        "price_band_join": """
+            SELECT p.p_partkey, count(l.unit_price) AS n_matches
+            FROM part p LEFT JOIN
+                 (SELECT l_extendedprice / l_quantity AS unit_price
+                  FROM lineitem) l
+              ON l.unit_price BETWEEN p.p_retailprice * 0.98
+                                  AND p.p_retailprice * 1.02
+            GROUP BY p.p_partkey
+        """,
+        "events_rollup": """
+            WITH e AS (SELECT event_type,
+                              CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_id,
+                              CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v_e6
+                       FROM events)
+            SELECT coalesce(event_type, 'ALL') AS event_type,
+                   coalesce(hour_id, -1) AS hour_id,
+                   count(*) AS n_events,
+                   CAST(sum(v_e6) AS BIGINT) AS sum_value_e6
+            FROM e GROUP BY ROLLUP(event_type, hour_id)
+        """,
+        "lang_token_diversity": """
+            WITH t AS (SELECT lang,
+                              unnest(regexp_extract_all(
+                                  lower(coalesce(text, '')), '[a-z0-9]+')) AS token
+                       FROM documents)
+            SELECT lang, count(DISTINCT token) AS n_distinct_tokens,
+                   count(*) AS n_tokens
+            FROM t GROUP BY lang
+        """,
+        "lang_length_quantiles": """
+            -- linear-interpolated quantiles, same IEEE ops as the Ray side:
+            -- h=(n-1)q; v = x[floor(h)] + (x[min(floor(h)+1,n-1)]-x[floor(h)])
+            --           * (h-floor(h)); emit floor(v*1e6+0.5)
+            WITH o AS (SELECT lang, CAST(n_chars AS DOUBLE) AS x,
+                              row_number() OVER (PARTITION BY lang
+                                                 ORDER BY n_chars) - 1 AS rn,
+                              count(*) OVER (PARTITION BY lang) AS n
+                       FROM documents),
+            g AS (SELECT lang, max(n) AS n, (max(n) - 1) * 0.5 AS h50,
+                         (max(n) - 1) * 0.9 AS h90
+                  FROM o GROUP BY lang),
+            v AS (SELECT g.lang, g.n, g.h50, g.h90,
+                  max(CASE WHEN o.rn = CAST(floor(g.h50) AS BIGINT)
+                           THEN o.x END) AS lo50,
+                  max(CASE WHEN o.rn = least(CAST(floor(g.h50) AS BIGINT) + 1,
+                                             g.n - 1) THEN o.x END) AS hi50,
+                  max(CASE WHEN o.rn = CAST(floor(g.h90) AS BIGINT)
+                           THEN o.x END) AS lo90,
+                  max(CASE WHEN o.rn = least(CAST(floor(g.h90) AS BIGINT) + 1,
+                                             g.n - 1) THEN o.x END) AS hi90
+                  FROM g JOIN o ON o.lang = g.lang
+                  GROUP BY g.lang, g.n, g.h50, g.h90)
+            SELECT lang, CAST(n AS BIGINT) AS n_docs,
+                   CAST(floor((lo50 + (hi50 - lo50) * (h50 - floor(h50)))
+                              * 1000000.0 + 0.5) AS BIGINT) AS p50_e6,
+                   CAST(floor((lo90 + (hi90 - lo90) * (h90 - floor(h90)))
+                              * 1000000.0 + 0.5) AS BIGINT) AS p90_e6
+            FROM v
         """,
         "ann_topk": """
             SELECT query_id, neighbor_id FROM (

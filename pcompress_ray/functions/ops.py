@@ -246,6 +246,178 @@ def semi_join_filter(big, keys, on: str, negate: bool = False,
     return big.map_batches(filt, batch_format="pyarrow")
 
 
+def asof_join(left, right, by: str, on: str, right_val: str,
+              out_col: str = "matched", missing: int = -1,
+              n_parts: int = 64):
+    """As-of join: for each left row, the ``right_val`` of the LATEST right
+    row with the same ``by`` key and ``on`` <= left's ``on`` (inclusive).
+
+    Ray Data has no asof primitive; this composes one from a tagged union +
+    one hash shuffle on ``by`` + a vectorized forward-fill scan per
+    partition (no per-key Python). Partitioning assumption: all rows of a
+    ``by`` key fit one partition — the standard asof-join contract (same as
+    DuckDB's ASOF JOIN hash partitioning).
+
+    ``on`` and ``right_val`` must be integer-valued (cast timestamps to
+    epoch micros first). Ties on (by, on) within the right side resolve to
+    the greatest ``right_val`` — deterministic. Unmatched rows get
+    ``missing``.
+    """
+    lsch = left.schema()
+    lnames = [n for n in lsch.names]
+    ltypes = {n: t for n, t in zip(lsch.names, lsch.types)}
+    carry = [n for n in lnames if n not in (by, on)]
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        cols = {by: t[by].cast(pa.int64()), on: t[on].cast(pa.int64())}
+        for c in carry:
+            cols[c] = t[c]
+        cols["__rv"] = _null_array(len(t), pa.int64())
+        cols["__side"] = pa.array(np.ones(len(t), np.int8))
+        return pa.table(cols)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        n = len(t)
+        cols = {by: t[by].cast(pa.int64()), on: t[on].cast(pa.int64())}
+        for c in carry:
+            cols[c] = _null_array(n, ltypes[c])
+        cols["__rv"] = t[right_val].cast(pa.int64())
+        cols["__side"] = pa.array(np.zeros(n, np.int8))
+        return pa.table(cols)
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow")
+    rt = right.map_batches(tag_right, batch_format="pyarrow")
+
+    def scan(part: pd.DataFrame) -> pd.DataFrame:
+        empty = {by: pd.Series(dtype=np.int64), on: pd.Series(dtype=np.int64)}
+        for c in carry:
+            empty[c] = pd.Series(dtype=part[c].dtype if len(part) else object)
+        empty[out_col] = pd.Series(dtype=np.int64)
+        if len(part) == 0:
+            return pd.DataFrame(empty)
+        byv = part[by].to_numpy(dtype=np.int64)
+        onv = part[on].to_numpy(dtype=np.int64)
+        side = part["__side"].to_numpy(dtype=np.int8)
+        rv = part["__rv"].fillna(missing).to_numpy(dtype=np.int64)
+        # right (side=0) sorts before left at equal (by, on) -> inclusive
+        # match; rv last in the right run -> max right_val wins ties
+        order = np.lexsort((rv, side, onv, byv))
+        byv, onv, side, rv = byv[order], onv[order], side[order], rv[order]
+        n = byv.size
+        idx = np.arange(n)
+        is_r = side == 0
+        last_r = np.maximum.accumulate(np.where(is_r, idx, -1))
+        new_by = np.empty(n, dtype=bool)
+        new_by[0] = True
+        np.not_equal(byv[1:], byv[:-1], out=new_by[1:])
+        grp_start = idx[new_by][np.cumsum(new_by) - 1]  # first idx of my key
+        valid = last_r >= grp_start
+        matched = np.where(valid, rv[np.maximum(last_r, 0)], missing)
+        lmask = side == 1
+        out = {by: byv[lmask], on: onv[lmask]}
+        carried = part.iloc[order[lmask]]
+        for c in carry:
+            out[c] = carried[c].to_numpy()
+        out[out_col] = matched[lmask]
+        return pd.DataFrame(out)
+
+    return grouped_partitions(lt.union(rt), [by], scan, n_parts=n_parts)
+
+
+def band_join_count(left, right, left_key: str, left_val: str,
+                    right_val: str, lo_mul: float, hi_mul: float,
+                    width: float, n_parts: int = 32):
+    """Range (band) join, aggregated: for each left row, COUNT right rows
+    with ``right_val`` in [left_val*lo_mul, left_val*hi_mul] (inclusive).
+
+    All-pairs range joins don't shuffle-partition directly; this quantizes
+    the value axis into buckets of ``width``: every right row lands in
+    exactly one bucket, every left row is REPLICATED to the (few) buckets
+    its band overlaps, and a vectorized searchsorted counts matches per
+    bucket. Partial counts then sum per left key — left rows with zero
+    matches survive (count 0). Pick ``width`` ≈ the typical band span so
+    replication stays 1-3×; the pair set itself is never materialized.
+    """
+    def tag_right(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        v = t[right_val].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "__bkt": pa.array(np.floor(v / width).astype(np.int64)),
+            "__v": pa.array(v),
+            "__lo": pa.array(np.full(v.size, np.nan)),
+            "__hi": pa.array(np.full(v.size, np.nan)),
+            "__key": pa.array(np.full(v.size, -1, dtype=np.int64)),
+            "__side": pa.array(np.zeros(v.size, np.int8)),
+        })
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        v = t[left_val].to_numpy(zero_copy_only=False).astype(np.float64)
+        key = t[left_key].to_numpy(zero_copy_only=False).astype(np.int64)
+        lo, hi = v * lo_mul, v * hi_mul
+        b0 = np.floor(lo / width).astype(np.int64)
+        b1 = np.floor(hi / width).astype(np.int64)
+        reps = (b1 - b0 + 1).astype(np.int64)
+        ridx = np.repeat(np.arange(v.size), reps)
+        # bucket offset within each row's replication run
+        off = np.arange(reps.sum()) - np.repeat(
+            np.concatenate([[0], np.cumsum(reps)[:-1]]), reps)
+        return pa.table({
+            "__bkt": pa.array(b0[ridx] + off),
+            "__v": pa.array(np.full(ridx.size, np.nan)),
+            "__lo": pa.array(lo[ridx]),
+            "__hi": pa.array(hi[ridx]),
+            "__key": pa.array(key[ridx]),
+            "__side": pa.array(np.ones(ridx.size, np.int8)),
+        })
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow")
+    rt = right.map_batches(tag_right, batch_format="pyarrow")
+
+    def count_part(part: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({left_key: pd.Series(dtype=np.int64),
+                              "__n": pd.Series(dtype=np.int64)})
+        if len(part) == 0:
+            return empty
+        side = part["__side"].to_numpy(dtype=np.int8)
+        bkt = part["__bkt"].to_numpy(dtype=np.int64)
+        rmask = side == 0
+        rb, rv = bkt[rmask], part["__v"].to_numpy(np.float64)[rmask]
+        ro = np.lexsort((rv, rb))
+        rb, rv = rb[ro], rv[ro]
+        lmask = ~rmask
+        lb = bkt[lmask]
+        lo = part["__lo"].to_numpy(np.float64)[lmask]
+        hi = part["__hi"].to_numpy(np.float64)[lmask]
+        key = part["__key"].to_numpy(np.int64)[lmask]
+        cnt = np.zeros(lb.size, dtype=np.int64)
+        # few buckets per partition; vectorized searchsorted within each
+        for b in np.unique(lb):
+            r0, r1 = np.searchsorted(rb, [b, b + 1])
+            sel = lb == b
+            if r1 > r0:
+                sub = rv[r0:r1]
+                cnt[sel] = (np.searchsorted(sub, hi[sel], side="right")
+                            - np.searchsorted(sub, lo[sel], side="left"))
+        df = pd.DataFrame({left_key: key, "__n": cnt})
+        return df.groupby(left_key, as_index=False)["__n"].sum()
+
+    parts = grouped_partitions(lt.union(rt), ["__bkt"], count_part,
+                               n_parts=n_parts)
+    from ray.data.aggregate import Sum
+
+    out = parts.groupby(left_key).aggregate(Sum("__n", alias_name="n_matches"))
+
+    def rn(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        return pa.table({left_key: t[left_key].cast(pa.int64()),
+                         "n_matches": t["n_matches"].cast(pa.int64())})
+
+    return out.map_batches(rn, batch_format="pyarrow")
+
+
 def materialized_block_refs(ds) -> list:
     """Object refs of a Dataset's blocks. On a materialized Dataset this is
     metadata-only; on a lazy one it triggers (one) execution."""

@@ -133,3 +133,76 @@ def test_label_propagation_matches_union_find(rds):
     got = label_propagation(edges).to_pandas().set_index("node")["label"].to_dict()
     want = union_find(a, b)
     assert got == {k: v for k, v in want.items()}
+
+
+def test_asof_join_matches_pandas_merge_asof(rds):
+    from pcompress_ray.functions.ops import asof_join
+
+    rng = np.random.default_rng(7)
+    left = pd.DataFrame({
+        "by": rng.integers(0, 20, 300).astype(np.int64),
+        "t": rng.integers(0, 1000, 300).astype(np.int64),
+        "lid": np.arange(300, dtype=np.int64)})
+    right = pd.DataFrame({
+        "by": rng.integers(0, 25, 150).astype(np.int64),
+        "t": rng.integers(0, 1000, 150).astype(np.int64),
+        "val": np.arange(1000, 1150, dtype=np.int64)})
+    # dedup right on (by, t) keeping max val — the operator's tie contract
+    right = right.sort_values("val").drop_duplicates(["by", "t"], keep="last")
+
+    lds = rds.from_pandas(left).repartition(4)
+    rds_ = rds.from_pandas(right).repartition(3)
+    got = asof_join(lds, rds_, by="by", on="t", right_val="val",
+                    out_col="m", n_parts=8).to_pandas()
+    got = got.sort_values("lid").reset_index(drop=True)
+
+    want = pd.merge_asof(left.sort_values("t"), right.sort_values("t"),
+                         on="t", by="by", direction="backward",
+                         suffixes=("", "_r")) \
+        .sort_values("lid").reset_index(drop=True)
+    want_m = want["val"].fillna(-1).astype(np.int64)
+    assert len(got) == 300
+    np.testing.assert_array_equal(got["m"].to_numpy(np.int64),
+                                  want_m.to_numpy())
+    np.testing.assert_array_equal(got["t"].to_numpy(np.int64),
+                                  want["t"].to_numpy())
+
+
+def test_asof_join_inclusive_and_boundaries(rds):
+    from pcompress_ray.functions.ops import asof_join
+
+    left = pd.DataFrame({"by": np.int64([1, 1, 2, 3]),
+                         "t": np.int64([10, 5, 10, 10]),
+                         "lid": np.int64([0, 1, 2, 3])})
+    right = pd.DataFrame({"by": np.int64([1, 1, 2]),
+                          "t": np.int64([10, 6, 11]),
+                          "val": np.int64([100, 101, 102])})
+    got = asof_join(rds.from_pandas(left), rds.from_pandas(right),
+                    by="by", on="t", right_val="val", out_col="m") \
+        .to_pandas().sort_values("lid")
+    # t=10 matches right t=10 (inclusive); t=5 has none; user 2's only
+    # right row is later; user 3 has no right rows at all
+    np.testing.assert_array_equal(got["m"].to_numpy(np.int64),
+                                  [100, -1, -1, -1])
+
+
+def test_band_join_count_matches_bruteforce(rds):
+    from pcompress_ray.functions.ops import band_join_count
+
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame({"k": np.arange(40, dtype=np.int64),
+                         "v": rng.uniform(100, 200, 40)})
+    right = pd.DataFrame({"w": rng.uniform(90, 220, 500)})
+    got = band_join_count(rds.from_pandas(left).repartition(3),
+                          rds.from_pandas(right).repartition(4),
+                          left_key="k", left_val="v", right_val="w",
+                          lo_mul=0.97, hi_mul=1.03, width=7.0,
+                          n_parts=8).to_pandas()
+    got = got.sort_values("k").reset_index(drop=True)
+    lo = left["v"].to_numpy() * 0.97
+    hi = left["v"].to_numpy() * 1.03
+    w = right["w"].to_numpy()
+    want = ((w[None, :] >= lo[:, None]) & (w[None, :] <= hi[:, None])) \
+        .sum(axis=1).astype(np.int64)
+    assert len(got) == 40  # zero-match left keys survive
+    np.testing.assert_array_equal(got["n_matches"].to_numpy(np.int64), want)
