@@ -35,7 +35,9 @@ QUERY_NAMES = ["q1_pricing", "q3_top_orders", "customer_nation", "doc_stats",
                "quality_scores", "lsh_ann_pairs", "ivf_topk",
                "events_sliding", "hourly_active_users",
                "top_orders_per_segment", "ngram_jaccard",
-               "embedding_clusters"]
+               "embedding_clusters", "asof_purchase", "price_band_join",
+               "events_rollup", "lang_token_diversity",
+               "lang_length_quantiles"]
 
 
 def run_bench() -> dict:

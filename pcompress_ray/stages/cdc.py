@@ -86,23 +86,15 @@ _POLY_MASK_U = U64(POLY_MASK)
 _BREAK_MASK_U = U64(RAB_BLK_MASK)
 
 
-_SCRATCH: dict[str, np.ndarray] = {}
-
-
 def _scratch(name: str, n: int, dtype) -> np.ndarray:
-    """Per-worker reusable buffer (first-touch page faults are ~1000x slow
-    in this sandbox, so fresh multi-MB allocations per batch dominate the
-    kernel cost; a worker-lifetime scratch pool pays the fault once).
-
-    The pool is a module global in a pickle-by-value module: if the driver
-    populated it before a task spec was pickled, workers receive COPIES
-    whose backing buffers are read-only — detected and replaced here.
-    """
-    buf = _SCRATCH.get(name)
-    if buf is None or buf.size < n or buf.dtype != dtype \
-            or not buf.flags.writeable:
-        buf = _SCRATCH[name] = np.empty(max(int(n * 1.25), 1 << 16), dtype)
-    return buf[:n]
+    """Kernel temporary. Deliberately a PLAIN allocation: this module is
+    registered pickle-by-value for Ray workers, so any module-global buffer
+    pool is re-serialized into task specs (shipping the driver's populated
+    buffers) and reconstructed per task — measured 5x SLOWER than malloc
+    (67.7s vs 14.1s for the 20k-doc signature phase). The worker process's
+    malloc arena already recycles these same-sized virtual pages across
+    batches, so first-touch page faults are paid once per worker anyway."""
+    return np.empty(int(n), dtype)
 
 
 def candidate_positions(data: bytes | np.ndarray) -> np.ndarray:
