@@ -406,16 +406,19 @@ def band_join_count(left, right, left_key: str, left_val: str,
 
     parts = grouped_partitions(lt.union(rt), ["__bkt"], count_part,
                                n_parts=n_parts)
-    from ray.data.aggregate import Sum
 
-    out = parts.groupby(left_key).aggregate(Sum("__n", alias_name="n_matches"))
+    # final per-key sum via grouped_partitions, NOT Ray groupby().aggregate:
+    # the latter runs per-key Python (~0.1-0.25 ms/key) — tens of seconds
+    # at 20k+ left keys (measured 36.7s -> ~5s for this stage at sf0.1)
+    def sum_part(p: pd.DataFrame) -> pd.DataFrame:
+        if len(p) == 0:
+            return pd.DataFrame({left_key: pd.Series(dtype=np.int64),
+                                 "n_matches": pd.Series(dtype=np.int64)})
+        g = p.groupby(left_key, as_index=False)["__n"].sum()
+        return pd.DataFrame({left_key: g[left_key].to_numpy(np.int64),
+                             "n_matches": g["__n"].to_numpy(np.int64)})
 
-    def rn(t: pa.Table) -> pa.Table:
-        t = t.replace_schema_metadata(None)
-        return pa.table({left_key: t[left_key].cast(pa.int64()),
-                         "n_matches": t["n_matches"].cast(pa.int64())})
-
-    return out.map_batches(rn, batch_format="pyarrow")
+    return grouped_partitions(parts, [left_key], sum_part, n_parts=16)
 
 
 def materialized_block_refs(ds) -> list:
