@@ -1137,6 +1137,37 @@ _TOKEN_SQL = r"[a-z0-9]+"
 _PUNCT_SQL = r"[!-/:-@\[-`{-~]"
 
 
+def _lang_id_sql() -> str:
+    """Generate the lang_id oracle as a first-alphabetical-argmax CASE
+    cascade over the SAME per-language patterns the Ray side counts
+    (stages/textstats.py LANG_STOPWORDS). The cascade is sound without
+    re-checking earlier langs: if an earlier lang lost, the max lives in a
+    later column, so any non-max later lang fails its own >= chain too."""
+    from pcompress_ray.stages.textstats import _LANG_ORDER, LANG_STOPWORDS
+
+    def sql_pat(lang: str) -> str:
+        # Python's explicit CJK range == RE2 hex-escaped range, same charset
+        return (r"[\x{4E00}-\x{9FFF}]" if lang == "zh"
+                else LANG_STOPWORDS[lang])
+
+    counts = ",\n                ".join(
+        f"len(regexp_extract_all(lower(coalesce(text, '')), "
+        f"'{sql_pat(lang)}')) AS c_{lang}" for lang in _LANG_ORDER)
+    whens = "\n                ".join(
+        "WHEN " + " AND ".join([f"c_{a} >= c_{b}"
+                                for b in _LANG_ORDER[i + 1:]] + [f"c_{a} > 0"])
+        + f" THEN '{a}'"
+        for i, a in enumerate(_LANG_ORDER))
+    return f"""
+            SELECT doc_id, CASE
+                {whens}
+                ELSE 'unk' END AS lang_pred
+            FROM (SELECT doc_id,
+                {counts}
+                FROM documents)
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q1_pricing": """
@@ -1172,20 +1203,7 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(coalesce(text, ''), '{_PUNCT_SQL}')) AS punct_count
             FROM documents
         """,
-        "lang_id": r"""
-            SELECT doc_id, CASE
-                WHEN cde >= cen AND cde >= ces AND cde >= cfr AND cde > 0 THEN 'de'
-                WHEN cen >= ces AND cen >= cfr AND cen > 0 THEN 'en'
-                WHEN ces >= cfr AND ces > 0 THEN 'es'
-                WHEN cfr > 0 THEN 'fr'
-                ELSE 'unk' END AS lang_pred
-            FROM (SELECT doc_id,
-                len(regexp_extract_all(lower(coalesce(text, '')), '\b(der|die|und|ist|nicht|ein)\b')) AS cde,
-                len(regexp_extract_all(lower(coalesce(text, '')), '\b(the|and|of|to|in|is)\b')) AS cen,
-                len(regexp_extract_all(lower(coalesce(text, '')), '\b(el|los|una|es|para|como)\b')) AS ces,
-                len(regexp_extract_all(lower(coalesce(text, '')), '\b(le|les|une|est|dans|pour)\b')) AS cfr
-                FROM documents)
-        """,
+        "lang_id": _lang_id_sql(),
         "lang_stats": """
             -- CAST: DuckDB sum(BIGINT) is HUGEINT -> pandas float64; the Ray
             -- side emits int64 and the driver's value-hash is dtype-sensitive

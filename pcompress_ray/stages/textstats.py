@@ -32,8 +32,15 @@ LANG_STOPWORDS = {
     "de": r"\b(der|die|und|ist|nicht|ein)\b",
     "fr": r"\b(le|les|une|est|dans|pour)\b",
     "es": r"\b(el|los|una|es|para|como)\b",
+    "it": r"\b(il|che|per|con|sono|della)\b",
+    "nl": r"\b(het|een|van|niet|dat|zijn)\b",
+    "pt": r"\b(os|uma|com|nao|por|mais)\b",
+    # zh: no spaces to anchor stopwords on — count CJK-Unified chars instead.
+    # Explicit range (not \p{Han}): Python re lacks \p{..}, and the range is
+    # what the SQL oracle's RE2 [\x{4E00}-\x{9FFF}] counts, byte-for-byte.
+    "zh": "[一-鿿]",
 }
-_LANG_ORDER = ["de", "en", "es", "fr"]  # tie-break: alphabetical
+_LANG_ORDER = ["de", "en", "es", "fr", "it", "nl", "pt", "zh"]  # tie-break: alphabetical
 
 
 def doc_stats_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:

@@ -29,9 +29,21 @@ def test_lang_id_heuristic():
         "the cat and the dog of the house is big",
         "der hund und die katze ist nicht ein tier",
         "le chat est dans les maisons pour une nuit",
+        "el gato es una cosa para como siempre",
+        "il gatto che per con sono della casa",
+        "het huis een van niet dat zijn hier",
+        "os gatos uma com nao por mais tempo",
+        "这是一个没有空格的中文文档",
         "xyzzy qwerty asdf",
     ]))
-    assert out.lang_pred.tolist() == ["en", "de", "fr", "unk"]
+    assert out.lang_pred.tolist() == [
+        "en", "de", "fr", "es", "it", "nl", "pt", "zh", "unk"]
+
+
+def test_lang_id_tie_breaks_alphabetical():
+    # one stopword hit for en and fr each -> earliest alphabetical max wins
+    out = lang_id_batch(_df(["the est", "und the est el"]))
+    assert out.lang_pred.tolist() == ["en", "de"]
 
 
 def test_quality_score_ranges():
