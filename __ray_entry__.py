@@ -547,6 +547,80 @@ def q_dedup_pairs(sf_dir: str):
     return res.pairs
 
 
+def q_dup_gain_by_source(sf_dir: str):
+    """Dedup-gain metrics per origin (A3 analog, rabin_dedup.c:1250-1257
+    gain accounting): per source, how many docs/chars an exact keep-first
+    dedup removes. Composes T1 exact-dup canonical assignment with A4
+    aggregates; all-integer output so the oracle hash is dtype-stable."""
+    import hashlib
+
+    from ray.data.aggregate import Count, Sum
+
+    from pcompress_ray.functions.ops import group_boundaries, grouped_partitions
+
+    _setup()
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source", "n_chars"])
+
+    def md5col(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        h = [hashlib.md5((x or "").encode("utf-8")).hexdigest()
+             for x in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                         "source": t["source"].cast(pa.string()),
+                         "n_chars": t["n_chars"].cast(pa.int64()),
+                         "text_md5": pa.array(h, pa.string())})
+
+    def mark_dups(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["text_md5", "doc_id"])
+        ids = part["doc_id"].to_numpy(dtype=np.int64)
+        first, gid, _ = group_boundaries(part["text_md5"].to_numpy())
+        dup = (ids != ids[first][gid]).astype(np.int64)
+        nch = part["n_chars"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"source": part["source"].to_numpy(),
+                             "is_dup": dup, "n_chars": nch,
+                             "dup_chars": nch * dup})
+
+    marked = grouped_partitions(ds.map_batches(md5col, batch_format="pyarrow"),
+                                ["text_md5"], mark_dups)
+    agg = marked.groupby("source").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="total_chars"),
+        Sum("is_dup", alias_name="dup_docs"),
+        Sum("dup_chars", alias_name="dup_chars"))
+
+    def rn(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        return pa.table({"source": t["source"].cast(pa.string()),
+                         "n_docs": t["n_docs"].cast(pa.int64()),
+                         "total_chars": t["total_chars"].cast(pa.int64()),
+                         "dup_docs": t["dup_docs"].cast(pa.int64()),
+                         "dup_chars": t["dup_chars"].cast(pa.int64())})
+
+    return agg.map_batches(rn, batch_format="pyarrow")
+
+
+def q_corpus_sample(sf_dir: str):
+    """Deterministic hash-based corpus subsample (~1/8): keep docs whose
+    text-md5 first byte < 0x20. The training-data sampling primitive —
+    reproducible across runs/engines (content-addressed, no RNG), so the
+    DuckDB oracle selects the exact same rows."""
+    import hashlib
+
+    _setup()
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def sample(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        h = np.array([hashlib.md5((x or "").encode("utf-8")).hexdigest()
+                      for x in t["text"].to_pylist()], dtype=object)
+        keep = np.array([x[:2] < "20" for x in h], dtype=bool)
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()).filter(
+                             pa.array(keep)),
+                         "text_md5": pa.array(h[keep], pa.string())})
+
+    return ds.map_batches(sample, batch_format="pyarrow")
+
+
 def q_cdc_chunks(sf_dir: str):
     """Per-doc CDC chunk counts + total chunk bytes (M1+M3)."""
     from pcompress_ray.config import PipelineConfig
@@ -1096,6 +1170,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_stats": q_lang_stats,
         "top_tokens": q_top_tokens,
         "exact_dup_docs": q_exact_dup_docs,
+        "dup_gain_by_source": q_dup_gain_by_source,
+        "corpus_sample": q_corpus_sample,
         "events_hourly": q_events_hourly,
         "events_sliding": q_events_sliding,
         "top_orders_per_segment": q_top_orders_per_segment,
@@ -1225,6 +1301,24 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) OVER (PARTITION BY md5(coalesce(text, '')))
                        AS canonical_doc_id
             FROM documents
+        """,
+        "dup_gain_by_source": """
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   CAST(sum(CASE WHEN doc_id <> cid THEN 1 ELSE 0 END)
+                        AS BIGINT) AS dup_docs,
+                   CAST(sum(CASE WHEN doc_id <> cid THEN n_chars ELSE 0 END)
+                        AS BIGINT) AS dup_chars
+            FROM (SELECT source, doc_id, n_chars,
+                         min(doc_id) OVER (
+                             PARTITION BY md5(coalesce(text, ''))) AS cid
+                  FROM documents)
+            GROUP BY source
+        """,
+        "corpus_sample": """
+            SELECT doc_id, md5(coalesce(text, '')) AS text_md5
+            FROM documents
+            WHERE substr(md5(coalesce(text, '')), 1, 2) < '20'
         """,
         "events_hourly": """
             SELECT user_id,

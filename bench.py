@@ -37,7 +37,8 @@ QUERY_NAMES = ["q1_pricing", "q3_top_orders", "customer_nation", "doc_stats",
                "top_orders_per_segment", "ngram_jaccard",
                "embedding_clusters", "asof_purchase", "price_band_join",
                "events_rollup", "lang_token_diversity",
-               "lang_length_quantiles"]
+               "lang_length_quantiles", "dup_gain_by_source",
+               "corpus_sample"]
 
 
 def run_bench() -> dict:
