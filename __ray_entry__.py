@@ -382,6 +382,44 @@ def q_events_hourly(sf_dir: str):
     return out.map_batches(rnd, batch_format="pyarrow")
 
 
+def q_event_gaps(sf_dir: str):
+    """LAG window analog: per event, microseconds since the same user's
+    previous event (first event per user omitted). Hash-partitioned by
+    user_id, ONE vectorized diff per partition — the general lag/lead
+    primitive a streaming pipeline needs for inter-arrival features."""
+    from pcompress_ray.functions.ops import grouped_partitions
+
+    _setup()
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+
+    def gaps_part(part: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"user_id": pd.Series(dtype=np.int64),
+                              "event_id": pd.Series(dtype=np.int64),
+                              "gap_us": pd.Series(dtype=np.int64)})
+        if len(part) == 0:
+            return empty
+        part = part.sort_values(["user_id", "ts", "event_id"])
+        uid = part["user_id"].to_numpy(dtype=np.int64)
+        eid = part["event_id"].to_numpy(dtype=np.int64)
+        us = part["ts"].astype("int64").to_numpy()
+        same_user = uid[1:] == uid[:-1]
+        gaps = (us[1:] - us[:-1])[same_user]
+        return pd.DataFrame({"user_id": uid[1:][same_user],
+                             "event_id": eid[1:][same_user],
+                             "gap_us": gaps.astype(np.int64)}) \
+            if same_user.any() else empty
+
+    res = grouped_partitions(ds, ["user_id"], gaps_part)
+
+    def rn(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        return pa.table({"user_id": t["user_id"].cast(pa.int64()),
+                         "event_id": t["event_id"].cast(pa.int64()),
+                         "gap_us": t["gap_us"].cast(pa.int64())})
+
+    return res.map_batches(rn, batch_format="pyarrow")
+
+
 def q_sessionize(sf_dir: str):
     """Gap-based sessionization per user (1800s gap). Hash-partitioned by
     user_id; ONE vectorized scan per partition (sort by user,ts; numpy
@@ -1178,6 +1216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": q_customers_without_orders,
         "hourly_active_users": q_hourly_active_users,
         "sessionize": q_sessionize,
+        "event_gaps": q_event_gaps,
         "ann_topk": q_ann_topk,
         "embedding_neardup": q_embedding_neardup,
         "dedup_clusters": q_dedup_clusters,
@@ -1381,6 +1420,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
                    count(*) AS n_events
             FROM s GROUP BY user_id, session_id
+        """,
+        "event_gaps": """
+            SELECT user_id, event_id, CAST(ts_us - prev_us AS BIGINT) AS gap_us
+            FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                         lag(epoch_us(ts)) OVER (
+                             PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev_us
+                  FROM events)
+            WHERE prev_us IS NOT NULL
         """,
         "fixed_chunks": """
             SELECT doc_id,
