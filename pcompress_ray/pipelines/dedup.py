@@ -91,17 +91,33 @@ def build_signatures(pages_ds, cfg: PipelineConfig, stop_ref=None):
     return ds.select_columns(SIG_COLUMNS)
 
 
-def union_edges(*edge_dss):
+def union_edges(*edge_dss, cfg: PipelineConfig | None = None):
     """Union edge Datasets on the common (a, b, kind, jaccard) schema and
-    dedup per pair keeping the strongest kind (exact > substring > near)."""
+    dedup per pair keeping the strongest kind (exact > substring > near).
+
+    chunk_exact_edges emits map-side-combined PARTIALS (kind
+    "substring_part" + shared_bytes/shared_chunks); their global per-pair
+    sum and the ≥ substring_min_bytes/chunks gate run HERE, inside the one
+    (a,b) exchange all edges already pay for — one shuffle fused out of the
+    edges phase. Already-final "substring" rows (e.g. a previous run's
+    checkpointed edges in the incremental path) pass through untouched."""
+    cfg = cfg or PipelineConfig()
+    min_bytes, min_chunks = cfg.substring_min_bytes, cfg.substring_min_chunks
 
     def norm_schema(t: pa.Table) -> pa.Table:
         t = t.replace_schema_metadata(None)
+        n = len(t)
+        zeros = (t["shared_bytes"].cast(pa.int64()) if "shared_bytes"
+                 in t.column_names else pa.array(np.zeros(n, np.int64)))
+        zchunks = (t["shared_chunks"].cast(pa.int64()) if "shared_chunks"
+                   in t.column_names else pa.array(np.zeros(n, np.int64)))
         return pa.table({
             "a": t["a"].cast(pa.int64()),
             "b": t["b"].cast(pa.int64()),
             "kind": t["kind"].cast(pa.string()),
             "jaccard": t["jaccard"].cast(pa.float64()),
+            "shared_bytes": zeros,
+            "shared_chunks": zchunks,
         })
 
     dss = [d.map_batches(norm_schema, batch_format="pyarrow") for d in edge_dss]
@@ -112,6 +128,16 @@ def union_edges(*edge_dss):
     prio = {"exact": 0, "substring": 1, "near": 2}
 
     def best(part: pd.DataFrame) -> pa.Table:
+        is_part = part["kind"].to_numpy() == "substring_part"
+        if is_part.any():
+            partial = part[is_part]
+            summed = partial.groupby(["a", "b"], as_index=False, sort=False) \
+                .agg(shared_bytes=("shared_bytes", "sum"),
+                     shared_chunks=("shared_chunks", "sum"))
+            summed = summed[(summed["shared_bytes"] >= min_bytes)
+                            & (summed["shared_chunks"] >= min_chunks)]
+            summed = summed.assign(kind="substring", jaccard=0.0)
+            part = pd.concat([part[~is_part], summed], ignore_index=True)
         # vectorized best-kind-per-pair across the whole partition
         part = part.assign(_p=part["kind"].map(prio)) \
                    .sort_values(["a", "b", "_p", "jaccard"],
@@ -347,7 +373,7 @@ def dedup_pipeline(pages_ds, cfg: PipelineConfig | None = None,
     n_candidates = cand.count()                    # metadata (materialized)
     mark("candidates")
     e_near = verify_candidates(cand, sig, cfg, n_pairs=n_candidates)
-    edges = union_edges(e_doc, e_sub, e_near)
+    edges = union_edges(e_doc, e_sub, e_near, cfg=cfg)
     edges = ck.materialize("edges", edges) if ck.enabled else edges.materialize()
     n_edges = edges.count()                        # metadata (materialized)
     mark("edges")

@@ -140,7 +140,8 @@ def dedup_increment(prev_sig, prev_edges, new_pages_ds,
     cand = lsh_candidates(sig_all, cfg, prefilter_bands=bk_ref).materialize()
     e_near = verify_candidates(cand, sig_all, cfg, n_pairs=cand.count())
 
-    edges = union_edges(prev_edges, e_doc, e_sub, e_near).materialize()
+    edges = union_edges(prev_edges, e_doc, e_sub, e_near,
+                        cfg=cfg).materialize()
     n_edges = edges.count()
     clusters = resolve_components(edges, sig_all, cfg, n_edges=n_edges) \
         .materialize()

@@ -102,7 +102,10 @@ def chunk_exact_edges(sig_ds, cfg: PipelineConfig, prefilter_hashes=None):
 
     explode → groupby(chunk_hash) star pairs (dedup per group first: a doc
     repeating a chunk internally — J3's in-segment self-dedup analog — counts
-    once) → groupby(a,b) sum shared bytes → filter ≥ substring_min_bytes.
+    once) → map-side combine per (a,b) → PARTIAL rows (kind
+    "substring_part"); the global per-pair sum and the
+    ≥ substring_min_bytes/chunks filter happen inside union_edges's (a,b)
+    shuffle (one exchange instead of two).
     Only multi-chunk docs participate: a single-chunk doc identical to part
     of another is still caught because its whole text IS one chunk.
 
@@ -126,7 +129,7 @@ def chunk_exact_edges(sig_ds, cfg: PipelineConfig, prefilter_hashes=None):
 
     group_cap = cfg.bucket_cap
 
-    def pairs_bytes(part: pd.DataFrame) -> pd.DataFrame:
+    def pairs_bytes(part: pd.DataFrame) -> pa.Table:
         # vectorized over ALL chunk-hash groups in the partition; one row per
         # (chunk_hash, rank) — a doc repeating a chunk internally counts once
         # (J3 in-segment self-dedup analog)
@@ -155,34 +158,24 @@ def chunk_exact_edges(sig_ds, cfg: PipelineConfig, prefilter_hashes=None):
             out_a.append(rs[ai[nonstar]])
             out_b.append(rs[bi[nonstar]])
             out_s.append(np.full(nonstar.sum(), ln[s_idx], dtype=np.int64))
-        return pd.DataFrame({"a": np.concatenate(out_a),
-                             "b": np.concatenate(out_b),
-                             "shared": np.concatenate(out_s)})
-
-    def sum_shared(part: pd.DataFrame) -> pd.DataFrame:
-        # partition-level pandas agg (Ray's multi-key .aggregate() is
-        # per-group Python — unusable at chunk-pair cardinality)
-        out = part.groupby(["a", "b"], as_index=False, sort=False).agg(
-            shared_bytes=("shared", "sum"), shared_chunks=("shared", "size"))
-        return out.astype({"a": np.int64, "b": np.int64,
-                           "shared_bytes": np.int64, "shared_chunks": np.int64})
-
-    pair_bytes = grouped_partitions(
-        grouped_partitions(chunks, ["chunk_hash"], pairs_bytes),
-        ["a", "b"], sum_shared)
-
-    def finalize(t: pa.Table) -> pa.Table:
-        t = t.replace_schema_metadata(None)
-        import pyarrow.compute as pc
-        keep = pc.and_(
-            pc.greater_equal(t["shared_bytes"], cfg.substring_min_bytes),
-            pc.greater_equal(t["shared_chunks"], cfg.substring_min_chunks))
-        t = t.filter(keep)
+        # map-side combine per (a,b) WITHIN this chunk-hash partition: the
+        # per-pair global sum + threshold filter runs inside union_edges's
+        # (a,b) shuffle — fusing what used to be a second full sort barrier
+        # keyed on the same (a,b) into the one exchange every edge already
+        # pays for. Emitted as kind="substring_part" PARTIALS.
+        out = pd.DataFrame({"a": np.concatenate(out_a),
+                            "b": np.concatenate(out_b),
+                            "shared": np.concatenate(out_s)}) \
+            .groupby(["a", "b"], as_index=False, sort=False) \
+            .agg(shared_bytes=("shared", "sum"),
+                 shared_chunks=("shared", "size"))
+        n = len(out)
         return pa.table({
-            "a": t["a"], "b": t["b"],
-            "kind": pa.array(["substring"] * len(t), pa.string()),
-            "jaccard": pa.array([0.0] * len(t), pa.float64()),
-            "shared_bytes": t["shared_bytes"],
-        })
+            "a": pa.array(out["a"].to_numpy(dtype=np.int64)),
+            "b": pa.array(out["b"].to_numpy(dtype=np.int64)),
+            "kind": pa.array(["substring_part"] * n, pa.string()),
+            "jaccard": pa.array(np.zeros(n, np.float64)),
+            "shared_bytes": pa.array(out["shared_bytes"].to_numpy(dtype=np.int64)),
+            "shared_chunks": pa.array(out["shared_chunks"].to_numpy(dtype=np.int64))})
 
-    return pair_bytes.map_batches(finalize, batch_format="pyarrow")
+    return grouped_partitions(chunks, ["chunk_hash"], pairs_bytes)
