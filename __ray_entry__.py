@@ -637,6 +637,82 @@ def q_dup_gain_by_source(sf_dir: str):
     return agg.map_batches(rn, batch_format="pyarrow")
 
 
+def _archive_result(sf_dir: str):
+    from pcompress_ray.config import PipelineConfig
+    from pcompress_ray.pipelines.archive import archive_write
+    from pcompress_ray.sources.corpus import pages_from_documents
+
+    _setup()
+    return archive_write(pages_from_documents(sf_dir), PipelineConfig(),
+                         text_col="text")
+
+
+def q_archive_stats(sf_dir: str):
+    """Dedup-compressed archive statistics (A4 analog, pcompress.c:175-195 +
+    adaptive per-algo chunk counts adaptive_compress.c:130-159): one row per
+    codec chosen by the adaptive selector over the documents table, plus the
+    store-wide byte accounting. Deterministic (stdlib codecs are)."""
+    res = _archive_result(sf_dir)
+    m = res.metrics
+    codecs = sorted(m["codec_chunks"])
+    return pd.DataFrame({
+        "codec": codecs,
+        "n_chunks": [m["codec_chunks"][c] for c in codecs],
+        "stored_bytes": [m["codec_stored_bytes"][c] for c in codecs],
+    })
+
+
+def q_archive_roundtrip(sf_dir: str):
+    """End-to-end archive integrity: write the dedup-compressed archive of
+    the documents table, restore it, and report doc/verify counts (the
+    reference's decompress-verify path, pcompress.c:519-615). A mismatch
+    between n_docs and n_sha_ok would mean a chunk-identity collision or a
+    reassembly bug."""
+    import pyarrow.compute as pc
+
+    from pcompress_ray.config import PipelineConfig
+    from pcompress_ray.pipelines.archive import archive_restore
+
+    res = _archive_result(sf_dir)
+    restored = archive_restore(res.store, res.manifest, PipelineConfig())
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        ok = int(pc.sum(t["sha_ok"].cast(pa.int64())).as_py() or 0)
+        return pa.table({"n_docs": pa.array([len(t)], pa.int64()),
+                         "n_sha_ok": pa.array([ok], pa.int64())})
+
+    s = restored.map_batches(partial, batch_format="pyarrow").to_pandas().sum()
+    return pd.DataFrame({
+        "n_docs": [int(s["n_docs"])],
+        "n_sha_ok": [int(s["n_sha_ok"])],
+        "n_unique_chunks": [int(res.metrics["n_unique_chunks"])],
+        "dedup_gain_bytes": [int(res.metrics["dedup_gain_bytes"])],
+    })
+
+
+def q_delta_gain(sf_dir: str):
+    """Similarity-delta savings per dedup cluster member (DELTA refs /
+    bspatch analog, rabin/rabin_dedup.c:1300-1346): run near-dup clustering,
+    delta-encode every non-canonical member against its canonical, and
+    report per-member byte savings. delta_len == -1 marks members the gain
+    gate keeps whole."""
+    from pcompress_ray.config import PipelineConfig
+    from pcompress_ray.sources.corpus import pages_from_documents
+    from pcompress_ray.stages.delta import delta_encode_members
+
+    res = _dedup_clusters(sf_dir)
+
+    def add_rank(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        return t.append_column("rank", t["doc_id"].cast(pa.int64()))
+
+    pages = pages_from_documents(sf_dir).map_batches(
+        add_rank, batch_format="pyarrow")
+    out = delta_encode_members(res.clusters, pages, PipelineConfig())
+    return out.select_columns(["rank", "base_rank", "orig_len", "delta_len"])
+
+
 def q_corpus_sample(sf_dir: str):
     """Deterministic hash-based corpus subsample (~1/8): keep docs whose
     text-md5 first byte < 0x20. The training-data sampling primitive —
@@ -1241,6 +1317,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup": q_events_rollup,
         "lang_token_diversity": q_lang_token_diversity,
         "lang_length_quantiles": q_lang_length_quantiles,
+        "archive_stats": q_archive_stats,
+        "archive_roundtrip": q_archive_roundtrip,
+        "delta_gain": q_delta_gain,
     }
 
 

@@ -94,6 +94,47 @@ def cmd_analyze(args) -> int:
     return 0
 
 
+def cmd_archive(args) -> int:
+    """Build the dedup-compressed archive (store/ + manifest/ + metrics)."""
+    import ray.data as rd
+
+    from pcompress_ray.config import PipelineConfig
+    from pcompress_ray.pipelines.archive import archive_write, write_archive
+
+    _init_ray(args.num_cpus)
+    pages = _ensure_rank(rd.read_parquet(args.input))
+    res = archive_write(pages, PipelineConfig(), text_col=args.text_col)
+    out = write_archive(res, args.output)
+    print(json.dumps({"output": out, **res.metrics}))
+    return 0
+
+
+def cmd_restore(args) -> int:
+    """Restore documents byte-identically from an archive directory."""
+    from pcompress_ray.config import PipelineConfig
+    from pcompress_ray.pipelines.archive import archive_restore, read_archive
+
+    _init_ray(args.num_cpus)
+    store, manifest = read_archive(args.input)
+    restored = archive_restore(store, manifest, PipelineConfig())
+    restored.write_parquet(args.output)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        ok = int(pc.sum(t["sha_ok"].cast(pa.int64())).as_py() or 0)
+        return pa.table({"n": pa.array([len(t)], pa.int64()),
+                         "ok": pa.array([ok], pa.int64())})
+
+    import ray.data as rd
+
+    s = rd.read_parquet(args.output) \
+        .map_batches(partial, batch_format="pyarrow").to_pandas().sum()
+    print(json.dumps({"output": args.output, "n_docs": int(s["n"]),
+                      "n_sha_ok": int(s["ok"])}))
+    return 0 if int(s["n"]) == int(s["ok"]) else 1
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="pcompress_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -116,6 +157,19 @@ def main(argv=None) -> int:
     a.add_argument("--output", required=True)
     a.add_argument("--num-cpus", type=int, default=None)
     a.set_defaults(fn=cmd_analyze)
+
+    ar = sub.add_parser("archive", help="dedup-compressed archive build")
+    ar.add_argument("--input", required=True)
+    ar.add_argument("--output", required=True)
+    ar.add_argument("--text-col", default="text")
+    ar.add_argument("--num-cpus", type=int, default=None)
+    ar.set_defaults(fn=cmd_archive)
+
+    rs = sub.add_parser("restore", help="byte-identical archive restore")
+    rs.add_argument("--input", required=True, help="archive dir (store/+manifest/)")
+    rs.add_argument("--output", required=True)
+    rs.add_argument("--num-cpus", type=int, default=None)
+    rs.set_defaults(fn=cmd_restore)
 
     args = p.parse_args(argv)
     rc = args.fn(args)

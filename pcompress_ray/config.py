@@ -91,6 +91,16 @@ class PipelineConfig:
     # results (parallelism-invariance holds either way).
     locality_sort: bool = False
 
+    # Archive (M10/M11 analogs — pipelines/archive.py): adaptive per-chunk
+    # codec selection mirrors adaptive_compress.c:324-430 with the stdlib
+    # stand-ins lzma (PPMD/LZMA slot, text) and zlib (Zstd slot, binary);
+    # a chunk whose compressed form is not smaller is stored raw ("none" —
+    # the LZ4-for-incompressible slot + the per-chunk gain gate).
+    archive_codec_text: str = "lzma"
+    archive_codec_binary: str = "zlib"
+    archive_lzma_preset: int = 1           # throughput preset (knob, not semantics)
+    archive_store_buckets: int = 64        # chunk-store hash partitions (resume unit)
+
     # Execution
     batch_size: int = 256                  # rows per batch for heavy text stages
     sig_concurrency: int | tuple = 8       # actor pool size for the signature stage
@@ -121,6 +131,10 @@ class PipelineConfig:
         d["verify_broadcast_bytes"] = None
         d["min_gain_ratio"] = None
         d["locality_sort"] = None
+        # archive knobs key archive outputs, not dedup checkpoints
+        for k in ("archive_codec_text", "archive_codec_binary",
+                  "archive_lzma_preset", "archive_store_buckets"):
+            d[k] = None
         s = json.dumps(d, sort_keys=True, default=str)
         return hashlib.sha256(s.encode()).hexdigest()[:16]
 

@@ -1,0 +1,366 @@
+"""Dedup-compressed archive: unique CDC chunks stored once, restored
+byte-identically — the Ray Data analog of what pcompress actually ships.
+
+Reference parity:
+- dedupe_compress packs unique chunk bytes + backward refs into the stream
+  (rabin/rabin_dedup.c:1250-1521); here the "stream" is two partitioned
+  Parquet tables — a chunk STORE (chunk_hash → codec, payload) and a doc
+  MANIFEST (rank, url, sha, ordered chunk_hash list), which is the
+  table-shaped equivalent of refs-into-the-chunk-store.
+- adaptive per-chunk codec + gain gate (adaptive_compress.c:324-430,
+  rabin/rabin_dedup.c:1250-1257) via stages/compress.py (M10/M11).
+- decode side dedupe_decompress rebuilds bytes from literal/ref runs in
+  strict order (rabin/rabin_dedup.c:1552-1723, pcompress.c:519-837);
+  archive_restore is the same join-then-ordered-reassembly, with the
+  per-doc SHA-256 verify standing in for the reference's chunk CRC/HMAC.
+- compression statistics (A4, pcompress.c:175-195; adaptive per-algo chunk
+  counts adaptive_compress.c:130-159) in ArchiveResult.metrics.
+
+Scale shape (the part that must survive 100 TB):
+- Owner election shuffles chunk METADATA only (~24 B/chunk), never
+  payloads: explode (rank, seq, chunk_hash, off, len) → hash-partition by
+  chunk_hash → first (rank, seq) per hash wins.
+- Each unique chunk's payload crosses the wire exactly once, sliced from
+  its owner document after a rank-keyed hash join — total payload traffic
+  is the UNIQUE byte count, not the corpus byte count.
+- Store and manifest are partitioned Parquet directories; a failed write
+  resumes per Ray output file. Restore is one chunk_hash join + one
+  rank-grouped reassembly; decompression is per-chunk and embarrassingly
+  parallel.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from pcompress_ray.config import PipelineConfig
+from pcompress_ray.stages.cdc import CDCChunker
+from pcompress_ray.stages.compress import decompress_chunk, select_and_compress
+from pcompress_ray.stages.exact import add_text_sha
+
+
+@dataclass
+class ArchiveResult:
+    store: "ray.data.Dataset"      # chunk_hash, codec, payload, orig_len
+    manifest: "ray.data.Dataset"   # rank, url, n_bytes, text_sha256, chunk lists
+    metrics: dict
+
+
+MANIFEST_COLUMNS = ["rank", "url", "n_bytes", "text_sha256",
+                    "n_chunks", "chunk_hashes", "chunk_lengths"]
+
+
+def _chunk_pages(pages_ds, cfg: PipelineConfig, text_col: str):
+    """pages → per-doc chunk lists + byte count + doc SHA (manifest shape)."""
+
+    def stage(t: pa.Table) -> pa.Table:
+        t = add_text_sha(t.replace_schema_metadata(None), text_col=text_col)
+        t = CDCChunker(cfg, text_col=text_col, mode=cfg.chunker)(t)
+        import pyarrow.compute as pc
+        nb = pc.binary_length(t[text_col].cast(pa.binary())).cast(pa.int64())
+        return t.append_column("n_bytes", nb)
+
+    return pages_ds.map_batches(stage, batch_format="pyarrow",
+                                batch_size=cfg.batch_size)
+
+
+def _explode_meta(chunked_ds, extra_cols: list[str] | None = None):
+    """One row per chunk occurrence: (rank, seq, chunk_hash, off, length)
+    [+ extra doc-level columns repeated per chunk]. Zero-chunk docs emit
+    nothing — the caller unions them back (restore) or ignores them (write:
+    an empty doc has no payload)."""
+    extra = extra_cols or []
+
+    def explode(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        t = t.replace_schema_metadata(None)
+        ranks = t["rank"].to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = pc.list_value_length(t["chunk_hashes"]).fill_null(0) \
+                   .to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = pc.list_flatten(t["chunk_lengths"]) \
+                 .to_numpy(zero_copy_only=False).astype(np.int64)
+        total = int(counts.sum())
+        first_flat = np.cumsum(counts) - counts          # doc's first flat idx
+        flat = np.arange(total, dtype=np.int64)
+        seq = flat - np.repeat(first_flat, counts)
+        pre = np.concatenate([[0], np.cumsum(lens)])     # bytes before chunk i
+        off = pre[flat] - np.repeat(pre[first_flat], counts)
+        cols = {
+            "rank": pa.array(np.repeat(ranks, counts)),
+            "seq": pa.array(seq),
+            "chunk_hash": pc.list_flatten(t["chunk_hashes"]),
+            "off": pa.array(off.astype(np.int64)),
+            "length": pa.array(lens),
+        }
+        for c in extra:
+            cols[c] = t[c].take(np.repeat(np.arange(len(t)), counts))
+        return pa.table(cols)
+
+    keep = ["rank", "chunk_hashes", "chunk_lengths"] + extra
+    return chunked_ds.select_columns(keep) \
+                     .map_batches(explode, batch_format="pyarrow")
+
+
+def _elect_owners(meta_ds, cfg: PipelineConfig):
+    """First occurrence (min rank, then min seq) per chunk_hash — the
+    backward-ref direction invariant (all refs point to earlier stream
+    positions, rabin/rabin_dedup.c:830-873) restated over the explicit
+    ``rank`` order so results are parallelism-invariant."""
+    from pcompress_ray.functions.ops import grouped_partitions
+
+    def first_per_hash(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["chunk_hash", "rank", "seq"])
+        keep = part.drop_duplicates(["chunk_hash"], keep="first")
+        return pd.DataFrame({
+            "chunk_hash": keep["chunk_hash"].to_numpy(dtype=np.uint64),
+            "owner_rank": keep["rank"].to_numpy(dtype=np.int64),
+            "off": keep["off"].to_numpy(dtype=np.int64),
+            "length": keep["length"].to_numpy(dtype=np.int64),
+        })
+
+    return grouped_partitions(meta_ds, ["chunk_hash"], first_per_hash,
+                              n_parts=cfg.archive_store_buckets)
+
+
+def archive_write(pages_ds, cfg: PipelineConfig | None = None,
+                  text_col: str = "text") -> ArchiveResult:
+    """Build the dedup-compressed archive tables from a pages Dataset.
+
+    pages_ds must carry (url:string, <text_col>:string) and may carry a
+    unique int64 ``rank`` (assigned by url order when absent).
+    Returns materialized store + manifest Datasets and A3/A4 metrics.
+    """
+    cfg = cfg or PipelineConfig()
+
+    if "rank" not in pages_ds.schema().names:
+        from pcompress_ray.functions.ops import zip_with_rank
+
+        pages_ds = zip_with_rank(pages_ds, "url")
+
+    chunked = _chunk_pages(pages_ds, cfg, text_col).materialize()
+    manifest = chunked.select_columns(MANIFEST_COLUMNS).materialize()
+
+    meta = _explode_meta(chunked)
+    owners = _elect_owners(meta, cfg)
+
+    from pcompress_ray.functions.ops import hash_join
+
+    texts = chunked.select_columns(["rank", text_col])
+    j = hash_join(owners, texts, left_on="owner_rank", right_on="rank",
+                  n_buckets=cfg.archive_store_buckets)
+
+    codec_text, codec_binary = cfg.archive_codec_text, cfg.archive_codec_binary
+    preset = cfg.archive_lzma_preset
+
+    def build_store(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        # group this batch's rows by owner so each owner doc is encoded once
+        import pyarrow.compute as pc
+        t = t.take(pc.sort_indices(t, sort_keys=[("owner_rank", "ascending")]))
+        hashes = t["chunk_hash"].to_numpy(zero_copy_only=False)
+        offs = t["off"].to_numpy(zero_copy_only=False)
+        lens = t["length"].to_numpy(zero_copy_only=False)
+        txt = t[text_col].to_pylist()
+        ranks = t["owner_rank"].to_numpy(zero_copy_only=False)
+        codecs: list[str] = []
+        payloads: list[bytes] = []
+        enc_cache: tuple[int, bytes] = (-1, b"")  # rows arrive grouped by owner
+        for i in range(len(t)):
+            r = int(ranks[i])
+            if enc_cache[0] != r:
+                enc_cache = (r, (txt[i] or "").encode("utf-8", "surrogatepass"))
+            data = enc_cache[1][int(offs[i]):int(offs[i]) + int(lens[i])]
+            codec, payload = select_and_compress(
+                data, codec_text, codec_binary, preset=preset)
+            codecs.append(codec)
+            payloads.append(payload)
+        return pa.table({
+            "chunk_hash": pa.array(hashes.astype(np.uint64)),
+            "codec": pa.array(codecs, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "orig_len": pa.array(lens.astype(np.int64)),
+        })
+
+    store = j.map_batches(build_store, batch_format="pyarrow",
+                          batch_size=cfg.batch_size).materialize()
+
+    # ---- A3/A4 statistics: tiny per-batch partials, summed on the driver ----
+    def store_partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        t = t.replace_schema_metadata(None)
+        df = pd.DataFrame({
+            "codec": t["codec"].to_pandas(),
+            "stored": pc.binary_length(t["payload"]).to_numpy(zero_copy_only=False),
+            "orig": t["orig_len"].to_numpy(zero_copy_only=False)})
+        g = df.groupby("codec", as_index=False).agg(
+            n_chunks=("codec", "size"), stored_bytes=("stored", "sum"),
+            unique_bytes=("orig", "sum"))
+        return pa.table({
+            "codec": pa.array(g["codec"].astype(str), pa.string()),
+            "n_chunks": pa.array(g["n_chunks"].to_numpy(np.int64)),
+            "stored_bytes": pa.array(g["stored_bytes"].to_numpy(np.int64)),
+            "unique_bytes": pa.array(g["unique_bytes"].to_numpy(np.int64))})
+
+    per_codec = store.map_batches(store_partial, batch_format="pyarrow") \
+        .to_pandas().groupby("codec", as_index=False).sum()
+
+    def manifest_partial(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        return pa.table({
+            "n_docs": pa.array([len(t)], pa.int64()),
+            "orig_bytes": pa.array(
+                [int(t["n_bytes"].to_numpy(zero_copy_only=False).sum())]
+                if len(t) else [0], pa.int64()),
+            "n_chunks": pa.array(
+                [int(t["n_chunks"].to_numpy(zero_copy_only=False)
+                     .astype(np.int64).sum())] if len(t) else [0], pa.int64())})
+
+    mp = manifest.map_batches(manifest_partial, batch_format="pyarrow") \
+        .to_pandas().sum()
+
+    n_unique = int(per_codec["n_chunks"].sum())
+    unique_bytes = int(per_codec["unique_bytes"].sum())
+    stored_bytes = int(per_codec["stored_bytes"].sum())
+    orig_bytes = int(mp["orig_bytes"])
+    # A3 gain gate signal: the reference abandons dedup when matched bytes
+    # don't cover the index overhead (~16 B per unique chunk index entry).
+    dedup_gain = orig_bytes - unique_bytes
+    metrics = {
+        "n_docs": int(mp["n_docs"]),
+        "n_chunks": int(mp["n_chunks"]),
+        "n_unique_chunks": n_unique,
+        "orig_bytes": orig_bytes,
+        "unique_bytes": unique_bytes,
+        "stored_bytes": stored_bytes,
+        "dedup_gain_bytes": dedup_gain,
+        "compress_gain_bytes": unique_bytes - stored_bytes,
+        "dedup_ratio": (orig_bytes / unique_bytes) if unique_bytes else 1.0,
+        "overall_ratio": (orig_bytes / stored_bytes) if stored_bytes else 1.0,
+        "dedup_worth_it": bool(dedup_gain >= 16 * n_unique),
+        "codec_chunks": {r.codec: int(r.n_chunks)
+                         for r in per_codec.itertuples()},
+        "codec_stored_bytes": {r.codec: int(r.stored_bytes)
+                               for r in per_codec.itertuples()},
+        "config_hash": cfg.config_hash(),
+    }
+    return ArchiveResult(store=store, manifest=manifest, metrics=metrics)
+
+
+def archive_restore(store_ds, manifest_ds, cfg: PipelineConfig | None = None):
+    """Rebuild (rank, url, text, sha_ok) from store + manifest.
+
+    sha_ok is the per-doc SHA-256 verify (the reference verifies chunk
+    checksums on decompress, pcompress.c:519-615); a False means a 64-bit
+    chunk-identity collision or a corrupted store partition.
+    """
+    cfg = cfg or PipelineConfig()
+
+    from pcompress_ray.functions.ops import grouped_partitions, hash_join
+
+    ex = _explode_meta(manifest_ds, extra_cols=["url", "text_sha256"])
+    j = hash_join(ex.select_columns(
+        ["rank", "seq", "chunk_hash", "url", "text_sha256"]),
+        store_ds, left_on="chunk_hash", right_on="chunk_hash",
+        n_buckets=cfg.archive_store_buckets)
+
+    def decompress(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        codecs = t["codec"].to_pylist()
+        payloads = t["payload"].to_pylist()
+        pieces = [decompress_chunk(p, c) for p, c in zip(payloads, codecs)]
+        return pa.table({
+            "rank": t["rank"].cast(pa.int64()),
+            "seq": t["seq"].cast(pa.int64()),
+            "url": t["url"].cast(pa.string()),
+            "text_sha256": t["text_sha256"].cast(pa.string()),
+            "piece": pa.array(pieces, pa.binary()),
+        })
+
+    dec = j.map_batches(decompress, batch_format="pyarrow",
+                        batch_size=cfg.batch_size)
+
+    def reassemble(part: pd.DataFrame) -> pd.DataFrame:
+        if len(part) == 0:
+            return pd.DataFrame({"rank": pd.Series([], dtype=np.int64),
+                                 "url": pd.Series([], dtype=object),
+                                 "text": pd.Series([], dtype=object),
+                                 "sha_ok": pd.Series([], dtype=bool)})
+        part = part.sort_values(["rank", "seq"])
+        ranks = part["rank"].to_numpy(dtype=np.int64)
+        first = np.ones(ranks.size, dtype=bool)
+        first[1:] = ranks[1:] != ranks[:-1]
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], ranks.size)
+        pieces = part["piece"].tolist()
+        urls = part["url"].tolist()
+        shas = part["text_sha256"].tolist()
+        out = {"rank": [], "url": [], "text": [], "sha_ok": []}
+        for s, e in zip(starts, ends):
+            data = b"".join(pieces[s:e])
+            out["rank"].append(int(ranks[s]))
+            out["url"].append(urls[s])
+            out["text"].append(data.decode("utf-8", "surrogatepass"))
+            out["sha_ok"].append(
+                hashlib.sha256(data).hexdigest() == shas[s])
+        return pd.DataFrame({"rank": pd.Series(out["rank"], dtype=np.int64),
+                             "url": out["url"], "text": out["text"],
+                             "sha_ok": np.asarray(out["sha_ok"], dtype=bool)})
+
+    docs = grouped_partitions(dec, ["rank"], reassemble,
+                              n_parts=cfg.archive_store_buckets)
+
+    # zero-chunk docs have no exploded rows: union them back as empty texts
+    import pyarrow.compute as pc
+    empty_sha = hashlib.sha256(b"").hexdigest()
+
+    def empties(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        t = t.filter(pc.equal(t["n_chunks"].cast(pa.int64()), 0))
+        n = len(t)
+        ok = pc.equal(t["text_sha256"], empty_sha)
+        return pa.table({
+            "rank": t["rank"].cast(pa.int64()),
+            "url": t["url"].cast(pa.string()),
+            "text": pa.array([""] * n, pa.string()),
+            "sha_ok": ok.cast(pa.bool_()),
+        })
+
+    def norm(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        return pa.table({"rank": t["rank"].cast(pa.int64()),
+                         "url": t["url"].cast(pa.string()),
+                         "text": t["text"].cast(pa.string()),
+                         "sha_ok": t["sha_ok"].cast(pa.bool_())})
+
+    return docs.map_batches(norm, batch_format="pyarrow").union(
+        manifest_ds.map_batches(empties, batch_format="pyarrow"))
+
+
+def write_archive(res: ArchiveResult, out_dir: str) -> str:
+    """Partitioned Parquet archive on disk (S5 writer analog): store/ and
+    manifest/ directories (per-partition files, safe to re-run) +
+    metrics.json."""
+    import json
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    res.store.write_parquet(os.path.join(out_dir, "store"))
+    res.manifest.write_parquet(os.path.join(out_dir, "manifest"))
+    with open(os.path.join(out_dir, "metrics.json"), "w") as f:
+        json.dump(res.metrics, f, indent=1, default=str)
+    return out_dir
+
+
+def read_archive(out_dir: str):
+    """(store_ds, manifest_ds) back from ``write_archive`` output."""
+    import os
+
+    import ray.data as rd
+
+    return (rd.read_parquet(os.path.join(out_dir, "store")),
+            rd.read_parquet(os.path.join(out_dir, "manifest")))

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-_SLOTS = ("chunker", "signature", "verifier", "components")
+_SLOTS = ("chunker", "signature", "verifier", "components", "codec")
 _REGISTRY: dict[str, dict[str, Callable]] = {s: {} for s in _SLOTS}
 
 
@@ -81,3 +81,24 @@ def _min_label_components(cfg):
     from pcompress_ray.pipelines.dedup import resolve_components
 
     return resolve_components
+
+
+def _codec_factory(name):
+    def factory(cfg):
+        from pcompress_ray.stages.compress import compress_chunk, decompress_chunk
+
+        preset = cfg.archive_lzma_preset
+
+        def pair():
+            return (lambda d: compress_chunk(d, name, preset=preset),
+                    lambda d: decompress_chunk(d, name))
+
+        return pair()
+
+    return factory
+
+
+# M10 analog: one uniform (compress, decompress) pair per codec name
+# (pcompress.h:126-314's *_compress/_decompress vtable).
+for _name in ("none", "zlib", "bz2", "lzma"):
+    register("codec", _name)(_codec_factory(_name))

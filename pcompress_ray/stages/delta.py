@@ -1,0 +1,216 @@
+"""Similarity-delta encoding: near-duplicate documents stored as
+copy/literal deltas against their cluster canonical.
+
+The reference's similarity dedup emits DELTA backward refs — a similar
+chunk is bsdiff'd against its matched base and decode applies bspatch
+(rabin/rabin_dedup.c:846-929 similarity match path, delta ref emission
+:1300-1346, bspatch on decode :1678-1708). This module is the document-level
+analog built on machinery we already trust:
+
+- ``delta_encode(base, target)``: encode ``target`` as a sequence of
+  COPY(base_off, len) / LITERAL(bytes) ops. Copy anchors come from
+  ``stages.suffix.shared_spans`` (CDC-anchored maximal shared spans, byte
+  verified) — the same spans the substring stage reports, so the encoder
+  inherits its correctness argument. Greedy left-to-right selection over
+  the target; overlapping anchors are trimmed, never dropped.
+- ``delta_decode(base, delta)``: apply the ops — pure concatenation, no
+  searching, mirroring bspatch's role (decode is cheap, encode does the
+  work).
+- ``delta_encode_members``: pipeline stage — for every non-canonical
+  member of a dedup cluster, fetch the canonical's text via one
+  rank-keyed hash join and emit (rank, base_rank, delta, delta_len,
+  orig_len) for members whose delta actually saves bytes (gain gate,
+  A3 analog); others pass through with a null delta.
+
+Wire format (little-endian): repeated ops
+  0x00 <u32 len> <len literal bytes>
+  0x01 <u32 len> <u64 base_off>
+Decoded length is the sum of op lens; no header needed.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from pcompress_ray.config import PipelineConfig
+
+_LIT = 0
+_CPY = 1
+# format strings, not precompiled struct.Struct objects: this module travels
+# to Ray workers pickled BY VALUE (runtime.register_for_ray), and
+# _struct.Struct instances are unpicklable
+_FMT_LIT = "<BI"
+_FMT_CPY = "<BIQ"
+_LIT_SIZE = struct.calcsize(_FMT_LIT)
+_CPY_SIZE = struct.calcsize(_FMT_CPY)
+
+
+def _lcs_spans(a: bytes, b: bytes, a0: int, b0: int,
+               out: list, min_copy: int, depth: int) -> None:
+    """Divide-and-conquer common spans via the suffix stage's exact LCS:
+    anchor on the longest common substring, recurse left and right of it.
+    Used when documents are too short for CDC anchors."""
+    if len(a) < min_copy or len(b) < min_copy or depth > 16:
+        return
+    from pcompress_ray.stages.suffix import lcs_with_offsets
+
+    ln, ia, ib = lcs_with_offsets(a, b)
+    if ln < min_copy:
+        return
+    out.append((a0 + ia, b0 + ib, ln))
+    _lcs_spans(a[:ia], b[:ib], a0, b0, out, min_copy, depth + 1)
+    _lcs_spans(a[ia + ln:], b[ib + ln:], a0 + ia + ln, b0 + ib + ln,
+               out, min_copy, depth + 1)
+
+
+def delta_encode(base: bytes, target: bytes, min_block: int = 1024,
+                 max_block: int = 65536, min_copy: int = 64) -> bytes:
+    """Copy/literal delta of ``target`` against ``base``.
+
+    ``min_copy``: spans shorter than this stay literal (a copy op costs 13
+    bytes; tiny copies also fragment the decode). Always round-trips:
+    ``delta_decode(base, delta_encode(base, t)) == t`` for any inputs.
+    """
+    spans = []
+    if base and target:
+        from pcompress_ray.stages.suffix import shared_spans
+
+        spans = shared_spans(base, target, min_block, max_block)
+        if not spans:
+            # documents shorter than the CDC candidate spacing (~1 KiB)
+            # produce no chunk anchors; recurse on the exact LCS instead
+            # (divide-and-conquer diff — each level splits around the
+            # longest verified common substring)
+            _lcs_spans(base, target, 0, 0, spans, min_copy, 0)
+    # greedy left-to-right over the TARGET: spans sorted by b_off; trim
+    # overlap with what's already covered, keep if the remainder is still
+    # worth a copy op
+    spans.sort(key=lambda s: s[1])
+    out = bytearray()
+    cursor = 0
+    n = len(target)
+
+    def emit_literal(lo: int, hi: int):
+        while lo < hi:
+            ln = min(hi - lo, 0xFFFFFFFF)
+            out.extend(struct.pack(_FMT_LIT, _LIT, ln))
+            out.extend(target[lo:lo + ln])
+            lo += ln
+
+    for a_off, b_off, ln in spans:
+        if b_off + ln <= cursor:
+            continue
+        if b_off < cursor:                      # trim the already-covered head
+            a_off += cursor - b_off
+            ln -= cursor - b_off
+            b_off = cursor
+        if ln < min_copy:
+            continue
+        emit_literal(cursor, b_off)
+        out.extend(struct.pack(_FMT_CPY, _CPY, ln, a_off))
+        cursor = b_off + ln
+    emit_literal(cursor, n)
+    return bytes(out)
+
+
+def delta_decode(base: bytes, delta: bytes) -> bytes:
+    """Apply a delta — sequential literal copies + base slices (bspatch
+    analog: no searching on decode)."""
+    out = bytearray()
+    i = 0
+    n = len(delta)
+    while i < n:
+        tag = delta[i]
+        if tag == _LIT:
+            _, ln = struct.unpack_from(_FMT_LIT, delta, i)
+            i += _LIT_SIZE
+            out.extend(delta[i:i + ln])
+            i += ln
+        elif tag == _CPY:
+            _, ln, off = struct.unpack_from(_FMT_CPY, delta, i)
+            i += _CPY_SIZE
+            out.extend(base[off:off + ln])
+        else:
+            raise ValueError(f"bad delta op tag {tag}")
+    return bytes(out)
+
+
+def delta_encode_members(clusters_ds, pages_ds, cfg: PipelineConfig | None = None,
+                         text_col: str = "text",
+                         max_delta_ratio: float = 0.5):
+    """Delta-encode every non-canonical cluster member against its canonical.
+
+    clusters_ds: (rank, cluster_id, is_canonical) — ``cluster_id`` is the
+    canonical member's rank (resolve_components emits min-rank labels).
+    pages_ds: (rank, <text_col>).
+
+    Emits one row per non-canonical member:
+      (rank, base_rank, orig_len, delta_len, delta (binary, null when the
+       delta exceeds ``max_delta_ratio`` × orig_len — the gain gate: such
+       members are cheaper stored whole)).
+
+    Scale shape: two rank-keyed hash joins (member text, canonical text);
+    canonical texts travel once per member — the same fan-out the
+    reference's delta path pays reading the base chunk per ref.
+    """
+    cfg = cfg or PipelineConfig()
+
+    import pyarrow.compute as pc
+
+    from pcompress_ray.functions.ops import hash_join
+
+    members = clusters_ds.map_batches(
+        lambda t: t.replace_schema_metadata(None).filter(
+            pc.invert(t["is_canonical"].cast(pa.bool_()))
+        ).select(["rank", "cluster_id"]),
+        batch_format="pyarrow")
+
+    texts = pages_ds.select_columns(["rank", text_col])
+    j1 = hash_join(members, texts, left_on="rank", right_on="rank",
+                   n_buckets=cfg.join_buckets)
+
+    def rn(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        return pa.table({
+            "rank": t["rank"].cast(pa.int64()),
+            "base_rank": t["cluster_id"].cast(pa.int64()),
+            "member_text": t[text_col].cast(pa.string())})
+
+    j2 = hash_join(j1.map_batches(rn, batch_format="pyarrow"), texts,
+                   left_on="base_rank", right_on="rank",
+                   n_buckets=cfg.join_buckets)
+
+    min_block, max_block = cfg.min_block_size, cfg.max_block_size
+
+    def encode(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        ranks = t["rank"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bases = t["base_rank"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mtexts = t["member_text"].to_pylist()
+        btexts = t[text_col].to_pylist()
+        orig_l, delta_l, deltas = [], [], []
+        for mt, bt in zip(mtexts, btexts):
+            target = (mt or "").encode("utf-8", "surrogatepass")
+            base = (bt or "").encode("utf-8", "surrogatepass")
+            d = delta_encode(base, target, min_block, max_block)
+            orig_l.append(len(target))
+            if len(target) and len(d) <= max_delta_ratio * len(target):
+                delta_l.append(len(d))
+                deltas.append(d)
+            else:
+                delta_l.append(-1)          # gain gate: store whole instead
+                deltas.append(None)
+        return pa.table({
+            "rank": pa.array(ranks),
+            "base_rank": pa.array(bases),
+            "orig_len": pa.array(np.asarray(orig_l, dtype=np.int64)),
+            "delta_len": pa.array(np.asarray(delta_l, dtype=np.int64)),
+            "delta": pa.array(deltas, pa.binary()),
+        })
+
+    return j2.map_batches(encode, batch_format="pyarrow",
+                          batch_size=cfg.batch_size)

@@ -1,0 +1,125 @@
+"""Dedup-compressed archive: byte-identical round-trip, dedup gain,
+adaptive codec selection, disk persistence (M10/M11/A3/A4 analogs —
+reference decode path rabin/rabin_dedup.c:1552-1723)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+N_DOCS = 300
+SEED = 7
+
+
+# ---- pure-kernel tests (no Ray) ------------------------------------------
+
+def test_codec_wrappers_roundtrip():
+    from pcompress_ray.stages.compress import compress_chunk, decompress_chunk
+
+    data = (b"the quick brown fox " * 200)[:3333]
+    for codec in ("none", "zlib", "bz2", "lzma"):
+        assert decompress_chunk(compress_chunk(data, codec), codec) == data
+
+
+def test_adaptive_selection_and_gain_gate():
+    from pcompress_ray.stages.compress import is_text_chunk, select_and_compress
+
+    text = ("lorem ipsum dolor sit amet " * 100).encode()
+    rng = np.random.default_rng(0)
+    binary = rng.integers(0, 256, 4096, dtype=np.uint8).tobytes()
+    assert is_text_chunk(text) and not is_text_chunk(binary)
+
+    codec, payload = select_and_compress(text, "lzma", "zlib")
+    assert codec == "lzma" and len(payload) < len(text)
+
+    # high-entropy bytes: routed to the binary codec, then the gain gate
+    # stores raw because zlib cannot shrink them (the LZ4-slot analog)
+    codec, payload = select_and_compress(binary, "lzma", "zlib")
+    assert codec == "none" and payload == binary
+
+    codec, payload = select_and_compress(b"x", "lzma", "zlib")
+    assert codec == "none" and payload == b"x"  # tiny chunk: overhead > gain
+
+
+def test_codec_registry_slot():
+    from pcompress_ray.registry import names, resolve
+    from pcompress_ray.config import PipelineConfig
+
+    assert set(names("codec")) == {"none", "zlib", "bz2", "lzma"}
+    comp, decomp = resolve("codec", "bz2")(PipelineConfig())
+    assert decomp(comp(b"abc" * 100)) == b"abc" * 100
+
+
+# ---- pipeline tests -------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def pages_and_archive(ray_session):
+    import ray.data as rd
+
+    from pcompress_ray.config import PipelineConfig
+    from pcompress_ray.pipelines.archive import archive_write
+    from pcompress_ray.sources.corpus import make_corpus
+
+    pages, _, _ = make_corpus(N_DOCS, SEED, with_oracle=False)
+    pages_ds = rd.from_arrow(pages)
+    cfg = PipelineConfig()
+    res = archive_write(pages_ds, cfg, text_col="text")
+    return pages, res, cfg
+
+
+def test_archive_dedup_gain(pages_and_archive):
+    _, res, _ = pages_and_archive
+    m = res.metrics
+    assert m["n_docs"] == N_DOCS
+    assert m["n_unique_chunks"] < m["n_chunks"]     # planted exact dups dedup
+    assert m["dedup_gain_bytes"] > 0
+    assert m["stored_bytes"] < m["unique_bytes"]    # text compresses
+    assert m["overall_ratio"] > m["dedup_ratio"] > 1.0
+    assert res.store.count() == m["n_unique_chunks"]
+    assert sum(m["codec_chunks"].values()) == m["n_unique_chunks"]
+    # a web-text corpus routes overwhelmingly to the text codec
+    assert m["codec_chunks"].get("lzma", 0) > 0
+
+
+def test_archive_restore_byte_identical(pages_and_archive):
+    from pcompress_ray.pipelines.archive import archive_restore
+
+    pages, res, cfg = pages_and_archive
+    restored = archive_restore(res.store, res.manifest, cfg).to_pandas()
+    assert len(restored) == N_DOCS
+    assert restored["sha_ok"].all()
+    restored = restored.sort_values("rank").reset_index(drop=True)
+    orig = pages.to_pandas().sort_values("url").reset_index(drop=True)
+    assert (restored["url"].to_numpy() == orig["url"].to_numpy()).all()
+    assert (restored["text"].to_numpy() == orig["text"].to_numpy()).all()
+
+
+def test_archive_disk_roundtrip(pages_and_archive, tmp_path):
+    from pcompress_ray.pipelines.archive import (archive_restore, read_archive,
+                                                 write_archive)
+
+    pages, res, cfg = pages_and_archive
+    out = write_archive(res, str(tmp_path / "arch"))
+    store, manifest = read_archive(out)
+    assert store.count() == res.metrics["n_unique_chunks"]
+    restored = archive_restore(store, manifest, cfg).to_pandas()
+    assert len(restored) == N_DOCS and restored["sha_ok"].all()
+
+
+def test_archive_empty_and_single_docs(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pcompress_ray.config import PipelineConfig
+    from pcompress_ray.pipelines.archive import archive_restore, archive_write
+
+    pages = pa.table({
+        "url": pa.array(["u://a", "u://b", "u://c"], pa.string()),
+        "text": pa.array(["", "short one", "z" * 5000], pa.string()),
+    })
+    cfg = PipelineConfig()
+    res = archive_write(rd.from_arrow(pages), cfg, text_col="text")
+    restored = archive_restore(res.store, res.manifest, cfg).to_pandas() \
+        .sort_values("url").reset_index(drop=True)
+    assert restored["sha_ok"].all()
+    assert list(restored["text"]) == ["", "short one", "z" * 5000]
