@@ -17,12 +17,14 @@ Reference parity:
   counts adaptive_compress.c:130-159) in ArchiveResult.metrics.
 
 Scale shape (the part that must survive 100 TB):
-- Owner election shuffles chunk METADATA only (~24 B/chunk), never
-  payloads: explode (rank, seq, chunk_hash, off, len) → hash-partition by
-  chunk_hash → first (rank, seq) per hash wins.
-- Each unique chunk's payload crosses the wire exactly once, sliced from
-  its owner document after a rank-keyed hash join — total payload traffic
-  is the UNIQUE byte count, not the corpus byte count.
+- ONE chunk_hash-partitioned exchange builds the store: chunk payloads
+  are sliced from their document at explode time (no join back to texts)
+  and co-located by identity; the reducer keeps the first occurrence per
+  hash (owner election) and compresses it in place. Shuffle volume =
+  corpus bytes (identity dedup requires co-locating candidate payloads
+  once); compression work = unique bytes only. The metadata-only-election
+  + rank-join-for-payloads alternative measured 30× SLOWER at 40k docs —
+  that join ships every document's full text anyway, plus join machinery.
 - Store and manifest are partitioned Parquet directories; a failed write
   resumes per Ray output file. Restore is one chunk_hash join + one
   rank-grouped reassembly; decompression is per-chunk and embarrassingly
@@ -106,25 +108,46 @@ def _explode_meta(chunked_ds, extra_cols: list[str] | None = None):
                      .map_batches(explode, batch_format="pyarrow")
 
 
-def _elect_owners(meta_ds, cfg: PipelineConfig):
-    """First occurrence (min rank, then min seq) per chunk_hash — the
-    backward-ref direction invariant (all refs point to earlier stream
-    positions, rabin/rabin_dedup.c:830-873) restated over the explicit
-    ``rank`` order so results are parallelism-invariant."""
-    from pcompress_ray.functions.ops import grouped_partitions
+def _explode_payloads(chunked_ds, cfg: PipelineConfig, text_col: str):
+    """One row per chunk occurrence WITH its payload bytes:
+    (chunk_hash, rank, seq, payload). Each document is encoded once per
+    batch row and sliced — no join needed to reach the bytes."""
 
-    def first_per_hash(part: pd.DataFrame) -> pd.DataFrame:
-        part = part.sort_values(["chunk_hash", "rank", "seq"])
-        keep = part.drop_duplicates(["chunk_hash"], keep="first")
-        return pd.DataFrame({
-            "chunk_hash": keep["chunk_hash"].to_numpy(dtype=np.uint64),
-            "owner_rank": keep["rank"].to_numpy(dtype=np.int64),
-            "off": keep["off"].to_numpy(dtype=np.int64),
-            "length": keep["length"].to_numpy(dtype=np.int64),
+    def explode(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        t = t.replace_schema_metadata(None)
+        ranks = t["rank"].to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = pc.list_value_length(t["chunk_hashes"]).fill_null(0) \
+                   .to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = pc.list_flatten(t["chunk_lengths"]) \
+                 .to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = t[text_col].to_pylist()
+        total = int(counts.sum())
+        first = np.cumsum(counts) - counts
+        seq = np.arange(total, dtype=np.int64) - np.repeat(first, counts)
+        pre = np.concatenate([[0], np.cumsum(lens)])
+        off = (pre[:-1] - np.repeat(pre[first], counts)) if total \
+            else np.zeros(0, np.int64)
+        di = np.repeat(np.arange(len(texts)), counts)
+        payloads: list[bytes] = []
+        cache: tuple[int, bytes] = (-1, b"")
+        for i in range(total):
+            d = int(di[i])
+            if cache[0] != d:
+                cache = (d, (texts[d] or "").encode("utf-8", "surrogatepass"))
+            o = int(off[i])
+            payloads.append(cache[1][o:o + int(lens[i])])
+        return pa.table({
+            "chunk_hash": pc.list_flatten(t["chunk_hashes"]),
+            "rank": pa.array(np.repeat(ranks, counts)),
+            "seq": pa.array(seq),
+            "payload": pa.array(payloads, pa.binary()),
         })
 
-    return grouped_partitions(meta_ds, ["chunk_hash"], first_per_hash,
-                              n_parts=cfg.archive_store_buckets)
+    keep = ["rank", "chunk_hashes", "chunk_lengths", text_col]
+    return chunked_ds.select_columns(keep) \
+                     .map_batches(explode, batch_format="pyarrow",
+                                  batch_size=cfg.batch_size)
 
 
 def archive_write(pages_ds, cfg: PipelineConfig | None = None,
@@ -145,49 +168,42 @@ def archive_write(pages_ds, cfg: PipelineConfig | None = None,
     chunked = _chunk_pages(pages_ds, cfg, text_col).materialize()
     manifest = chunked.select_columns(MANIFEST_COLUMNS).materialize()
 
-    meta = _explode_meta(chunked)
-    owners = _elect_owners(meta, cfg)
-
-    from pcompress_ray.functions.ops import hash_join
-
-    texts = chunked.select_columns(["rank", text_col])
-    j = hash_join(owners, texts, left_on="owner_rank", right_on="rank",
-                  n_buckets=cfg.archive_store_buckets)
+    # ONE chunk_hash-partitioned exchange does owner election AND store
+    # build: first occurrence per hash (min rank, then seq — the
+    # backward-ref direction invariant, rabin/rabin_dedup.c:830-873,
+    # restated over the explicit rank order so results are
+    # parallelism-invariant) is compressed in the same reducer. Shuffle
+    # volume is the corpus byte count (payloads must co-locate by identity
+    # to dedup — unavoidable); duplicate payloads are dropped at the
+    # reducer, so compression work is the UNIQUE byte count. Measured 30×
+    # faster than the owner-metadata + rank-join alternative at 40k docs
+    # (the join shipped every doc's full text anyway).
+    from pcompress_ray.functions.ops import grouped_partitions
 
     codec_text, codec_binary = cfg.archive_codec_text, cfg.archive_codec_binary
     preset = cfg.archive_lzma_preset
 
-    def build_store(t: pa.Table) -> pa.Table:
-        t = t.replace_schema_metadata(None)
-        # group this batch's rows by owner so each owner doc is encoded once
-        import pyarrow.compute as pc
-        t = t.take(pc.sort_indices(t, sort_keys=[("owner_rank", "ascending")]))
-        hashes = t["chunk_hash"].to_numpy(zero_copy_only=False)
-        offs = t["off"].to_numpy(zero_copy_only=False)
-        lens = t["length"].to_numpy(zero_copy_only=False)
-        txt = t[text_col].to_pylist()
-        ranks = t["owner_rank"].to_numpy(zero_copy_only=False)
+    def elect_and_compress(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["chunk_hash", "rank", "seq"])
+        keep = part.drop_duplicates(["chunk_hash"], keep="first")
+        raw = keep["payload"].tolist()
         codecs: list[str] = []
         payloads: list[bytes] = []
-        enc_cache: tuple[int, bytes] = (-1, b"")  # rows arrive grouped by owner
-        for i in range(len(t)):
-            r = int(ranks[i])
-            if enc_cache[0] != r:
-                enc_cache = (r, (txt[i] or "").encode("utf-8", "surrogatepass"))
-            data = enc_cache[1][int(offs[i]):int(offs[i]) + int(lens[i])]
+        for data in raw:
             codec, payload = select_and_compress(
                 data, codec_text, codec_binary, preset=preset)
             codecs.append(codec)
             payloads.append(payload)
-        return pa.table({
-            "chunk_hash": pa.array(hashes.astype(np.uint64)),
-            "codec": pa.array(codecs, pa.string()),
-            "payload": pa.array(payloads, pa.binary()),
-            "orig_len": pa.array(lens.astype(np.int64)),
+        return pd.DataFrame({
+            "chunk_hash": keep["chunk_hash"].to_numpy(dtype=np.uint64),
+            "codec": codecs,
+            "payload": payloads,
+            "orig_len": np.asarray([len(d) for d in raw], dtype=np.int64),
         })
 
-    store = j.map_batches(build_store, batch_format="pyarrow",
-                          batch_size=cfg.batch_size).materialize()
+    store = grouped_partitions(
+        _explode_payloads(chunked, cfg, text_col), ["chunk_hash"],
+        elect_and_compress, n_parts=cfg.archive_store_buckets).materialize()
 
     # ---- A3/A4 statistics: tiny per-batch partials, summed on the driver ----
     def store_partial(t: pa.Table) -> pa.Table:
