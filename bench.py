@@ -38,7 +38,8 @@ QUERY_NAMES = ["q1_pricing", "q3_top_orders", "customer_nation", "doc_stats",
                "embedding_clusters", "asof_purchase", "price_band_join",
                "events_rollup", "lang_token_diversity",
                "lang_length_quantiles", "dup_gain_by_source",
-               "corpus_sample", "event_gaps"]
+               "corpus_sample", "event_gaps", "archive_stats",
+               "delta_gain"]
 
 
 def run_bench() -> dict:

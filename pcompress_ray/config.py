@@ -92,11 +92,14 @@ class PipelineConfig:
     locality_sort: bool = False
 
     # Archive (M10/M11 analogs — pipelines/archive.py): adaptive per-chunk
-    # codec selection mirrors adaptive_compress.c:324-430 with the stdlib
-    # stand-ins lzma (PPMD/LZMA slot, text) and zlib (Zstd slot, binary);
-    # a chunk whose compressed form is not smaller is stored raw ("none" —
-    # the LZ4-for-incompressible slot + the per-chunk gain gate).
-    archive_codec_text: str = "lzma"
+    # codec selection mirrors adaptive_compress.c:324-430 over the stdlib
+    # codecs; a chunk whose compressed form is not smaller is stored raw
+    # ("none" — the LZ4-for-incompressible slot + the per-chunk gain gate).
+    # zlib default for BOTH types: at CDC chunk sizes (~2 KB) measured
+    # zlib-6 beats lzma-p1 on ratio (0.49 vs 0.57 — lzma's ~60 B container
+    # overhead dominates small payloads) AND speed (33 vs 6 MB/s); pick
+    # lzma/bz2 for large-chunk configs (rab_blk_sz ≥ 3) where they win.
+    archive_codec_text: str = "zlib"
     archive_codec_binary: str = "zlib"
     archive_lzma_preset: int = 1           # throughput preset (knob, not semantics)
     archive_store_buckets: int = 64        # chunk-store hash partitions (resume unit)

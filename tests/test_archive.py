@@ -68,7 +68,7 @@ def pages_and_archive(ray_session):
 
 
 def test_archive_dedup_gain(pages_and_archive):
-    _, res, _ = pages_and_archive
+    _, res, cfg = pages_and_archive
     m = res.metrics
     assert m["n_docs"] == N_DOCS
     assert m["n_unique_chunks"] < m["n_chunks"]     # planted exact dups dedup
@@ -78,7 +78,7 @@ def test_archive_dedup_gain(pages_and_archive):
     assert res.store.count() == m["n_unique_chunks"]
     assert sum(m["codec_chunks"].values()) == m["n_unique_chunks"]
     # a web-text corpus routes overwhelmingly to the text codec
-    assert m["codec_chunks"].get("lzma", 0) > 0
+    assert m["codec_chunks"].get(cfg.archive_codec_text, 0) > 0
 
 
 def test_archive_restore_byte_identical(pages_and_archive):
