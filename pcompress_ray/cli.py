@@ -103,7 +103,8 @@ def cmd_archive(args) -> int:
 
     _init_ray(args.num_cpus)
     pages = _ensure_rank(rd.read_parquet(args.input))
-    res = archive_write(pages, PipelineConfig(), text_col=args.text_col)
+    res = archive_write(pages, PipelineConfig(), text_col=args.text_col,
+                        near_dedup=args.near_dedup)
     out = write_archive(res, args.output)
     print(json.dumps({"output": out, **res.metrics}))
     return 0
@@ -115,8 +116,9 @@ def cmd_restore(args) -> int:
     from pcompress_ray.pipelines.archive import archive_restore, read_archive
 
     _init_ray(args.num_cpus)
-    store, manifest = read_archive(args.input)
-    restored = archive_restore(store, manifest, PipelineConfig())
+    store, manifest, deltas = read_archive(args.input)
+    restored = archive_restore(store, manifest, PipelineConfig(),
+                               deltas_ds=deltas)
     restored.write_parquet(args.output)
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -162,6 +164,9 @@ def main(argv=None) -> int:
     ar.add_argument("--input", required=True)
     ar.add_argument("--output", required=True)
     ar.add_argument("--text-col", default="text")
+    ar.add_argument("--near-dedup", action="store_true",
+                    help="also store near-dup cluster members as similarity "
+                         "deltas against their canonical")
     ar.add_argument("--num-cpus", type=int, default=None)
     ar.set_defaults(fn=cmd_archive)
 

@@ -51,10 +51,14 @@ class ArchiveResult:
     store: "ray.data.Dataset"      # chunk_hash, codec, payload, orig_len
     manifest: "ray.data.Dataset"   # rank, url, n_bytes, text_sha256, chunk lists
     metrics: dict
+    # near_dedup mode only: (rank, base_rank, codec, payload, orig_len,
+    # delta_len, url, text_sha256) — similarity-delta-stored members
+    deltas: "ray.data.Dataset | None" = None
 
 
 MANIFEST_COLUMNS = ["rank", "url", "n_bytes", "text_sha256",
-                    "n_chunks", "chunk_hashes", "chunk_lengths"]
+                    "n_chunks", "chunk_hashes", "chunk_lengths",
+                    "storage", "base_rank"]
 
 
 def _chunk_pages(pages_ds, cfg: PipelineConfig, text_col: str):
@@ -65,7 +69,10 @@ def _chunk_pages(pages_ds, cfg: PipelineConfig, text_col: str):
         t = CDCChunker(cfg, text_col=text_col, mode=cfg.chunker)(t)
         import pyarrow.compute as pc
         nb = pc.binary_length(t[text_col].cast(pa.binary())).cast(pa.int64())
-        return t.append_column("n_bytes", nb)
+        t = t.append_column("n_bytes", nb)
+        t = t.append_column("storage", pa.array(["chunks"] * len(t), pa.string()))
+        return t.append_column(
+            "base_rank", pa.array(np.full(len(t), -1, np.int64)))
 
     return pages_ds.map_batches(stage, batch_format="pyarrow",
                                 batch_size=cfg.batch_size)
@@ -150,13 +157,95 @@ def _explode_payloads(chunked_ds, cfg: PipelineConfig, text_col: str):
                                   batch_size=cfg.batch_size)
 
 
+def _split_delta_members(pages_ds, cfg: PipelineConfig, text_col: str,
+                         clusters_ds):
+    """near_dedup support: detect clusters (unless given), delta-encode
+    non-canonical members, and split the corpus into
+    (chunk-path pages, deltas table, delta manifest rows).
+
+    The delta-stored rank set is pulled to the driver (8 B/member) for an
+    exact broadcast anti-filter; beyond ~10^8 delta members swap this for
+    an anti hash_join on rank — never an approximate filter here (a false
+    positive would silently drop a document from the chunk store).
+    """
+    import pyarrow.compute as pc
+
+    from pcompress_ray.functions.ops import semi_join_filter
+    from pcompress_ray.stages.delta import delta_encode_members
+
+    if clusters_ds is None:
+        from pcompress_ray.pipelines.dedup import dedup_pipeline
+
+        clusters_ds = dedup_pipeline(pages_ds, cfg).clusters
+
+    raw = delta_encode_members(clusters_ds, pages_ds, cfg, text_col=text_col)
+
+    codec_text, codec_binary = cfg.archive_codec_text, cfg.archive_codec_binary
+    preset = cfg.archive_lzma_preset
+
+    def pack(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        t = t.filter(pc.greater_equal(t["delta_len"], 0))
+        codecs: list[str] = []
+        payloads: list[bytes] = []
+        for d in t["delta"].to_pylist():
+            codec, payload = select_and_compress(
+                d, codec_text, codec_binary, preset=preset)
+            codecs.append(codec)
+            payloads.append(payload)
+        return pa.table({
+            "rank": t["rank"].cast(pa.int64()),
+            "base_rank": t["base_rank"].cast(pa.int64()),
+            "codec": pa.array(codecs, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "orig_len": t["orig_len"].cast(pa.int64()),
+            "delta_len": t["delta_len"].cast(pa.int64()),
+            "url": t["url"].cast(pa.string()),
+            "text_sha256": t["text_sha256"].cast(pa.string()),
+        })
+
+    deltas = raw.map_batches(pack, batch_format="pyarrow").materialize()
+
+    ranks = np.sort(deltas.select_columns(["rank"]).to_pandas()["rank"]
+                    .to_numpy(dtype=np.int64))
+    pages_chunks = semi_join_filter(pages_ds, ranks, on="rank", negate=True)
+
+    def man_rows(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        n = len(t)
+        return pa.table({
+            "rank": t["rank"],
+            "url": t["url"],
+            "n_bytes": t["orig_len"],
+            "text_sha256": t["text_sha256"],
+            "n_chunks": pa.array(np.zeros(n, np.int32)),
+            "chunk_hashes": pa.array([[]] * n, pa.list_(pa.uint64())),
+            "chunk_lengths": pa.array([[]] * n, pa.list_(pa.int32())),
+            "storage": pa.array(["delta"] * n, pa.string()),
+            "base_rank": t["base_rank"],
+        })
+
+    delta_manifest = deltas.map_batches(man_rows, batch_format="pyarrow")
+    return pages_chunks, deltas, delta_manifest
+
+
 def archive_write(pages_ds, cfg: PipelineConfig | None = None,
-                  text_col: str = "text") -> ArchiveResult:
+                  text_col: str = "text", near_dedup: bool = False,
+                  clusters_ds=None) -> ArchiveResult:
     """Build the dedup-compressed archive tables from a pages Dataset.
 
     pages_ds must carry (url:string, <text_col>:string) and may carry a
     unique int64 ``rank`` (assigned by url order when absent).
     Returns materialized store + manifest Datasets and A3/A4 metrics.
+
+    ``near_dedup=True`` adds the reference's SIMILARITY dedup layer
+    (rabin/rabin_dedup.c:846-929 delta path): near-dup clusters are
+    detected (or taken from ``clusters_ds`` — (rank, cluster_id,
+    is_canonical) with min-rank canonical labels), and every non-canonical
+    member whose copy/literal delta against its canonical passes the gain
+    gate is stored as that delta instead of chunks. Canonicals and gated
+    members go through the chunk store as usual, so every delta's base is
+    always chunk-restorable first.
     """
     cfg = cfg or PipelineConfig()
 
@@ -165,8 +254,17 @@ def archive_write(pages_ds, cfg: PipelineConfig | None = None,
 
         pages_ds = zip_with_rank(pages_ds, "url")
 
+    deltas = None
+    delta_manifest = None
+    if near_dedup:
+        pages_ds, deltas, delta_manifest = _split_delta_members(
+            pages_ds, cfg, text_col, clusters_ds)
+
     chunked = _chunk_pages(pages_ds, cfg, text_col).materialize()
-    manifest = chunked.select_columns(MANIFEST_COLUMNS).materialize()
+    manifest = chunked.select_columns(MANIFEST_COLUMNS)
+    if delta_manifest is not None:
+        manifest = manifest.union(delta_manifest)
+    manifest = manifest.materialize()
 
     # ONE chunk_hash-partitioned exchange does owner election AND store
     # build: first occurrence per hash (min rank, then seq — the
@@ -239,23 +337,49 @@ def archive_write(pages_ds, cfg: PipelineConfig | None = None,
     mp = manifest.map_batches(manifest_partial, batch_format="pyarrow") \
         .to_pandas().sum()
 
+    n_delta_docs = 0
+    delta_orig_bytes = 0
+    delta_stored_bytes = 0
+    if deltas is not None:
+        def delta_partial(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            t = t.replace_schema_metadata(None)
+            stored = int(pc.sum(pc.binary_length(t["payload"])).as_py() or 0)
+            orig = int(pc.sum(t["orig_len"]).as_py() or 0)
+            return pa.table({"n": pa.array([len(t)], pa.int64()),
+                             "stored": pa.array([stored], pa.int64()),
+                             "orig": pa.array([orig], pa.int64())})
+
+        dp = deltas.map_batches(delta_partial, batch_format="pyarrow") \
+            .to_pandas().sum()
+        n_delta_docs = int(dp["n"])
+        delta_orig_bytes = int(dp["orig"])
+        delta_stored_bytes = int(dp["stored"])
+
     n_unique = int(per_codec["n_chunks"].sum())
     unique_bytes = int(per_codec["unique_bytes"].sum())
-    stored_bytes = int(per_codec["stored_bytes"].sum())
+    chunk_stored_bytes = int(per_codec["stored_bytes"].sum())
+    stored_bytes = chunk_stored_bytes + delta_stored_bytes
     orig_bytes = int(mp["orig_bytes"])
     # A3 gain gate signal: the reference abandons dedup when matched bytes
-    # don't cover the index overhead (~16 B per unique chunk index entry).
-    dedup_gain = orig_bytes - unique_bytes
+    # don't cover the index overhead (~16 B per unique chunk index entry);
+    # delta-stored members count their full original size as gain recovered
+    # down to the delta payload.
+    dedup_gain = (orig_bytes - unique_bytes - delta_orig_bytes) \
+        + (delta_orig_bytes - delta_stored_bytes)
     metrics = {
         "n_docs": int(mp["n_docs"]),
         "n_chunks": int(mp["n_chunks"]),
         "n_unique_chunks": n_unique,
+        "n_delta_docs": n_delta_docs,
         "orig_bytes": orig_bytes,
         "unique_bytes": unique_bytes,
         "stored_bytes": stored_bytes,
+        "delta_stored_bytes": delta_stored_bytes,
         "dedup_gain_bytes": dedup_gain,
-        "compress_gain_bytes": unique_bytes - stored_bytes,
-        "dedup_ratio": (orig_bytes / unique_bytes) if unique_bytes else 1.0,
+        "compress_gain_bytes": unique_bytes - chunk_stored_bytes,
+        "dedup_ratio": (orig_bytes / (unique_bytes + delta_orig_bytes))
+        if (unique_bytes + delta_orig_bytes) else 1.0,
         "overall_ratio": (orig_bytes / stored_bytes) if stored_bytes else 1.0,
         "dedup_worth_it": bool(dedup_gain >= 16 * n_unique),
         "codec_chunks": {r.codec: int(r.n_chunks)
@@ -264,11 +388,14 @@ def archive_write(pages_ds, cfg: PipelineConfig | None = None,
                                for r in per_codec.itertuples()},
         "config_hash": cfg.config_hash(),
     }
-    return ArchiveResult(store=store, manifest=manifest, metrics=metrics)
+    return ArchiveResult(store=store, manifest=manifest, metrics=metrics,
+                         deltas=deltas)
 
 
-def archive_restore(store_ds, manifest_ds, cfg: PipelineConfig | None = None):
-    """Rebuild (rank, url, text, sha_ok) from store + manifest.
+def archive_restore(store_ds, manifest_ds, cfg: PipelineConfig | None = None,
+                    deltas_ds=None):
+    """Rebuild (rank, url, text, sha_ok) from store + manifest
+    (+ the deltas table for ``near_dedup`` archives).
 
     sha_ok is the per-doc SHA-256 verify (the reference verifies chunk
     checksums on decompress, pcompress.c:519-615); a False means a 64-bit
@@ -277,6 +404,17 @@ def archive_restore(store_ds, manifest_ds, cfg: PipelineConfig | None = None):
     cfg = cfg or PipelineConfig()
 
     from pcompress_ray.functions.ops import grouped_partitions, hash_join
+
+    # delta-stored members (near_dedup archives) also have n_chunks == 0;
+    # keep only chunk-stored rows in this phase — deltas resolve below
+    # against the restored canonicals
+    if "storage" in manifest_ds.schema().names:
+        import pyarrow.compute as pc
+
+        manifest_ds = manifest_ds.map_batches(
+            lambda t: t.replace_schema_metadata(None).filter(
+                pc.equal(t["storage"], "chunks")),
+            batch_format="pyarrow")
 
     ex = _explode_meta(manifest_ds, extra_cols=["url", "text_sha256"])
     j = hash_join(ex.select_columns(
@@ -353,8 +491,57 @@ def archive_restore(store_ds, manifest_ds, cfg: PipelineConfig | None = None):
                          "text": t["text"].cast(pa.string()),
                          "sha_ok": t["sha_ok"].cast(pa.bool_())})
 
-    return docs.map_batches(norm, batch_format="pyarrow").union(
+    restored = docs.map_batches(norm, batch_format="pyarrow").union(
         manifest_ds.map_batches(empties, batch_format="pyarrow"))
+
+    if deltas_ds is None:
+        return restored
+
+    # ---- similarity-delta members: base text = the restored canonical ----
+    # (bspatch-on-decode analog; every base is chunk-stored by construction)
+    restored = restored.materialize()
+    bases = restored.select_columns(["rank", "text"])
+    if deltas_ds.count() <= 5_000_000:
+        # canonicals are a small fraction of the corpus: prefilter the join's
+        # wide side so only base texts enter the exchange (driver holds
+        # 8 B/base; beyond the guard the unfiltered join below is the path)
+        from pcompress_ray.functions.ops import semi_join_filter
+
+        base_ranks = np.unique(
+            deltas_ds.select_columns(["base_rank"]).to_pandas()["base_rank"]
+            .to_numpy(dtype=np.int64))
+        bases = semi_join_filter(bases, base_ranks, on="rank")
+    dj = hash_join(
+        deltas_ds.select_columns(["rank", "base_rank", "codec", "payload",
+                                  "url", "text_sha256"]),
+        bases, left_on="base_rank", right_on="rank",
+        n_buckets=cfg.join_buckets)
+
+    from pcompress_ray.stages.delta import delta_decode
+
+    def decode_members(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        codecs = t["codec"].to_pylist()
+        payloads = t["payload"].to_pylist()
+        bases = t["text"].to_pylist()
+        shas = t["text_sha256"].to_pylist()
+        texts: list[str] = []
+        oks: list[bool] = []
+        for c, p, b, sha in zip(codecs, payloads, bases, shas):
+            base = (b or "").encode("utf-8", "surrogatepass")
+            data = delta_decode(base, decompress_chunk(p, c))
+            texts.append(data.decode("utf-8", "surrogatepass"))
+            oks.append(hashlib.sha256(data).hexdigest() == sha)
+        return pa.table({
+            "rank": t["rank"].cast(pa.int64()),
+            "url": t["url"].cast(pa.string()),
+            "text": pa.array(texts, pa.string()),
+            "sha_ok": pa.array(oks, pa.bool_()),
+        })
+
+    members = dj.map_batches(decode_members, batch_format="pyarrow",
+                             batch_size=cfg.batch_size)
+    return restored.union(members)
 
 
 def write_archive(res: ArchiveResult, out_dir: str) -> str:
@@ -367,16 +554,22 @@ def write_archive(res: ArchiveResult, out_dir: str) -> str:
     os.makedirs(out_dir, exist_ok=True)
     res.store.write_parquet(os.path.join(out_dir, "store"))
     res.manifest.write_parquet(os.path.join(out_dir, "manifest"))
+    if res.deltas is not None and res.deltas.count():
+        res.deltas.write_parquet(os.path.join(out_dir, "deltas"))
     with open(os.path.join(out_dir, "metrics.json"), "w") as f:
         json.dump(res.metrics, f, indent=1, default=str)
     return out_dir
 
 
 def read_archive(out_dir: str):
-    """(store_ds, manifest_ds) back from ``write_archive`` output."""
+    """(store_ds, manifest_ds, deltas_ds | None) back from
+    ``write_archive`` output."""
     import os
 
     import ray.data as rd
 
+    deltas_dir = os.path.join(out_dir, "deltas")
+    deltas = rd.read_parquet(deltas_dir) if os.path.isdir(deltas_dir) else None
     return (rd.read_parquet(os.path.join(out_dir, "store")),
-            rd.read_parquet(os.path.join(out_dir, "manifest")))
+            rd.read_parquet(os.path.join(out_dir, "manifest")),
+            deltas)

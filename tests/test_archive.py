@@ -100,10 +100,42 @@ def test_archive_disk_roundtrip(pages_and_archive, tmp_path):
 
     pages, res, cfg = pages_and_archive
     out = write_archive(res, str(tmp_path / "arch"))
-    store, manifest = read_archive(out)
+    store, manifest, deltas = read_archive(out)
+    assert deltas is None                      # plain (non-near-dedup) archive
     assert store.count() == res.metrics["n_unique_chunks"]
     restored = archive_restore(store, manifest, cfg).to_pandas()
     assert len(restored) == N_DOCS and restored["sha_ok"].all()
+
+
+def test_archive_near_dedup_roundtrip(pages_and_archive, ray_session, tmp_path):
+    """Similarity layer end-to-end: clusters from the real dedup pipeline,
+    non-canonical members stored as deltas, every doc restored
+    byte-identically (reference similarity-ref decode,
+    rabin/rabin_dedup.c:1678-1708)."""
+    import ray.data as rd
+
+    from pcompress_ray.functions.ops import zip_with_rank
+    from pcompress_ray.pipelines.archive import (archive_restore, archive_write,
+                                                 read_archive, write_archive)
+
+    pages, plain, cfg = pages_and_archive
+    pages_ds = zip_with_rank(rd.from_arrow(pages), "url").materialize()
+    res = archive_write(pages_ds, cfg, text_col="text", near_dedup=True)
+    m = res.metrics
+    assert m["n_delta_docs"] > 0                 # planted near-dups delta-store
+    assert m["n_docs"] == N_DOCS                 # manifest covers ALL docs
+    assert res.deltas.count() == m["n_delta_docs"]
+
+    out = write_archive(res, str(tmp_path / "arch_nd"))
+    store, manifest, deltas = read_archive(out)
+    assert deltas is not None
+    restored = archive_restore(store, manifest, cfg, deltas_ds=deltas) \
+        .to_pandas()
+    assert len(restored) == N_DOCS
+    assert restored["sha_ok"].all()
+    restored = restored.sort_values("rank").reset_index(drop=True)
+    orig = pages.to_pandas().sort_values("url").reset_index(drop=True)
+    assert (restored["text"].to_numpy() == orig["text"].to_numpy()).all()
 
 
 def test_archive_empty_and_single_docs(ray_session):
