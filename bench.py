@@ -82,6 +82,14 @@ def run_bench() -> dict:
     n_rows = res.clusters.count()
     headline = time.time() - t0
 
+    # dedup-compressed archive build over the same corpus (non-headline)
+    from pcompress_ray.pipelines.archive import archive_write
+
+    t0 = time.time()
+    arch = archive_write(pages, cfg, text_col="text")
+    archive_sec = round(time.time() - t0, 3)
+    archive_ratio = round(arch.metrics["overall_ratio"], 3)
+
     # per-query timings over the sf dir (skip at scaling time)
     queries = {}
     if os.environ.get("GRAFT_BENCH_QUERIES", "1") == "1":
@@ -112,6 +120,9 @@ def run_bench() -> dict:
         "bench_docs": N_BENCH_DOCS,
         "docs_per_sec": round(N_BENCH_DOCS / headline, 1),
         "cluster_rows": int(n_rows),
+        "archive_sec": archive_sec,
+        "archive_docs_per_sec": round(N_BENCH_DOCS / archive_sec, 1),
+        "archive_ratio": archive_ratio,
     }
 
 

@@ -102,6 +102,13 @@ def cmd_archive(args) -> int:
     from pcompress_ray.pipelines.archive import archive_write, write_archive
 
     _init_ray(args.num_cpus)
+    if getattr(args, "append", False):
+        from pcompress_ray.pipelines.archive import archive_append
+
+        inc = archive_append(args.output, rd.read_parquet(args.input),
+                             PipelineConfig(), text_col=args.text_col)
+        print(json.dumps({"output": args.output, **inc}))
+        return 0
     pages = _ensure_rank(rd.read_parquet(args.input))
     res = archive_write(pages, PipelineConfig(), text_col=args.text_col,
                         near_dedup=args.near_dedup)
@@ -167,6 +174,9 @@ def main(argv=None) -> int:
     ar.add_argument("--near-dedup", action="store_true",
                     help="also store near-dup cluster members as similarity "
                          "deltas against their canonical")
+    ar.add_argument("--append", action="store_true",
+                    help="fold --input as NEW docs into the existing archive "
+                         "at --output (only absent chunks are stored)")
     ar.add_argument("--num-cpus", type=int, default=None)
     ar.set_defaults(fn=cmd_archive)
 

@@ -157,6 +157,28 @@ def _explode_payloads(chunked_ds, cfg: PipelineConfig, text_col: str):
                                   batch_size=cfg.batch_size)
 
 
+def _elect_compress_frame(part: pd.DataFrame, codec_text: str,
+                          codec_binary: str, preset: int) -> pd.DataFrame:
+    """Owner election + adaptive compression over one chunk_hash partition:
+    first occurrence per hash (min rank, then seq) wins and is compressed."""
+    part = part.sort_values(["chunk_hash", "rank", "seq"])
+    keep = part.drop_duplicates(["chunk_hash"], keep="first")
+    raw = keep["payload"].tolist()
+    codecs: list[str] = []
+    payloads: list[bytes] = []
+    for data in raw:
+        codec, payload = select_and_compress(
+            data, codec_text, codec_binary, preset=preset)
+        codecs.append(codec)
+        payloads.append(payload)
+    return pd.DataFrame({
+        "chunk_hash": keep["chunk_hash"].to_numpy(dtype=np.uint64),
+        "codec": codecs,
+        "payload": payloads,
+        "orig_len": np.asarray([len(d) for d in raw], dtype=np.int64),
+    })
+
+
 def _split_delta_members(pages_ds, cfg: PipelineConfig, text_col: str,
                          clusters_ds):
     """near_dedup support: detect clusters (unless given), delta-encode
@@ -282,22 +304,7 @@ def archive_write(pages_ds, cfg: PipelineConfig | None = None,
     preset = cfg.archive_lzma_preset
 
     def elect_and_compress(part: pd.DataFrame) -> pd.DataFrame:
-        part = part.sort_values(["chunk_hash", "rank", "seq"])
-        keep = part.drop_duplicates(["chunk_hash"], keep="first")
-        raw = keep["payload"].tolist()
-        codecs: list[str] = []
-        payloads: list[bytes] = []
-        for data in raw:
-            codec, payload = select_and_compress(
-                data, codec_text, codec_binary, preset=preset)
-            codecs.append(codec)
-            payloads.append(payload)
-        return pd.DataFrame({
-            "chunk_hash": keep["chunk_hash"].to_numpy(dtype=np.uint64),
-            "codec": codecs,
-            "payload": payloads,
-            "orig_len": np.asarray([len(d) for d in raw], dtype=np.int64),
-        })
+        return _elect_compress_frame(part, codec_text, codec_binary, preset)
 
     store = grouped_partitions(
         _explode_payloads(chunked, cfg, text_col), ["chunk_hash"],
@@ -559,6 +566,101 @@ def write_archive(res: ArchiveResult, out_dir: str) -> str:
     with open(os.path.join(out_dir, "metrics.json"), "w") as f:
         json.dump(res.metrics, f, indent=1, default=str)
     return out_dir
+
+
+def archive_append(archive_dir: str, new_pages_ds,
+                   cfg: PipelineConfig | None = None,
+                   text_col: str = "text") -> dict:
+    """Fold NEW documents into an existing on-disk archive (the incremental
+    analog of the reference's global index reuse, rabin/global/index.c:511:
+    a chunk already in the store is a backward ref, never re-stored).
+
+    New docs get ranks after the existing maximum (append-only rank
+    contract, same as pipelines/incremental.py). Only chunks whose hash is
+    absent from the existing store are compressed and appended; exclusion
+    is EXACT — the old store's hash set is co-partitioned into the same
+    chunk_hash exchange as the new payloads (marker rows), never an
+    approximate filter (a false positive would lose a chunk). Store and
+    manifest gain new Parquet files in place (Ray writes unique file names
+    — safe to re-run; a crashed append leaves a readable archive).
+
+    Returns increment metrics; ``read_archive`` + ``archive_restore``
+    afterwards restore old and new documents alike.
+    """
+    import pyarrow.compute as pc
+
+    from pcompress_ray.functions.ops import grouped_partitions, zip_with_rank
+
+    cfg = cfg or PipelineConfig()
+    store_old, manifest_old, _ = read_archive(archive_dir)
+
+    def mx(t: pa.Table) -> pa.Table:
+        r = t["rank"].to_numpy(zero_copy_only=False)
+        return pa.table({"m": pa.array(
+            [int(r.max()) if len(t) else -1], pa.int64())})
+
+    prev_max = int(manifest_old.select_columns(["rank"])
+                   .map_batches(mx, batch_format="pyarrow")
+                   .to_pandas()["m"].max())
+
+    if "rank" in new_pages_ds.schema().names:
+        new_pages_ds = new_pages_ds.drop_columns(["rank"])
+    new_pages_ds = zip_with_rank(new_pages_ds, "url")
+
+    def shift(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        r = t["rank"].to_numpy(zero_copy_only=False) + prev_max + 1
+        return t.set_column(t.schema.get_field_index("rank"), "rank",
+                            pa.array(r.astype(np.int64)))
+
+    new_pages_ds = new_pages_ds.map_batches(shift, batch_format="pyarrow")
+
+    chunked = _chunk_pages(new_pages_ds, cfg, text_col).materialize()
+    manifest_new = chunked.select_columns(MANIFEST_COLUMNS).materialize()
+
+    # marker rows: the old store's hash set, co-partitioned with new payloads
+    def markers(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        n = len(t)
+        return pa.table({
+            "chunk_hash": t["chunk_hash"].cast(pa.uint64()),
+            "rank": pa.array(np.full(n, -1, np.int64)),
+            "seq": pa.array(np.full(n, -1, np.int64)),
+            "payload": pa.array([b""] * n, pa.binary()),
+        })
+
+    rows = _explode_payloads(chunked, cfg, text_col).union(
+        store_old.select_columns(["chunk_hash"])
+        .map_batches(markers, batch_format="pyarrow"))
+
+    codec_text, codec_binary = cfg.archive_codec_text, cfg.archive_codec_binary
+    preset = cfg.archive_lzma_preset
+
+    def elect_new(part: pd.DataFrame) -> pd.DataFrame:
+        ranks = part["rank"].to_numpy(dtype=np.int64)
+        old_hashes = part.loc[ranks < 0, "chunk_hash"] \
+            .to_numpy(dtype=np.uint64)
+        fresh = part[ranks >= 0]
+        if old_hashes.size:
+            fresh = fresh[~np.isin(
+                fresh["chunk_hash"].to_numpy(dtype=np.uint64),
+                old_hashes)]
+        return _elect_compress_frame(fresh, codec_text, codec_binary, preset)
+
+    store_new = grouped_partitions(rows, ["chunk_hash"], elect_new,
+                                   n_parts=cfg.archive_store_buckets) \
+        .materialize()
+
+    import os
+
+    store_new.write_parquet(os.path.join(archive_dir, "store"))
+    manifest_new.write_parquet(os.path.join(archive_dir, "manifest"))
+    return {
+        "n_new_docs": manifest_new.count(),
+        "n_new_unique_chunks": store_new.count(),
+        "prev_max_rank": prev_max,
+        "config_hash": cfg.config_hash(),
+    }
 
 
 def read_archive(out_dir: str):

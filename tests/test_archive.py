@@ -138,6 +138,54 @@ def test_archive_near_dedup_roundtrip(pages_and_archive, ray_session, tmp_path):
     assert (restored["text"].to_numpy() == orig["text"].to_numpy()).all()
 
 
+def test_archive_append_incremental(ray_session, tmp_path):
+    """Append-only increment: chunks already in the store are never
+    re-stored (global index reuse analog, rabin/global/index.c:511);
+    old + new docs restore byte-identically from the same directory."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pcompress_ray.config import PipelineConfig
+    from pcompress_ray.pipelines.archive import (archive_append, archive_restore,
+                                                 archive_write, read_archive,
+                                                 write_archive)
+    from pcompress_ray.sources.corpus import make_corpus
+
+    cfg = PipelineConfig()
+    pages_a, _, _ = make_corpus(150, SEED, with_oracle=False)
+    out = write_archive(
+        archive_write(rd.from_arrow(pages_a), cfg, text_col="text"),
+        str(tmp_path / "arch_inc"))
+    n_store_a = read_archive(out)[0].count()
+
+    # batch B: 40 exact copies of A texts (new urls) + 60 fresh docs
+    fresh, _, _ = make_corpus(60, 1234, with_oracle=False)
+    pages_b = pa.table({
+        "url": pa.array([f"copy://{i:06d}" for i in range(40)]
+                        + [f"new://{u}" for u in fresh["url"].to_pylist()],
+                        pa.string()),
+        "text": pa.array(pages_a["text"].to_pylist()[:40]
+                         + fresh["text"].to_pylist(), pa.string()),
+    })
+    inc = archive_append(out, rd.from_arrow(pages_b), cfg, text_col="text")
+    assert inc["n_new_docs"] == 100
+
+    store, manifest, deltas = read_archive(out)
+    n_appended = store.count() - n_store_a
+    # copies contribute no new chunks; only the fresh docs' uniques append
+    assert 0 < n_appended == inc["n_new_unique_chunks"]
+
+    restored = archive_restore(store, manifest, cfg, deltas_ds=deltas) \
+        .to_pandas()
+    assert len(restored) == 250
+    assert restored["sha_ok"].all()
+    by_url = dict(zip(restored["url"], restored["text"]))
+    for i, txt in enumerate(pages_a["text"].to_pylist()[:40]):
+        assert by_url[f"copy://{i:06d}"] == txt
+    for u, txt in zip(fresh["url"].to_pylist(), fresh["text"].to_pylist()):
+        assert by_url[f"new://{u}"] == txt
+
+
 def test_archive_empty_and_single_docs(ray_session):
     import pyarrow as pa
     import ray.data as rd
