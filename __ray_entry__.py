@@ -111,9 +111,8 @@ def q_q1_pricing(sf_dir: str):
 
 
 def q_q3_top_orders(sf_dir: str):
-    """3-way join + top-k (hash_join + broadcast_join, J1/J2 analogs)."""
+    """3-way join + top-k (broadcast semi-join + partitioned agg)."""
     import pyarrow.compute as pc
-    from ray.data.aggregate import Count, Sum
 
     from pcompress_ray.functions.ops import broadcast_join, hash_join
 
@@ -129,8 +128,18 @@ def q_q3_top_orders(sf_dir: str):
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
     o_b = broadcast_join(orders, cust, "o_custkey", "c_custkey")
-    joined = hash_join(li, o_b.select_columns(["o_orderkey"]),
-                       "l_orderkey", "o_orderkey", n_buckets=16)
+    # the BUILDING orderkey set is small (≈20% of orders, 8 B each):
+    # broadcast it as a semi-join filter instead of shuffling lineitem
+    # through a hash join; fall back to the join past the driver guard
+    okeys = np.unique(o_b.select_columns(["o_orderkey"]).to_pandas()
+                      ["o_orderkey"].to_numpy(dtype=np.int64))
+    if okeys.size <= 5_000_000:
+        from pcompress_ray.functions.ops import semi_join_filter
+
+        joined = semi_join_filter(li, okeys, on="l_orderkey")
+    else:
+        joined = hash_join(li, o_b.select_columns(["o_orderkey"]),
+                           "l_orderkey", "o_orderkey", n_buckets=16)
 
     def derive(t: pa.Table) -> pa.Table:
         t = t.replace_schema_metadata(None)
@@ -139,19 +148,21 @@ def q_q3_top_orders(sf_dir: str):
         return pa.table({"orderkey": t["l_orderkey"].cast(pa.int64()),
                          "revenue": rev})
 
-    agg = (joined.map_batches(derive, batch_format="pyarrow")
-           .groupby("orderkey")
-           .aggregate(Sum("revenue", alias_name="revenue"),
-                      Count(alias_name="n_items")))
+    from pcompress_ray.functions.ops import grouped_partitions
 
-    def rnd(t: pa.Table) -> pa.Table:
-        t = t.replace_schema_metadata(None)
-        return pa.table({"orderkey": t["orderkey"].cast(pa.int64()),
-                         "revenue": pc.round(t["revenue"], 4),
-                         "n_items": t["n_items"].cast(pa.int64())})
+    def agg_part(part: pd.DataFrame) -> pa.Table:
+        g = part.groupby("orderkey", as_index=False, sort=False).agg(
+            revenue=("revenue", "sum"), n_items=("revenue", "size"))
+        return pa.table({
+            "orderkey": pa.array(g["orderkey"].to_numpy(dtype=np.int64)),
+            "revenue": pc.round(
+                pa.array(g["revenue"].to_numpy(dtype=np.float64)), 4),
+            "n_items": pa.array(g["n_items"].to_numpy(dtype=np.int64))})
 
-    return (agg.map_batches(rnd, batch_format="pyarrow")
-            .sort(["revenue", "orderkey"], descending=[True, False]).limit(10))
+    agg = grouped_partitions(joined.map_batches(derive, batch_format="pyarrow"),
+                             ["orderkey"], agg_part, n_parts=32)
+    return agg.sort(["revenue", "orderkey"],
+                    descending=[True, False]).limit(10)
 
 
 def q_customer_nation(sf_dir: str):
@@ -958,8 +969,9 @@ def q_substring_spans(sf_dir: str):
     import ray.data as rd
 
     from pcompress_ray.config import PipelineConfig
-    from pcompress_ray.pipelines.dedup import dedup_pipeline
+    from pcompress_ray.pipelines.dedup import build_signatures, union_edges
     from pcompress_ray.sources.corpus import make_corpus
+    from pcompress_ray.stages.exact import chunk_exact_edges, doc_exact_edges
     from pcompress_ray.stages.suffix import substring_verify
 
     _setup()
@@ -968,8 +980,14 @@ def q_substring_spans(sf_dir: str):
     pages = pages.append_column(
         "rank", pa.array(np.arange(len(pages["url"]), dtype=np.int64)))
     ds = rd.from_arrow(pages).repartition(4)
-    res = dedup_pipeline(ds, cfg, compute_pairs=False)
-    spans = substring_verify(res.edges, ds, cfg)
+    # minimal edge lineage: substring_verify only consumes kind=="substring",
+    # and per-pair best-kind needs only exact (outranks substring) + the
+    # substring partials — near edges never mask substring, so the LSH /
+    # verify / components phases of the full pipeline are skipped here
+    sig = build_signatures(ds, cfg).materialize()
+    edges = union_edges(doc_exact_edges(sig), chunk_exact_edges(sig, cfg),
+                        cfg=cfg)
+    spans = substring_verify(edges, ds, cfg)
 
     def rn(t: pa.Table) -> pa.Table:
         t = t.replace_schema_metadata(None)
