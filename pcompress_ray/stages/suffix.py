@@ -237,10 +237,22 @@ def substring_verify(edges_ds, pages_ds, cfg: PipelineConfig):
     subs = edges_ds.map_batches(
         lambda t: t.replace_schema_metadata(None).filter(
             pc.equal(t["kind"], "substring")).select(["a", "b"]),
-        batch_format="pyarrow")
+        batch_format="pyarrow").materialize()
 
     text_col = "text_norm" if "text_norm" in pages_ds.schema().names else "text"
     texts = pages_ds.select_columns(["rank", text_col])
+    # substring pairs are a small fraction of the corpus: prefilter the
+    # text side so only participating docs enter the two joins (driver
+    # holds 8 B/rank; past the guard the unfiltered joins are the path)
+    if subs.count() <= 5_000_000:
+        sdf = subs.to_pandas()
+        part_ranks = np.unique(np.concatenate(
+            [sdf["a"].to_numpy(dtype=np.int64),
+             sdf["b"].to_numpy(dtype=np.int64)])) if len(sdf) else \
+            np.zeros(0, np.int64)
+        from pcompress_ray.functions.ops import semi_join_filter
+
+        texts = semi_join_filter(texts, part_ranks, on="rank")
 
     j1 = hash_join(subs, texts, left_on="a", right_on="rank",
                    n_buckets=cfg.join_buckets)
