@@ -75,3 +75,44 @@ def test_cli_dedup_roundtrip(ray_session, tmp_path, capsys):
     assert line["n_docs"] == 50
     assert os.path.isdir(os.path.join(out, "clusters"))
     assert os.path.exists(os.path.join(out, "lineage.parquet"))
+
+
+def test_cli_archive_restore_append(ray_session, tmp_path, capsys):
+    """CLI archive -> append -> restore chain: parquet docs in, archive
+    dir out, appended batch folded in, restore exits 0 with every SHA
+    verified (exit 1 on any mismatch is the integrity contract)."""
+    import pcompress_ray
+
+    pcompress_ray.register_for_ray()
+    from pcompress_ray.cli import cmd_archive, cmd_restore
+    from pcompress_ray.sources.corpus import make_corpus
+
+    pages, _, _ = make_corpus(60, 42, with_oracle=False)
+    inp = str(tmp_path / "pages.parquet")
+    pq.write_table(pages.select(["url", "text"]), inp)
+    arch = str(tmp_path / "arch")
+    rc = cmd_archive(argparse.Namespace(
+        input=inp, output=arch, text_col="text", near_dedup=False,
+        append=False, num_cpus=None))
+    assert rc == 0
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["n_docs"] == 60 and line["overall_ratio"] > 1.0
+
+    more, _, _ = make_corpus(30, 99, with_oracle=False)
+    inp2 = str(tmp_path / "more.parquet")
+    pq.write_table(pa.table({
+        "url": pa.array([f"b://{u}" for u in more["url"].to_pylist()]),
+        "text": more["text"]}), inp2)
+    rc = cmd_archive(argparse.Namespace(
+        input=inp2, output=arch, text_col="text", near_dedup=False,
+        append=True, num_cpus=None))
+    assert rc == 0
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["n_new_docs"] == 30
+
+    out = str(tmp_path / "restored")
+    rc = cmd_restore(argparse.Namespace(input=arch, output=out,
+                                        num_cpus=None))
+    assert rc == 0
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["n_docs"] == 90 and line["n_sha_ok"] == 90

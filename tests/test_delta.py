@@ -60,6 +60,50 @@ def test_delta_unrelated_stays_literal():
     assert len(d) >= len(target)
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+
+@pytest.mark.skipif(not _HYP, reason="hypothesis unavailable")
+@settings(max_examples=60, deadline=None)
+@given(base=st.binary(max_size=4000),
+       target=st.binary(max_size=4000),
+       min_copy=st.integers(min_value=4, max_value=256))
+def test_delta_roundtrip_property(base, target, min_copy):
+    """delta_decode(base, delta_encode(base, t)) == t for ALL inputs —
+    the encoder may be suboptimal, never incorrect."""
+    d = delta_encode(base, target, min_copy=min_copy)
+    assert delta_decode(base, d) == target
+
+
+@pytest.mark.skipif(not _HYP, reason="hypothesis unavailable")
+@settings(max_examples=40, deadline=None)
+@given(data=st.binary(max_size=8000),
+       codec=st.sampled_from(["none", "zlib", "bz2", "lzma"]))
+def test_codec_roundtrip_property(data, codec):
+    from pcompress_ray.stages.compress import compress_chunk, decompress_chunk
+
+    assert decompress_chunk(compress_chunk(data, codec), codec) == data
+
+
+@pytest.mark.skipif(not _HYP, reason="hypothesis unavailable")
+@settings(max_examples=40, deadline=None)
+@given(data=st.binary(min_size=1, max_size=8000))
+def test_gain_gate_never_grows_property(data):
+    """select_and_compress never stores more bytes than the original."""
+    from pcompress_ray.stages.compress import select_and_compress
+
+    codec, payload = select_and_compress(data, "zlib", "zlib")
+    assert len(payload) <= len(data)
+    if codec == "none":
+        assert payload == data
+
+
 def test_delta_encode_members_pipeline(ray_session):
     import pyarrow as pa
     import ray.data as rd
