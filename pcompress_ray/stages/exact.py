@@ -64,16 +64,20 @@ def doc_exact_edges(sig_ds, prefilter_shas=None):
 
         keys = keys.map_batches(filt, batch_format="pyarrow")
 
-    def stars(part: pd.DataFrame) -> pd.DataFrame:
-        # vectorized over ALL sha groups in the partition
+    def stars(part: pd.DataFrame) -> pa.Table:
+        # vectorized over ALL sha groups in the partition; Arrow output
+        # with explicit types (empty pandas object columns trip Ray's
+        # block-size estimation)
         part = part.sort_values(["text_sha256", "rank"])
         key = part["text_sha256"].to_numpy()
         r = part["rank"].to_numpy(dtype=np.int64)
         first, gid, _ = group_boundaries(key)
         a = r[first][gid]          # min rank of each row's group (sorted)
         keep = r != a
-        return pd.DataFrame({"a": a[keep], "b": r[keep],
-                             "kind": "exact", "jaccard": 1.0})
+        n = int(keep.sum())
+        return pa.table({"a": pa.array(a[keep]), "b": pa.array(r[keep]),
+                         "kind": pa.array(["exact"] * n, pa.string()),
+                         "jaccard": pa.array(np.ones(n, np.float64))})
 
     return grouped_partitions(keys, ["text_sha256"], stars)
 
