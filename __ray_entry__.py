@@ -431,6 +431,38 @@ def q_event_gaps(sf_dir: str):
     return res.map_batches(rn, batch_format="pyarrow")
 
 
+def q_user_running_value(sf_dir: str):
+    """Cumulative window function: per event, the running sum of ``value``
+    within its user's timeline (ORDER BY ts, event_id ROWS UNBOUNDED
+    PRECEDING). Hash-partitioned by user_id, ONE vectorized segmented
+    cumsum per partition. Values are scaled to integers BEFORE summing
+    (floor(v*1e6+0.5) on both sides) so the running sum is exact — a
+    float cumsum would round differently from DuckDB's windowed sum."""
+    from pcompress_ray.functions.ops import grouped_partitions
+
+    _setup()
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+
+    def run_part(part: pd.DataFrame) -> pa.Table:
+        part = part.sort_values(["user_id", "ts", "event_id"])
+        uid = part["user_id"].to_numpy(dtype=np.int64)
+        eid = part["event_id"].to_numpy(dtype=np.int64)
+        v = np.floor(part["value"].to_numpy(dtype=np.float64) * 1e6 + 0.5) \
+            .astype(np.int64)
+        cs = np.cumsum(v)
+        # segmented cumsum: subtract the running total just before each
+        # user's first row
+        first = np.ones(uid.size, dtype=bool)
+        first[1:] = uid[1:] != uid[:-1]
+        base = np.repeat(cs[first] - v[first], np.diff(
+            np.append(np.flatnonzero(first), uid.size)))
+        run = cs - base
+        return pa.table({"user_id": pa.array(uid), "event_id": pa.array(eid),
+                         "run_value_e6": pa.array(run.astype(np.int64))})
+
+    return grouped_partitions(ds, ["user_id"], run_part)
+
+
 def q_sessionize(sf_dir: str):
     """Gap-based sessionization per user (1800s gap). Hash-partitioned by
     user_id; ONE vectorized scan per partition (sort by user,ts; numpy
@@ -1311,6 +1343,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_active_users": q_hourly_active_users,
         "sessionize": q_sessionize,
         "event_gaps": q_event_gaps,
+        "user_running_value": q_user_running_value,
         "ann_topk": q_ann_topk,
         "embedding_neardup": q_embedding_neardup,
         "dedup_clusters": q_dedup_clusters,
@@ -1517,6 +1550,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
                    count(*) AS n_events
             FROM s GROUP BY user_id, session_id
+        """,
+        "user_running_value": """
+            SELECT user_id, event_id,
+                   SUM(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS run_value_e6
+            FROM events
         """,
         "event_gaps": """
             SELECT user_id, event_id, CAST(ts_us - prev_us AS BIGINT) AS gap_us
