@@ -463,6 +463,33 @@ def q_user_running_value(sf_dir: str):
     return grouped_partitions(ds, ["user_id"], run_part)
 
 
+def q_user_first_last(sf_dir: str):
+    """arg-min/arg-max window shape: each user's first and last event_type
+    by (ts, event_id) plus event count — one vectorized boundary pick per
+    hash partition."""
+    from pcompress_ray.functions.ops import grouped_partitions
+
+    _setup()
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+
+    def fl_part(part: pd.DataFrame) -> pa.Table:
+        part = part.sort_values(["user_id", "ts", "event_id"])
+        uid = part["user_id"].to_numpy(dtype=np.int64)
+        et = part["event_type"].to_numpy()
+        first = np.ones(uid.size, dtype=bool)
+        first[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], uid.size) - 1
+        return pa.table({
+            "user_id": pa.array(uid[starts]),
+            "first_type": pa.array(et[starts].astype(str), pa.string()),
+            "last_type": pa.array(et[ends].astype(str), pa.string()),
+            "n_events": pa.array((ends - starts + 1).astype(np.int64)),
+        })
+
+    return grouped_partitions(ds, ["user_id"], fl_part)
+
+
 def q_sessionize(sf_dir: str):
     """Gap-based sessionization per user (1800s gap). Hash-partitioned by
     user_id; ONE vectorized scan per partition (sort by user,ts; numpy
@@ -1344,6 +1371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": q_sessionize,
         "event_gaps": q_event_gaps,
         "user_running_value": q_user_running_value,
+        "user_first_last": q_user_first_last,
         "ann_topk": q_ann_topk,
         "embedding_neardup": q_embedding_neardup,
         "dedup_clusters": q_dedup_clusters,
@@ -1550,6 +1578,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
                    count(*) AS n_events
             FROM s GROUP BY user_id, session_id
+        """,
+        "user_first_last": """
+            WITH w AS (
+                SELECT user_id, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, event_id DESC)
+                           AS rn_last,
+                       count(*) OVER (PARTITION BY user_id) AS n
+                FROM events)
+            SELECT user_id,
+                   max(CASE WHEN rn = 1 THEN event_type END) AS first_type,
+                   max(CASE WHEN rn_last = 1 THEN event_type END) AS last_type,
+                   CAST(max(n) AS BIGINT) AS n_events
+            FROM w GROUP BY user_id
         """,
         "user_running_value": """
             SELECT user_id, event_id,

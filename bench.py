@@ -39,7 +39,7 @@ QUERY_NAMES = ["q1_pricing", "q3_top_orders", "customer_nation", "doc_stats",
                "events_rollup", "lang_token_diversity",
                "lang_length_quantiles", "dup_gain_by_source",
                "corpus_sample", "event_gaps", "archive_stats",
-               "delta_gain", "user_running_value"]
+               "delta_gain", "user_running_value", "user_first_last"]
 
 
 def run_bench() -> dict:

@@ -17,7 +17,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 SF_DIR = "/root/testdata/sf0.001"
 
 NEW_ORACLED = ["lang_id", "dup_gain_by_source", "corpus_sample",
-               "event_gaps", "user_running_value", "q3_top_orders"]
+               "event_gaps", "user_running_value", "q3_top_orders",
+               "user_first_last"]
 
 
 def _oracle(sql: str) -> pd.DataFrame:
