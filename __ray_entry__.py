@@ -1597,9 +1597,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "user_running_value": """
             SELECT user_id, event_id,
-                   SUM(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) OVER (
+                   CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS UNBOUNDED PRECEDING) AS run_value_e6
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_value_e6
             FROM events
         """,
         "event_gaps": """
