@@ -569,8 +569,16 @@ def q_events_sliding(sf_dir: str):
         cnt = np.bincount(gid)
         sv = np.bincount(gid, weights=ve6.astype(np.float64)).astype(np.int64)
         gu, gh = uid[first], hour[first]
-        comp = (gu << np.int64(32)) | gh  # epoch-hour < 2^31
-        left = np.searchsorted(comp, (gu << np.int64(32)) | (gh - 2))
+        if gu.max() >= 1 << 31 or gu.min() < 0:
+            raise ValueError("events_sliding packs (user_id, hour) into one "
+                             "int64; user_id must fit in 31 bits")
+        if gh.max() >= 1 << 31 or gh.min() < 0:
+            raise ValueError("events_sliding packs (user_id, hour) into one "
+                             "int64; epoch-hour must fit in 31 bits")
+        comp = (gu << np.int64(32)) | gh
+        # clamp the window's left edge at hour 0 so (gh - 2) can never go
+        # negative and OR garbage into the packed key
+        left = np.searchsorted(comp, (gu << np.int64(32)) | np.maximum(gh - 2, 0))
         csn = np.concatenate([[0], np.cumsum(cnt)])
         csv = np.concatenate([[0], np.cumsum(sv)])
         idx = np.arange(gu.size)
@@ -898,9 +906,8 @@ def q_minhash_signatures(sf_dir: str):
 
 def q_quality_scores(sf_dir: str):
     """Quality scoring (length/punct/stopword ratios + composite score),
-    SQL-matched: float ratios rounded to 6 places on both sides."""
-    import pyarrow.compute as pc
-
+    SQL-matched: every float emitted as floor(x*1e6+0.5) scaled int on both
+    sides (no round(): half-even vs half-away divergence)."""
     from pcompress_ray.stages.textstats import quality_batch
 
     _setup()
@@ -909,17 +916,21 @@ def q_quality_scores(sf_dir: str):
 
     def rnd(t: pa.Table) -> pa.Table:
         t = t.replace_schema_metadata(None)
-        # composite score as scaled int (floor(x*1e6+0.5)): same IEEE ops
+
+        # every float column as scaled int (floor(x*1e6+0.5)): same IEEE ops
         # as the SQL twin, immune to round()'s half-even/half-away divergence
-        sc = t["quality_score"].to_numpy(zero_copy_only=False)
+        # (pc.round is half-to-even, DuckDB round() is half-away-from-zero)
+        def e6(col: str) -> pa.Array:
+            v = t[col].to_numpy(zero_copy_only=False)
+            return pa.array(np.floor(v * 1e6 + 0.5).astype(np.int64))
+
         return pa.table({
             "doc_id": t["doc_id"].cast(pa.int64()),
             "n_tokens": t["n_tokens"].cast(pa.int64()),
-            "punct_ratio": pc.round(t["punct_ratio"], 6),
-            "stopword_ratio": pc.round(t["stopword_ratio"], 6),
-            "avg_token_len": pc.round(t["avg_token_len"], 6),
-            "quality_score_e6": pa.array(
-                np.floor(sc * 1e6 + 0.5).astype(np.int64)),
+            "punct_ratio_e6": e6("punct_ratio"),
+            "stopword_ratio_e6": e6("stopword_ratio"),
+            "avg_token_len_e6": e6("avg_token_len"),
+            "quality_score_e6": e6("quality_score"),
         })
 
     return out.map_batches(rnd, batch_format="pyarrow")
@@ -1671,7 +1682,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "quality_scores": r"""
             -- exact float twin of textstats.quality_batch (same ops, same
-            -- order, both sides rounded to 6 places)
+            -- order, every float emitted as floor(x*1e6+0.5) scaled int)
             WITH c AS (
                 SELECT doc_id,
                     CAST(length(coalesce(text, '')) AS DOUBLE) AS n_chars,
@@ -1693,9 +1704,12 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id,
                 CAST(n_tokens AS BIGINT) AS n_tokens,
-                round(punct_ratio, 6) AS punct_ratio,
-                round(stop_ratio, 6) AS stopword_ratio,
-                round(avg_token_len, 6) AS avg_token_len,
+                CAST(floor(punct_ratio * 1000000.0 + 0.5) AS BIGINT)
+                    AS punct_ratio_e6,
+                CAST(floor(stop_ratio * 1000000.0 + 0.5) AS BIGINT)
+                    AS stopword_ratio_e6,
+                CAST(floor(avg_token_len * 1000000.0 + 0.5) AS BIGINT)
+                    AS avg_token_len_e6,
                 CAST(floor((least(n_tokens / 100.0, 1.0) * 0.4
                     + least(stop_ratio * 5.0, 1.0) * 0.3
                     + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.3)

@@ -190,17 +190,27 @@ def run_scaling():
         r_lo = run(lo)
         r_hi = run(hi)
         eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+        # a pair is only credible if its own hardware-calibration window was
+        # clean (ceiling in [0.85, 1.05]); efficiency is capped at the
+        # ceiling so a load wave that inflates the slow leg (observed
+        # 1.06-1.62 "superlinear" pairs) can never become the gate number
+        credible = 0.85 <= ceiling <= 1.05
         pairs.append({f"sec_{lo}": r_lo["value"], f"sec_{hi}": r_hi["value"],
                       f"docs_per_sec_{lo}": r_lo["docs_per_sec"],
                       f"docs_per_sec_{hi}": r_hi["docs_per_sec"],
                       "hw_ceiling": ceiling,
-                      "efficiency": round(eff, 3)})
-    best = max(pairs, key=lambda p: p["efficiency"])
+                      "credible": credible,
+                      "efficiency_raw": round(eff, 3),
+                      "efficiency": round(min(eff, ceiling), 3)})
+    cred = [p for p in pairs if p["credible"]]
+    pool = cred if cred else pairs
+    best = max(pool, key=lambda p: p["efficiency"])
     print(json.dumps({
         "metric": f"scaling efficiency ({lo} vs {hi} CPUs, paired "
                   "fresh-process runs, same corpus)",
         **{k: v for k, v in best.items() if k != "efficiency"},
         "scaling_efficiency": best["efficiency"],
+        "headline_from_credible_pair": bool(cred),
         "all_pairs": pairs,
         "bench_docs": int(ndocs),
     }))

@@ -335,15 +335,12 @@ def dedup_pipeline(pages_ds, cfg: PipelineConfig | None = None,
                   file=sys.stderr, flush=True)
         t_last = now
 
-    # locality sort (O4): co-locate likely duplicates (same registered
-    # domain) before the heavy shuffles — opt-in, result-invariant
-    if cfg.locality_sort:
-        from pcompress_ray.stages.locality import locality_sort
-
-        pages_ds = locality_sort(pages_ds)
-        mark("locality_sort")
-
-    # stop-shingle (boilerplate) pass: constant-size sample, one broadcast
+    # stop-shingle (boilerplate) pass: constant-size sample, one broadcast.
+    # Sampled from the PRE-locality-sort dataset: the sample is a prefix
+    # (limit), and after a domain sort the prefix would be the first few
+    # domains — their templates would be marked stop shingles, suppressing
+    # banding recall for exactly those domains and breaking locality_sort's
+    # results-invariance.
     stop_ref = None
     if cfg.stop_shingle_df > 0:
         import ray
@@ -359,6 +356,14 @@ def dedup_pipeline(pages_ds, cfg: PipelineConfig | None = None,
             ck.save_table("stop_shingles",
                           pa.table({"sh": pa.array(stop, pa.uint64())}))
         mark(f"stop_shingles ({stop.size})")
+
+    # locality sort (O4): co-locate likely duplicates (same registered
+    # domain) before the heavy shuffles — opt-in, result-invariant
+    if cfg.locality_sort:
+        from pcompress_ray.stages.locality import locality_sort
+
+        pages_ds = locality_sort(pages_ds)
+        mark("locality_sort")
 
     # signatures are consumed by four downstream stages — materialize ONCE
     # (to checkpoint Parquet when enabled, else to the object store) so the
