@@ -43,6 +43,113 @@ def hash_strings(values, seed: int = 0) -> np.ndarray:
     return h
 
 
+_TOKEN_BYTE = np.zeros(256, dtype=bool)
+_TOKEN_BYTE[np.frombuffer(b"abcdefghijklmnopqrstuvwxyz0123456789",
+                          np.uint8)] = True
+_POLY_M = U64(0x9E3779B97F4A7C15)  # odd → invertible mod 2^64
+
+
+def _u64_inv(a: int) -> int:
+    """Inverse of odd a modulo 2^64 (Newton iteration, 6 steps)."""
+    x = a
+    for _ in range(6):
+        x = (x * (2 - a * x)) & 0xFFFFFFFFFFFFFFFF
+    return x
+
+
+_POLY_M_INV = U64(_u64_inv(int(_POLY_M)))
+
+
+def token_hashes_bytes(buf: np.ndarray, doc_offs: np.ndarray):
+    """Vectorized tokenizer + 64-bit token hasher over a concatenated UTF-8
+    byte buffer — NO per-token Python strings (the regex-findall +
+    string-hash path costs ~0.5 ms/doc; this is a handful of full-buffer
+    numpy passes).
+
+    Tokens are maximal [a-z0-9]+ runs after ASCII lowercasing (multi-byte
+    UTF-8 units are >= 0x80, never token bytes), equivalent to
+    ``re.findall("[a-z0-9]+", text.lower())`` except for the rare Unicode
+    code points whose lower() maps into ASCII (e.g. U+212A KELVIN SIGN).
+    Engine-internal shingle semantics — applied identically everywhere
+    (doc_shingles, SignatureStage, stop shingles), so every oracle
+    recomputes the same values.
+
+    Hashing: prefix polynomial in the 2^64 ring. S[i] = Σ_{j<i} b[j]·M^j, so
+    a token spanning [s, e) hashes to (S[e]−S[s])·M^{−s} — position-
+    independent (the same token bytes hash identically anywhere), finalized
+    with splitmix64 and the token length.
+
+    ``buf`` uint8 (LOWERCASED IN PLACE — pass a copy of shared memory);
+    ``doc_offs`` int64 (ndocs+1) document boundaries (tokens never cross
+    them). Returns (th uint64[ntok] in document order, tok_doc int64[ntok],
+    counts int64[ndocs]).
+    """
+    n = int(buf.size)
+    ndocs = int(doc_offs.size) - 1
+    empty = (np.empty(0, U64), np.empty(0, np.int64),
+             np.zeros(max(ndocs, 0), np.int64))
+    if n == 0 or ndocs <= 0:
+        return empty
+    up = (buf >= 65) & (buf <= 90)
+    buf[up] += 32
+    m = _TOKEN_BYTE[buf]
+    brk = np.zeros(n + 1, dtype=bool)
+    brk[doc_offs[1:-1]] = True  # interior doc starts break runs
+    is_start = m.copy()
+    is_start[1:] &= ~m[:-1] | brk[1:n]
+    is_end = m.copy()
+    is_end[:-1] &= ~m[1:] | brk[1:n]
+    starts = np.flatnonzero(is_start)
+    ends = np.flatnonzero(is_end) + 1
+    if starts.size == 0:
+        return empty
+    W = np.empty(n, U64)
+    W[0] = 1
+    W[1:] = _POLY_M
+    np.cumprod(W, out=W)
+    Winv = np.empty(n, U64)
+    Winv[0] = 1
+    Winv[1:] = _POLY_M_INV
+    np.cumprod(Winv, out=Winv)
+    S = np.empty(n + 1, U64)
+    S[0] = 0
+    np.cumsum(W * buf, out=S[1:])
+    h_raw = (S[ends] - S[starts]) * Winv[starts]
+    th = splitmix64(splitmix64(h_raw) ^ (ends - starts).astype(U64))
+    tok_doc = np.searchsorted(doc_offs, starts, side="right") - 1
+    counts = np.bincount(tok_doc, minlength=ndocs).astype(np.int64)
+    return th, tok_doc.astype(np.int64), counts
+
+
+def utf8_column_buffer(col):
+    """(uint8 copy of the column's UTF-8 data, int64 offsets) for a pyarrow
+    string column — the concatenated-document input to token_hashes_bytes.
+    Nulls read as empty strings. The returned buffer is a COPY (the kernel
+    lowercases in place)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if arr.null_count:
+        arr = pc.fill_null(arr, "")
+    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    offs = np.frombuffer(arr.buffers()[1], off_dtype)[
+        arr.offset : arr.offset + len(arr) + 1].astype(np.int64)
+    data_buf = arr.buffers()[2]
+    if data_buf is None:
+        return np.empty(0, np.uint8), offs - offs[0]
+    data = np.frombuffer(data_buf, np.uint8)
+    return data[offs[0] : offs[-1]].copy(), offs - offs[0]
+
+
+def token_hashes_text(text: str):
+    """token_hashes_bytes over ONE document string (uint64 token hashes)."""
+    b = np.frombuffer((text or "").encode("utf-8", "surrogatepass"),
+                      np.uint8).copy()
+    th, _, _ = token_hashes_bytes(b, np.array([0, b.size], np.int64))
+    return th
+
+
 def combine_rows(mat: np.ndarray, seed: int = 0) -> np.ndarray:
     """Hash each row of a (n, k) uint64 matrix to one uint64 (order-sensitive).
 

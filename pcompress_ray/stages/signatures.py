@@ -25,28 +25,28 @@ import pyarrow as pa
 from pcompress_ray.config import PipelineConfig
 from pcompress_ray.hashing import (
     combine_rows,
-    hash_strings,
     minhash_params,
     minhash_signature,
     shingle_hashes,
     simhash,
+    token_hashes_bytes,
+    token_hashes_text,
+    utf8_column_buffer,
 )
-from pcompress_ray.stages.extract import tokenize
 
 U64 = np.uint64
 
 
 def doc_shingles(text: str, k: int) -> np.ndarray:
     """Unique shingle hashes of one document (uint64, sorted)."""
-    toks = tokenize(text)
-    if not toks:
+    th = token_hashes_text(text)
+    if th.size == 0:
         return np.empty(0, dtype=U64)
-    th = hash_strings(np.asarray(toks, dtype=object))
-    if len(toks) < k:
+    if th.size < k:
         # short doc: treat the whole token sequence as one shingle so tiny
         # exact dups still match (reference: trailing remainder block,
         # rabin/rabin_dedup.c:716-757)
-        sh = shingle_hashes(th, max(1, len(toks)))
+        sh = shingle_hashes(th, max(1, th.size))
     else:
         sh = shingle_hashes(th, k)
     return np.unique(sh)
@@ -107,6 +107,14 @@ def compute_stop_shingles(pages_ds, cfg: PipelineConfig,
     return vals[cnts >= df_threshold * n_sampled]
 
 
+def _u64_list_array(mat: np.ndarray) -> pa.Array:
+    """(n, k) uint64 matrix → list<uint64> array without a Python row list
+    (pa.array(list(mat)) walks n row views; this is two buffer wraps)."""
+    nrows, k = mat.shape
+    offs = pa.array(np.arange(0, (nrows + 1) * k, k, dtype=np.int32))
+    return pa.ListArray.from_arrays(offs, pa.array(np.ascontiguousarray(mat).reshape(-1)))
+
+
 class SignatureStage:
     """map_batches actor stage: text_norm → minhash, bands, simhash, kmv.
 
@@ -150,37 +158,31 @@ class SignatureStage:
         cfg = self.cfg
         k = cfg.shingle_k
         batch = batch.replace_schema_metadata(None)
-        texts = batch[self.text_col].to_pylist()
-        n = len(texts)
+        n = len(batch)
         n_tokens = np.zeros(n, dtype=np.int32)
         n_shingles = np.zeros(n, dtype=np.int32)
         sigs = np.full((n, cfg.num_perm), np.iinfo(np.uint64).max, dtype=U64)
         simhashes = np.zeros(n, dtype=U64)
         kmvs: list[bytes] = [b""] * n
 
-        # --- tokenize per doc (C regex), hash ALL tokens in ONE call ---
-        toks_per_doc = [tokenize(t) for t in texts]
-        counts = np.array([len(t) for t in toks_per_doc], dtype=np.int64)
+        # --- tokenize + hash the whole batch in one vectorized byte pass
+        # (zero-copy from the Arrow data buffer; no per-token strings) ---
+        buf, doc_offs = utf8_column_buffer(batch[self.text_col])
+        th_all, _tok_doc, counts = token_hashes_bytes(buf, doc_offs)
         n_tokens[:] = counts
         total = int(counts.sum())
         if total == 0:
             out = batch.append_column("n_tokens", pa.array(n_tokens, type=pa.int32()))
             out = out.append_column("n_shingles", pa.array(n_shingles, type=pa.int32()))
-            out = out.append_column("minhash", pa.array(list(sigs), type=pa.list_(pa.uint64())))
+            out = out.append_column("minhash", _u64_list_array(sigs))
             bands0 = np.zeros((n, cfg.lsh_bands), dtype=U64)
             r0 = cfg.lsh_rows
             for bnd in range(cfg.lsh_bands):
                 bands0[:, bnd] = combine_rows(sigs[:, bnd * r0:(bnd + 1) * r0], seed=bnd + 1)
-            out = out.append_column("band_hashes", pa.array(list(bands0), type=pa.list_(pa.uint64())))
+            out = out.append_column("band_hashes", _u64_list_array(bands0))
             out = out.append_column("simhash", pa.array(simhashes, type=pa.uint64()))
             out = out.append_column("kmv", pa.array(kmvs, type=pa.binary()))
             return out
-        flat = np.empty(total, dtype=object)
-        pos = 0
-        for t in toks_per_doc:
-            flat[pos : pos + len(t)] = t
-            pos += len(t)
-        th_all = hash_strings(flat)
         starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
         ends = np.cumsum(counts)
 
@@ -281,8 +283,8 @@ class SignatureStage:
                                          seed=bnd + 1)
         out = batch.append_column("n_tokens", pa.array(n_tokens, type=pa.int32()))
         out = out.append_column("n_shingles", pa.array(n_shingles, type=pa.int32()))
-        out = out.append_column("minhash", pa.array(list(sigs), type=pa.list_(pa.uint64())))
-        out = out.append_column("band_hashes", pa.array(list(bands), type=pa.list_(pa.uint64())))
+        out = out.append_column("minhash", _u64_list_array(sigs))
+        out = out.append_column("band_hashes", _u64_list_array(bands))
         out = out.append_column("simhash", pa.array(simhashes, type=pa.uint64()))
         out = out.append_column("kmv", pa.array(kmvs, type=pa.binary()))
         return out

@@ -48,6 +48,62 @@ def kmv_jaccard(a: np.ndarray, b: np.ndarray, k: int) -> float:
     return inter / union.size
 
 
+def _ramp(lens: np.ndarray) -> np.ndarray:
+    """0..l0-1, 0..l1-1, ... for ragged gather/scatter index math."""
+    total = int(lens.sum())
+    return np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(lens) - lens, lens)
+
+
+def kmv_jaccard_many(va_cat: np.ndarray, a_lens: np.ndarray,
+                     vb_cat: np.ndarray, b_lens: np.ndarray,
+                     k: int) -> np.ndarray:
+    """Vectorized ``kmv_jaccard`` over N pairs.
+
+    ``va_cat``/``vb_cat`` are the pairs' sorted-unique uint64 sketches
+    concatenated in pair order; ``a_lens``/``b_lens`` the per-pair sizes.
+    The exact case (both sketches complete, size < k — the common web-page
+    case) is ONE batched pass: values are ranked against the batch's unique
+    set, packed with the pair id into one uint64 key, and both sides
+    intersected with a single sorted-array intersection — no per-pair
+    Python. Bottom-k-estimate pairs (either side saturated at k) fall back
+    to the scalar kernel, pair by pair (rare by construction).
+    """
+    n = int(a_lens.size)
+    jac = np.zeros(n, dtype=np.float64)
+    if n == 0:
+        return jac
+    a_lens = a_lens.astype(np.int64)
+    b_lens = b_lens.astype(np.int64)
+    a_off = np.concatenate([[0], np.cumsum(a_lens)])
+    b_off = np.concatenate([[0], np.cumsum(b_lens)])
+    est = (a_lens >= k) | (b_lens >= k)
+    jac[(a_lens == 0) & (b_lens == 0)] = 1.0
+    exact = ~est & (a_lens > 0) & (b_lens > 0)
+
+    sel = np.flatnonzero(exact)
+    if sel.size:
+        la, lb = a_lens[sel], b_lens[sel]
+        src_a = np.repeat(a_off[sel], la) + _ramp(la)
+        src_b = np.repeat(b_off[sel], lb) + _ramp(lb)
+        vals_a, vals_b = va_cat[src_a], vb_cat[src_b]
+        u = np.unique(np.concatenate([vals_a, vals_b]))
+        # pid < 2^32 (batch-sized) and rank(u) < 2^32 by construction
+        ka = (np.repeat(np.arange(sel.size, dtype=np.uint64), la) << np.uint64(32)) \
+            | np.searchsorted(u, vals_a).astype(np.uint64)
+        kb = (np.repeat(np.arange(sel.size, dtype=np.uint64), lb) << np.uint64(32)) \
+            | np.searchsorted(u, vals_b).astype(np.uint64)
+        inter = np.intersect1d(ka, kb, assume_unique=True)
+        cnt = np.bincount((inter >> np.uint64(32)).astype(np.int64),
+                          minlength=sel.size)
+        jac[sel] = cnt / (la + lb - cnt)
+
+    for i in np.flatnonzero(est):
+        jac[i] = kmv_jaccard(va_cat[a_off[i]:a_off[i + 1]],
+                             vb_cat[b_off[i]:b_off[i + 1]], k)
+    return jac
+
+
 def _participating_ids(cand_ds) -> np.ndarray:
     """Distinct doc ranks appearing in any candidate pair.
 
@@ -174,19 +230,31 @@ def _verify_broadcast(cand_ds, sig_ds, cfg: PipelineConfig, ids: np.ndarray):
     thresh = cfg.jaccard_threshold
     k = cfg.kmv_k
 
+    def gather(side: np.ndarray, ranks_, blk_, start_, len_, vals):
+        """Concatenated sketches for one pair side, in pair order — a
+        vectorized ragged gather, looping only over source BLOCKS."""
+        ix = np.searchsorted(ranks_, side)
+        blk, start, ln = blk_[ix], start_[ix], len_[ix]
+        out = np.empty(int(ln.sum()), dtype=np.uint64)
+        begins = np.cumsum(ln) - ln
+        for bno in np.unique(blk):
+            m = blk == bno
+            lm = ln[m]
+            if not lm.sum():
+                continue
+            out[np.repeat(begins[m], lm) + _ramp(lm)] = \
+                vals[bno][np.repeat(start[m], lm) + _ramp(lm)]
+        return out, ln
+
     def score(t: pa.Table) -> pa.Table:
         t = t.replace_schema_metadata(None)
         ranks_, blk_, start_, len_ = ray.get(index_ref)  # zero-copy plasma
         vals = ray.get(values_refs)                      # zero-copy per block
         a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
         b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
-        ia = np.searchsorted(ranks_, a)
-        ib = np.searchsorted(ranks_, b)
-        jac = np.empty(a.size, dtype=np.float64)
-        for i in range(a.size):
-            va = vals[blk_[ia[i]]][start_[ia[i]] : start_[ia[i]] + len_[ia[i]]]
-            vb = vals[blk_[ib[i]]][start_[ib[i]] : start_[ib[i]] + len_[ib[i]]]
-            jac[i] = kmv_jaccard(va, vb, k)
+        va_cat, a_lens = gather(a, ranks_, blk_, start_, len_, vals)
+        vb_cat, b_lens = gather(b, ranks_, blk_, start_, len_, vals)
+        jac = kmv_jaccard_many(va_cat, a_lens, vb_cat, b_lens, k)
         keep = jac >= thresh
         return pa.table({
             "a": pa.array(a[keep]),
@@ -239,13 +307,13 @@ def _verify_join(cand_ds, sig_ds, cfg: PipelineConfig, ids):
     def score(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) == 0:
             return pd.DataFrame({"a": [], "b": [], "kind": [], "jaccard": []})
-        jac = np.empty(len(g), dtype=np.float64)
-        ka = g["kmv_a"].to_numpy()
-        kb = g["kmv"].to_numpy()
-        for i in range(len(g)):
-            va = np.frombuffer(ka[i] or b"", dtype=np.uint64)
-            vb = np.frombuffer(kb[i] or b"", dtype=np.uint64)
-            jac[i] = kmv_jaccard(va, vb, k)
+        ka = [x or b"" for x in g["kmv_a"].to_numpy()]
+        kb = [x or b"" for x in g["kmv"].to_numpy()]
+        va_cat = np.frombuffer(b"".join(ka), dtype=np.uint64)
+        vb_cat = np.frombuffer(b"".join(kb), dtype=np.uint64)
+        a_lens = np.fromiter((len(x) for x in ka), np.int64, len(ka)) // 8
+        b_lens = np.fromiter((len(x) for x in kb), np.int64, len(kb)) // 8
+        jac = kmv_jaccard_many(va_cat, a_lens, vb_cat, b_lens, k)
         out = pd.DataFrame({
             "a": g["a"].to_numpy(dtype=np.int64),
             "b": g["b"].to_numpy(dtype=np.int64),

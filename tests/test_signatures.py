@@ -87,3 +87,36 @@ def test_simhash_locality():
     d_near = hamming64(np.array([h1], dtype=np.uint64), np.array([h2], dtype=np.uint64))[0]
     d_far = hamming64(np.array([h1], dtype=np.uint64), np.array([far], dtype=np.uint64))[0]
     assert d_near <= 14 < d_far
+
+
+def test_kmv_jaccard_many_matches_scalar():
+    """Vectorized batch scorer == scalar kernel on ragged random sketches,
+    covering empties, singletons, and k-saturated (estimate-path) pairs."""
+    from pcompress_ray.stages.verify import kmv_jaccard, kmv_jaccard_many
+
+    rng = np.random.default_rng(7)
+    k = 16
+    pool = np.unique(rng.integers(0, 1 << 40, 4000).astype(np.uint64))
+    a_list, b_list = [], []
+    for i in range(300):
+        na = int(rng.integers(0, k + 5))
+        nb = int(rng.integers(0, k + 5))
+        a = np.sort(rng.choice(pool, min(na, pool.size), replace=False))
+        # overlap half the time so intersections are non-trivial
+        if i % 2 == 0 and a.size:
+            extra = rng.choice(pool, min(nb, pool.size), replace=False)
+            b = np.unique(np.concatenate([a[: a.size // 2], extra]))[:nb]
+        else:
+            b = np.sort(rng.choice(pool, min(nb, pool.size), replace=False))
+        a_list.append(a)
+        b_list.append(b)
+    a_lens = np.array([x.size for x in a_list], dtype=np.int64)
+    b_lens = np.array([x.size for x in b_list], dtype=np.int64)
+    got = kmv_jaccard_many(
+        np.concatenate(a_list) if a_lens.sum() else np.empty(0, np.uint64),
+        a_lens,
+        np.concatenate(b_list) if b_lens.sum() else np.empty(0, np.uint64),
+        b_lens, k)
+    want = np.array([kmv_jaccard(a, b, k) for a, b in zip(a_list, b_list)])
+    assert np.allclose(got, want)
+    assert (a_lens >= k).any() or (b_lens >= k).any()  # estimate path hit
