@@ -128,27 +128,54 @@ def _explode_payloads(chunked_ds, cfg: PipelineConfig, text_col: str):
                    .to_numpy(zero_copy_only=False).astype(np.int64)
         lens = pc.list_flatten(t["chunk_lengths"]) \
                  .to_numpy(zero_copy_only=False).astype(np.int64)
-        texts = t[text_col].to_pylist()
         total = int(counts.sum())
         first = np.cumsum(counts) - counts
         seq = np.arange(total, dtype=np.int64) - np.repeat(first, counts)
-        pre = np.concatenate([[0], np.cumsum(lens)])
-        off = (pre[:-1] - np.repeat(pre[first], counts)) if total \
-            else np.zeros(0, np.int64)
-        di = np.repeat(np.arange(len(texts)), counts)
-        payloads: list[bytes] = []
-        cache: tuple[int, bytes] = (-1, b"")
-        for i in range(total):
-            d = int(di[i])
-            if cache[0] != d:
-                cache = (d, (texts[d] or "").encode("utf-8", "surrogatepass"))
-            o = int(off[i])
-            payloads.append(cache[1][o:o + int(lens[i])])
+        # Zero-copy payload slicing: CDC chunks tile each document exactly
+        # (cut_points' final offset is always len(data)), so the chunk
+        # payloads ARE the string column's UTF-8 data buffer re-offset at
+        # the global chunk-length cumsum — no per-chunk Python slicing.
+        col = t[text_col].cast(pa.string()).combine_chunks()
+        if col.null_count:
+            col = pc.fill_null(col, "")
+        off_dtype = np.int64 if pa.types.is_large_string(col.type) else np.int32
+        soffs = np.frombuffer(col.buffers()[1], off_dtype)[
+            col.offset : col.offset + len(col) + 1].astype(np.int64)
+        dbuf = col.buffers()[2]
+        data = (np.frombuffer(dbuf, np.uint8)[soffs[0] : soffs[-1]]
+                if dbuf is not None else np.empty(0, np.uint8))
+        cum = np.zeros(total + 1, dtype=np.int64)
+        np.cumsum(lens, out=cum[1:])
+        doc_start = soffs[:-1] - soffs[0]
+        nz = counts > 0
+        tiled = (cum[-1] == data.size and cum[-1] < (1 << 31)
+                 and np.array_equal(cum[first[nz]], doc_start[nz]))
+        if tiled:
+            payload = pa.Array.from_buffers(
+                pa.binary(), total,
+                [None, pa.py_buffer(cum.astype(np.int32)),
+                 pa.py_buffer(data)])
+        else:  # defensive fallback (non-tiling chunk lists)
+            texts = t[text_col].to_pylist()
+            pre = np.concatenate([[0], np.cumsum(lens)])
+            off = (pre[:-1] - np.repeat(pre[first], counts)) if total \
+                else np.zeros(0, np.int64)
+            di = np.repeat(np.arange(len(texts)), counts)
+            payloads: list[bytes] = []
+            cache: tuple[int, bytes] = (-1, b"")
+            for i in range(total):
+                d = int(di[i])
+                if cache[0] != d:
+                    cache = (d, (texts[d] or "").encode("utf-8",
+                                                        "surrogatepass"))
+                o = int(off[i])
+                payloads.append(cache[1][o : o + int(lens[i])])
+            payload = pa.array(payloads, pa.binary())
         return pa.table({
             "chunk_hash": pc.list_flatten(t["chunk_hashes"]),
             "rank": pa.array(np.repeat(ranks, counts)),
             "seq": pa.array(seq),
-            "payload": pa.array(payloads, pa.binary()),
+            "payload": payload,
         })
 
     keep = ["rank", "chunk_hashes", "chunk_lengths", text_col]

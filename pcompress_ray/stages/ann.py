@@ -87,39 +87,81 @@ def brute_force_topk(emb_ds, query_ids: np.ndarray, k: int = 5,
     return partials.groupby("query_id").map_groups(topk, batch_format="pandas")
 
 
+def _block_ids_matrix(t, id_col: str, emb_col: str):
+    """One Arrow block → (int64 ids, L2-normalized float64 matrix)."""
+    import pyarrow.compute as pc
+
+    if not isinstance(t, pa.Table):
+        t = pa.Table.from_pandas(t)
+    ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    col = t[emb_col].combine_chunks()
+    lens = np.unique(pc.list_value_length(col).to_numpy(zero_copy_only=False))
+    if lens.size == 1:
+        flat = np.asarray(col.flatten(), dtype=np.float64)
+        M = flat.reshape(len(ids), int(lens[0]))
+    else:  # ragged (shouldn't happen for embeddings) — row-wise fallback
+        M = np.asarray(col.to_pylist(), dtype=np.float64)
+    return ids, _normalize(M)
+
+
 def cosine_neardup_pairs(emb_ds, threshold: float,
                          id_col: str = "vec_id", emb_col: str = "embedding",
                          block: int = 4096):
     """All pairs with cosine ≥ threshold (embedding near-dup detection).
 
-    Blocked all-pairs: the dataset is chunked into row blocks; every block
-    pair is compared in its own Ray task (the O(n²/B²) task grid — exact,
-    parallel, no driver matrix). For corpora where n is huge, use
-    ``lsh_bucketed_pairs`` instead.
+    Distributed blocked all-pairs: the embeddings Dataset is materialized
+    once; per-block Ray tasks convert each block to a normalized matrix IN
+    PLASMA (the driver only holds refs — no full-table ``to_pandas``), then
+    the O(n²/B²) block-pair task grid reads two matrices zero-copy each and
+    scores them in ``block``-row tiles (bounded task memory). Pairs are
+    emitted id-normalized as (vec_a, vec_b) = (min, max). Exact; for huge n
+    use ``lsh_bucketed_pairs`` instead.
     """
     import ray
-
-    rows = emb_ds.select_columns([id_col, emb_col]).to_pandas()
-    ids = rows[id_col].to_numpy(dtype=np.int64)
-    M = _normalize(np.asarray(rows[emb_col].tolist(), dtype=np.float64))
-    nb = (len(ids) + block - 1) // block
-    mat_ref = ray.put((ids, M))
-
-    @ray.remote
-    def block_pair(bi: int, bj: int):
-        ids_, M_ = ray.get(mat_ref)
-        si, sj = slice(bi * block, (bi + 1) * block), slice(bj * block, (bj + 1) * block)
-        S = M_[si] @ M_[sj].T
-        ai, bj_idx = np.nonzero(S >= threshold)
-        a = ids_[si][ai]
-        b = ids_[sj][bj_idx]
-        keep = a < b
-        return pa.table({"vec_a": pa.array(a[keep]), "vec_b": pa.array(b[keep]),
-                         "cosine": pa.array(S[ai, bj_idx][keep], pa.float64())})
-
     import ray.data as rd
 
-    refs = [block_pair.remote(i, j) for i in range(nb) for j in range(i, nb)]
+    from pcompress_ray.functions.ops import materialized_block_refs
+
+    ds = emb_ds.select_columns([id_col, emb_col]).materialize()
+
+    prep = ray.remote(_block_ids_matrix)
+    preps = [prep.remote(b, id_col, emb_col)
+             for b in materialized_block_refs(ds)]
+    empty = pa.table({"vec_a": pa.array([], pa.int64()),
+                      "vec_b": pa.array([], pa.int64()),
+                      "cosine": pa.array([], pa.float64())})
+    if not preps:
+        return rd.from_arrow(empty)
+
+    @ray.remote
+    def block_pair(pa_, pb_, same: bool):
+        ids_a, Ma = pa_
+        ids_b, Mb = pb_
+        outs = []
+        for si in range(0, Ma.shape[0], block):
+            for sj in range(0, Mb.shape[0], block):
+                if same and sj + block <= si:
+                    continue  # strictly-lower tile: mirrored pairs only
+                S = Ma[si : si + block] @ Mb[sj : sj + block].T
+                ai, bj = np.nonzero(S >= threshold)
+                c = S[ai, bj]
+                ai = ai + si
+                bj = bj + sj
+                if same:
+                    m = ai < bj  # one order per pair, no self-pairs
+                    ai, bj, c = ai[m], bj[m], c[m]
+                a, b = ids_a[ai], ids_b[bj]
+                outs.append((np.minimum(a, b), np.maximum(a, b), c))
+        if not outs:
+            return empty
+        return pa.table({
+            "vec_a": pa.array(np.concatenate([o[0] for o in outs])),
+            "vec_b": pa.array(np.concatenate([o[1] for o in outs])),
+            "cosine": pa.array(np.concatenate([o[2] for o in outs]),
+                               pa.float64())})
+
+    refs = [block_pair.remote(preps[i], preps[j], i == j)
+            for i in range(len(preps)) for j in range(i, len(preps))]
     return rd.from_arrow_refs(refs)
 
 

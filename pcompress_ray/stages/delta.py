@@ -270,30 +270,43 @@ def _members_broadcast_path(members, texts, cfg, text_col, carry_url,
         mr, mb, bs, bm = ray.get(ref)      # zero-copy local plasma read
         t = t.replace_schema_metadata(None)
         ranks = t["rank"].to_numpy(zero_copy_only=False).astype(np.int64)
-        txt = t[text_col].to_pylist()
-        urls = t["url"].to_pylist() if carry_url else [""] * len(t)
+        text_arr = t[text_col].cast(pa.string()).combine_chunks()
+        url_arr = (t["url"].cast(pa.string()).combine_chunks()
+                   if carry_url else None)
 
         idx = np.searchsorted(mr, ranks)
         is_mem = (idx < mr.size) & (mr[np.minimum(idx, mr.size - 1)] == ranks)
         lo = np.searchsorted(bs, ranks, side="left")
         hi = np.searchsorted(bs, ranks, side="right")
 
-        pair, side, base_rank, text_out, url_out = [], [], [], [], []
-        for i in range(len(ranks)):
-            if is_mem[i]:
-                pair.append(int(ranks[i])); side.append(0)
-                base_rank.append(int(mb[idx[i]]))
-                text_out.append(txt[i]); url_out.append(urls[i])
-            for j in range(int(lo[i]), int(hi[i])):   # this row is a base
-                pair.append(int(bm[j])); side.append(1)
-                base_rank.append(int(ranks[i]))
-                text_out.append(txt[i]); url_out.append("")
+        # side-0 rows: each member emits its own text once
+        sel = np.flatnonzero(is_mem)
+        # side-1 rows: each base row fans out once per member of that base
+        cnt = hi - lo
+        tot = int(cnt.sum())
+        src = (np.repeat(lo, cnt)
+               + (np.arange(tot, dtype=np.int64)
+                  - np.repeat(np.cumsum(cnt) - cnt, cnt)))
+        base_row = np.repeat(np.arange(ranks.size, dtype=np.int64), cnt)
+
+        pair = np.concatenate([ranks[sel], bm[src]])
+        side = np.concatenate([np.zeros(sel.size, np.int8),
+                               np.ones(tot, np.int8)])
+        base_rank = np.concatenate([mb[idx[sel]], ranks[base_row]])
+        take_idx = np.concatenate([sel, base_row])
+        text_out = text_arr.take(pa.array(take_idx, pa.int64()))
+        if carry_url:
+            url_out = pa.concat_arrays([
+                url_arr.take(pa.array(sel, pa.int64())),
+                pa.array([""] * tot, pa.string())])
+        else:
+            url_out = pa.array([""] * (sel.size + tot), pa.string())
         return pa.table({
-            "pair": pa.array(np.asarray(pair, dtype=np.int64)),
-            "side": pa.array(np.asarray(side, dtype=np.int8)),
-            "base_rank": pa.array(np.asarray(base_rank, dtype=np.int64)),
-            "text": pa.array(text_out, pa.string()),
-            "url": pa.array(url_out, pa.string()),
+            "pair": pa.array(pair),
+            "side": pa.array(side),
+            "base_rank": pa.array(base_rank),
+            "text": text_out,
+            "url": url_out,
         })
 
     rows = texts.map_batches(emit, batch_format="pyarrow",
