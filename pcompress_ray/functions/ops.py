@@ -54,6 +54,15 @@ def _col_hash_u64(col) -> np.ndarray:
     return pd.util.hash_array(np.asarray(v, dtype=object)).astype(np.uint64)
 
 
+def partition_bucket_u64(v: np.ndarray, n_parts: int) -> np.ndarray:
+    """The exact ``__part`` value grouped_partitions assigns a single
+    uint64 key column — exposed so on-disk layouts (the archive chunk
+    store's ``bucket=`` dirs) can align with the exchange's partitioning.
+    KEEP IN SYNC with add_part/_col_hash_u64 below."""
+    return (splitmix64(splitmix64(v.astype(np.uint64) ^ _SALT))
+            % np.uint64(n_parts)).astype(np.int32)
+
+
 def grouped_partitions(ds, key_cols: list[str], fn, n_parts: int = 64):
     """Hash-partition by key_cols; apply ``fn`` once per PARTITION.
 

@@ -325,13 +325,21 @@ def archive_write(pages_ds, cfg: PipelineConfig | None = None,
     # reducer, so compression work is the UNIQUE byte count. Measured 30×
     # faster than the owner-metadata + rank-join alternative at 40k docs
     # (the join shipped every doc's full text anyway).
-    from pcompress_ray.functions.ops import grouped_partitions
+    from pcompress_ray.functions.ops import (grouped_partitions,
+                                             partition_bucket_u64)
 
     codec_text, codec_binary = cfg.archive_codec_text, cfg.archive_codec_binary
     preset = cfg.archive_lzma_preset
+    n_buckets = cfg.archive_store_buckets
 
     def elect_and_compress(part: pd.DataFrame) -> pd.DataFrame:
-        return _elect_compress_frame(part, codec_text, codec_binary, preset)
+        out = _elect_compress_frame(part, codec_text, codec_binary, preset)
+        # bucket == this exchange's partition id: written as the store's
+        # hive partition so archive_append can co-read ONLY the matching
+        # bucket's hash column (O(increment) appends)
+        out["bucket"] = partition_bucket_u64(
+            out["chunk_hash"].to_numpy(dtype=np.uint64), n_buckets)
+        return out
 
     store = grouped_partitions(
         _explode_payloads(chunked, cfg, text_col), ["chunk_hash"],
@@ -420,6 +428,7 @@ def archive_write(pages_ds, cfg: PipelineConfig | None = None,
                          for r in per_codec.itertuples()},
         "codec_stored_bytes": {r.codec: int(r.stored_bytes)
                                for r in per_codec.itertuples()},
+        "store_buckets": cfg.archive_store_buckets,
         "config_hash": cfg.config_hash(),
     }
     return ArchiveResult(store=store, manifest=manifest, metrics=metrics,
@@ -586,7 +595,13 @@ def write_archive(res: ArchiveResult, out_dir: str) -> str:
     import os
 
     os.makedirs(out_dir, exist_ok=True)
-    res.store.write_parquet(os.path.join(out_dir, "store"))
+    if "bucket" in res.store.schema().names:
+        # hive-partitioned by the exchange's bucket id → appends co-read
+        # one bucket instead of reshuffling the historical hash set
+        res.store.write_parquet(os.path.join(out_dir, "store"),
+                                partition_cols=["bucket"])
+    else:
+        res.store.write_parquet(os.path.join(out_dir, "store"))
     res.manifest.write_parquet(os.path.join(out_dir, "manifest"))
     if res.deltas is not None and res.deltas.count():
         res.deltas.write_parquet(os.path.join(out_dir, "deltas"))
@@ -602,24 +617,87 @@ def archive_append(archive_dir: str, new_pages_ds,
     analog of the reference's global index reuse, rabin/global/index.c:511:
     a chunk already in the store is a backward ref, never re-stored).
 
-    New docs get ranks after the existing maximum (append-only rank
-    contract, same as pipelines/incremental.py). Only chunks whose hash is
-    absent from the existing store are compressed and appended; exclusion
-    is EXACT — the old store's hash set is co-partitioned into the same
-    chunk_hash exchange as the new payloads (marker rows), never an
-    approximate filter (a false positive would lose a chunk). Store and
-    manifest gain new Parquet files in place (Ray writes unique file names
-    — safe to re-run; a crashed append leaves a readable archive).
+    IDEMPOTENT: new docs whose url already exists in the manifest are
+    anti-filtered out first (exact string match; only colliding urls — an
+    increment-bounded set — ever reach the driver), so re-running a
+    committed append is a no-op instead of doubling manifest piece lists.
+
+    O(INCREMENT) exclusion: the new-payload exchange is partitioned with
+    the SAME bucket function as the store's on-disk ``bucket=`` hive layout
+    (``partition_bucket_u64``), so each reducer co-reads ONLY its matching
+    bucket's hash column — the historical hash set is never reshuffled.
+    Exclusion stays EXACT (never an approximate filter — a false positive
+    would lose a chunk). Legacy non-bucketed archives fall back to
+    co-partitioned marker rows (O(store) shuffle). New docs get ranks after
+    the existing maximum (append-only rank contract); store and manifest
+    gain new Parquet files in place.
 
     Returns increment metrics; ``read_archive`` + ``archive_restore``
     afterwards restore old and new documents alike.
     """
-    import pyarrow.compute as pc
+    import glob
+    import json as _json
+    import os
 
-    from pcompress_ray.functions.ops import grouped_partitions, zip_with_rank
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+
+    from pcompress_ray.functions.ops import (grouped_partitions,
+                                             partition_bucket_u64,
+                                             zip_with_rank)
+    from pcompress_ray.hashing import hash_strings
 
     cfg = cfg or PipelineConfig()
     store_old, manifest_old, _ = read_archive(archive_dir)
+    store_dir = os.path.join(archive_dir, "store")
+    n_buckets = None
+    metrics_path = os.path.join(archive_dir, "metrics.json")
+    if os.path.exists(metrics_path) and glob.glob(
+            os.path.join(store_dir, "bucket=*")):
+        with open(metrics_path) as f:
+            n_buckets = _json.load(f).get("store_buckets")
+
+    # ---- idempotency: drop new docs whose url is already archived ----
+    def url_hash(t: pa.Table) -> pa.Table:
+        return pa.table({"h": pa.array(
+            hash_strings(t["url"].to_pylist()), pa.uint64())})
+
+    new_h = np.unique(new_pages_ds.select_columns(["url"])
+                      .map_batches(url_hash, batch_format="pyarrow")
+                      .to_pandas()["h"].to_numpy(dtype=np.uint64))
+    nh_ref = ray.put(new_h)
+
+    def manifest_hits(t: pa.Table) -> pa.Table:
+        hs = ray.get(nh_ref)
+        h = hash_strings(t["url"].to_pylist())
+        if hs.size:
+            idx = np.minimum(np.searchsorted(hs, h), hs.size - 1)
+            m = hs[idx] == h
+        else:
+            m = np.zeros(h.size, dtype=bool)
+        return pa.table({"url": t["url"].filter(pa.array(m))})
+
+    hits_df = manifest_old.select_columns(["url"]) \
+        .map_batches(manifest_hits, batch_format="pyarrow").to_pandas()
+    dup_urls = hits_df["url"].tolist() if "url" in hits_df.columns else []
+    n_skipped = 0
+    if dup_urls:
+        dup_ref = ray.put(pa.array(sorted(set(dup_urls)), pa.string()))
+
+        def drop_existing(t: pa.Table) -> pa.Table:
+            t = t.replace_schema_metadata(None)
+            return t.filter(pc.invert(
+                pc.is_in(t["url"], value_set=ray.get(dup_ref))))
+
+        before = new_pages_ds.count()
+        new_pages_ds = new_pages_ds.map_batches(
+            drop_existing, batch_format="pyarrow").materialize()
+        n_skipped = before - new_pages_ds.count()
+        if new_pages_ds.count() == 0:
+            return {"n_new_docs": 0, "n_new_unique_chunks": 0,
+                    "n_skipped_existing_urls": n_skipped,
+                    "config_hash": cfg.config_hash()}
 
     def mx(t: pa.Table) -> pa.Table:
         r = t["rank"].to_numpy(zero_copy_only=False)
@@ -645,46 +723,73 @@ def archive_append(archive_dir: str, new_pages_ds,
     chunked = _chunk_pages(new_pages_ds, cfg, text_col).materialize()
     manifest_new = chunked.select_columns(MANIFEST_COLUMNS).materialize()
 
-    # marker rows: the old store's hash set, co-partitioned with new payloads
-    def markers(t: pa.Table) -> pa.Table:
-        t = t.replace_schema_metadata(None)
-        n = len(t)
-        return pa.table({
-            "chunk_hash": t["chunk_hash"].cast(pa.uint64()),
-            "rank": pa.array(np.full(n, -1, np.int64)),
-            "seq": pa.array(np.full(n, -1, np.int64)),
-            "payload": pa.array([b""] * n, pa.binary()),
-        })
-
-    rows = _explode_payloads(chunked, cfg, text_col).union(
-        store_old.select_columns(["chunk_hash"])
-        .map_batches(markers, batch_format="pyarrow"))
-
     codec_text, codec_binary = cfg.archive_codec_text, cfg.archive_codec_binary
     preset = cfg.archive_lzma_preset
+    rows = _explode_payloads(chunked, cfg, text_col)
 
-    def elect_new(part: pd.DataFrame) -> pd.DataFrame:
-        ranks = part["rank"].to_numpy(dtype=np.int64)
-        old_hashes = part.loc[ranks < 0, "chunk_hash"] \
-            .to_numpy(dtype=np.uint64)
-        fresh = part[ranks >= 0]
-        if old_hashes.size:
-            fresh = fresh[~np.isin(
-                fresh["chunk_hash"].to_numpy(dtype=np.uint64),
-                old_hashes)]
-        return _elect_compress_frame(fresh, codec_text, codec_binary, preset)
+    if n_buckets:
+        def elect_bucketed(part: pd.DataFrame) -> pd.DataFrame:
+            fresh = part
+            if len(part):
+                ch = part["chunk_hash"].to_numpy(dtype=np.uint64)
+                b = int(partition_bucket_u64(ch[:1], n_buckets)[0])
+                bdir = os.path.join(store_dir, f"bucket={b}")
+                files = glob.glob(os.path.join(bdir, "*.parquet"))
+                if files:
+                    old_h = np.unique(np.concatenate([
+                        pq.read_table(f, columns=["chunk_hash"])
+                        ["chunk_hash"].to_numpy(zero_copy_only=False)
+                        .astype(np.uint64) for f in files]))
+                    idx = np.minimum(np.searchsorted(old_h, ch),
+                                     old_h.size - 1)
+                    fresh = part[old_h[idx] != ch]
+            out = _elect_compress_frame(fresh, codec_text, codec_binary,
+                                        preset)
+            out["bucket"] = partition_bucket_u64(
+                out["chunk_hash"].to_numpy(dtype=np.uint64), n_buckets)
+            return out
 
-    store_new = grouped_partitions(rows, ["chunk_hash"], elect_new,
-                                   n_parts=cfg.archive_store_buckets) \
-        .materialize()
+        store_new = grouped_partitions(rows, ["chunk_hash"], elect_bucketed,
+                                       n_parts=n_buckets).materialize()
+        store_new.write_parquet(store_dir, partition_cols=["bucket"])
+    else:
+        # legacy layout: old hashes as co-partitioned marker rows (exact,
+        # but O(store) shuffle per append)
+        def markers(t: pa.Table) -> pa.Table:
+            t = t.replace_schema_metadata(None)
+            n = len(t)
+            return pa.table({
+                "chunk_hash": t["chunk_hash"].cast(pa.uint64()),
+                "rank": pa.array(np.full(n, -1, np.int64)),
+                "seq": pa.array(np.full(n, -1, np.int64)),
+                "payload": pa.array([b""] * n, pa.binary()),
+            })
 
-    import os
+        merged = rows.union(store_old.select_columns(["chunk_hash"])
+                            .map_batches(markers, batch_format="pyarrow"))
 
-    store_new.write_parquet(os.path.join(archive_dir, "store"))
+        def elect_new(part: pd.DataFrame) -> pd.DataFrame:
+            ranks = part["rank"].to_numpy(dtype=np.int64)
+            old_hashes = part.loc[ranks < 0, "chunk_hash"] \
+                .to_numpy(dtype=np.uint64)
+            fresh = part[ranks >= 0]
+            if old_hashes.size:
+                fresh = fresh[~np.isin(
+                    fresh["chunk_hash"].to_numpy(dtype=np.uint64),
+                    old_hashes)]
+            return _elect_compress_frame(fresh, codec_text, codec_binary,
+                                         preset)
+
+        store_new = grouped_partitions(merged, ["chunk_hash"], elect_new,
+                                       n_parts=cfg.archive_store_buckets) \
+            .materialize()
+        store_new.write_parquet(store_dir)
+
     manifest_new.write_parquet(os.path.join(archive_dir, "manifest"))
     return {
         "n_new_docs": manifest_new.count(),
         "n_new_unique_chunks": store_new.count(),
+        "n_skipped_existing_urls": n_skipped,
         "prev_max_rank": prev_max,
         "config_hash": cfg.config_hash(),
     }

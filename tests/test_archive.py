@@ -185,6 +185,23 @@ def test_archive_append_incremental(ray_session, tmp_path):
     for u, txt in zip(fresh["url"].to_pylist(), fresh["text"].to_pylist()):
         assert by_url[f"new://{u}"] == txt
 
+    # O(increment) layout: the store is bucket-partitioned on disk
+    import glob
+    import os
+
+    assert glob.glob(os.path.join(out, "store", "bucket=*"))
+
+    # idempotency: re-running the SAME committed append is a no-op (urls
+    # already in the manifest are anti-filtered) — no doubled piece lists
+    inc2 = archive_append(out, rd.from_arrow(pages_b), cfg, text_col="text")
+    assert inc2["n_new_docs"] == 0
+    assert inc2["n_skipped_existing_urls"] == 100
+    store2, manifest2, deltas2 = read_archive(out)
+    restored2 = archive_restore(store2, manifest2, cfg, deltas_ds=deltas2) \
+        .to_pandas()
+    assert len(restored2) == 250
+    assert restored2["sha_ok"].all()
+
 
 def test_archive_empty_and_single_docs(ray_session):
     import pyarrow as pa
