@@ -1305,8 +1305,9 @@ def q_media_features(sf_dir: str):
 
 
 def q_image_features(sf_dir: str):
-    """REAL image decode (stdlib-zlib PNG parse + unfiltering) over the
-    synthetic media table: dimensions + channel statistics."""
+    """REAL image decode over the synthetic media table: PNG (stdlib-zlib
+    parse + unfiltering) AND baseline JPEG (from-scratch T.81 Huffman+IDCT,
+    stages/jpeg.py) rows both yield genuine dimensions + channel stats."""
     import ray.data as rd
 
     from pcompress_ray.stages.multimodal import ImageDecodeStage, make_fake_media_table
@@ -1320,10 +1321,12 @@ def q_image_features(sf_dir: str):
     def rn(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
         t = t.replace_schema_metadata(None)
-        t = t.filter(pc.equal(t["media_type_detected"], "image/png"))
+        t = t.filter(pc.is_in(t["media_type_detected"],
+                              pa.array(["image/png", "image/jpeg"])))
         f = np.asarray(t["features"].to_pylist(), dtype=np.float32)
         return pa.table({
             "media_id": t["media_id"].cast(pa.int64()),
+            "media_type_detected": t["media_type_detected"],
             "img_w": pa.array(f[:, 0].astype(np.int64)),
             "img_h": pa.array(f[:, 1].astype(np.int64)),
             "channels": pa.array(f[:, 2].astype(np.int64)),

@@ -4,12 +4,14 @@ Images/audio/video are treated as opaque ``binary`` columns with typed
 metadata (the reference's file-type tagging, utils/utils.h:276-340 +
 archive/pc_arc_filter.c per-type filters, is the byte-level precedent).
 
-The AUDIO path is REAL: PCM WAV needs only struct parsing + numpy, so
-``AudioFeatureStage`` genuinely decodes and extracts signal features
-(tested against planted sine frequencies). The image/video kernels are
-STUBBED — their codec libraries are not in this container — behind a
-deterministic fake, but all Ray-side plumbing (schema contract, actor-pool
-stage shape, batch sizing, output layout) is real and tested.
+The AUDIO path is REAL (PCM WAV struct parsing + numpy FFT features,
+tested against planted sine frequencies). The IMAGE path is REAL for both
+PNG (stdlib zlib + scanline unfiltering) and baseline JPEG (a from-scratch
+T.81 Huffman+IDCT decoder, ``stages/jpeg.py``). Only VIDEO frame decode
+remains stubbed — no container format with decodable frames is feasible
+stdlib-only — behind a deterministic fake, with all Ray-side plumbing
+(schema contract, actor-pool stage shape, batch sizing, output layout)
+real and tested.
 
 Real-deployment note: decode stages are the canonical actor-pool case (codec
 context per actor), with SMALL batch_size (large binary rows — see
@@ -25,6 +27,8 @@ import zlib
 
 import numpy as np
 import pyarrow as pa
+
+from pcompress_ray.stages.jpeg import decode_jpeg, encode_jpeg
 
 MEDIA_SCHEMA = pa.schema([
     ("media_id", pa.int64()),
@@ -165,12 +169,13 @@ class ImageDecodeStage:
     """Actor-pool stage: binary image → fixed-size float feature vector.
 
     PNG payloads are decoded FOR REAL (stdlib zlib + unfiltering,
-    ``parse_png``) and yield genuine image statistics (``png_features``).
-    For other formats (JPEG etc. — codec libs absent in this container):
-    ``fake=True`` (default) produces a DETERMINISTIC sha256-seeded feature
-    preserving the full contract (``features: list<float32>[dim]``);
-    ``fake=False`` raises NotImplementedError where the real decoder
-    (PIL/libvips) would be called.
+    ``parse_png``) and baseline JPEG payloads are decoded FOR REAL
+    (from-scratch T.81 Huffman+IDCT, ``stages/jpeg.py``); both yield
+    genuine image statistics (``png_features``). For other formats (TIFF,
+    progressive JPEG, …): ``fake=True`` (default) produces a DETERMINISTIC
+    sha256-seeded feature preserving the full contract
+    (``features: list<float32>[dim]``); ``fake=False`` raises
+    NotImplementedError where an external decoder would be called.
     """
 
     def __init__(self, dim: int = 64, fake: bool = True,
@@ -182,12 +187,15 @@ class ImageDecodeStage:
 
     def _features(self, payload: bytes) -> np.ndarray:
         img = parse_png(payload)
+        if img is None and payload[:2] == b"\xff\xd8":
+            img = decode_jpeg(payload)
         if img is not None:
             return png_features(img, self.dim)
         if not self.fake:
             raise NotImplementedError(
-                "non-PNG image decode requires an image library not present "
-                "in this container; run with fake=True or install a decoder")
+                "unsupported image format: decode requires an image library "
+                "not present in this container; run with fake=True or "
+                "install a decoder")
         seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "little")
         rng = np.random.default_rng(seed)
         return rng.standard_normal(self.dim).astype(np.float32)
@@ -374,7 +382,9 @@ class FrameSampleStage:
 
 
 def make_fake_media_table(n: int, seed: int = 11) -> pa.Table:
-    """Deterministic synthetic media table for tests."""
+    """Deterministic synthetic media table for tests. Row kinds cycle
+    png / wav / mp4 / jpeg — every payload is genuinely decodable by the
+    corresponding stage (the JPEG rows via the from-scratch T.81 codec)."""
     rng = np.random.default_rng(seed)
     payloads = []
     types = []
@@ -382,7 +392,7 @@ def make_fake_media_table(n: int, seed: int = 11) -> pa.Table:
     for i in range(n):
         body = rng.integers(0, 256, int(rng.integers(200, 2000)),
                             dtype=np.uint8).tobytes()
-        kind = i % 3
+        kind = i % 4
         if kind == 0:
             # REAL decodable PNG: deterministic gradient + noise image
             img = (np.add.outer(np.arange(24), np.arange(32))[..., None]
@@ -396,10 +406,19 @@ def make_fake_media_table(n: int, seed: int = 11) -> pa.Table:
             tgrid = np.arange(int(rate * 0.2)) / rate
             samples = (np.sin(2 * np.pi * freq * tgrid) * 12000).astype(np.int16)
             payloads.append(build_wav(samples, rate))
-        else:
+        elif kind == 2:
             # REAL parseable MP4 container: known duration, opaque mdat
             payloads.append(build_mp4(500 + 100 * (i % 7), body=body))
-        types.append(["image/png", "audio/wav", "video/mp4"][kind])
+        else:
+            # REAL decodable baseline JPEG: smooth gradient (4:4:4 and
+            # 4:2:0 alternating), dims NOT multiples of 8
+            img = np.clip(np.add.outer(np.arange(21) * 4, np.arange(29) * 3)
+                          [..., None] + np.array([i % 64, 40, 90]),
+                          0, 255).astype(np.uint8)
+            payloads.append(encode_jpeg(img, quality=85,
+                                        subsample=bool(i % 8 == 7)))
+        types.append(["image/png", "audio/wav", "video/mp4",
+                      "image/jpeg"][kind])
     return pa.table({
         "media_id": pa.array(np.arange(n, dtype=np.int64)),
         "payload": pa.array(payloads, pa.binary()),

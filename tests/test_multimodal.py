@@ -36,7 +36,7 @@ def test_audio_features_recover_planted_frequency():
     tab = make_fake_media_table(30)
     out = AudioFeatureStage()(tab)
     ok = out["is_audio"].to_numpy(zero_copy_only=False)
-    kinds = np.arange(30) % 3
+    kinds = np.arange(30) % 4
     np.testing.assert_array_equal(ok, kinds == 1)
     rate = 8000
     n_samp = int(rate * 0.2)
@@ -105,10 +105,10 @@ def test_png_all_filter_types():
 def test_image_stage_real_png_features():
     """PNG rows get REAL image statistics (dims + channel means), not the
     sha-seeded fake."""
-    tab = make_fake_media_table(6)
+    tab = make_fake_media_table(8)
     out = ImageDecodeStage(dim=32)(tab)
     feats = np.asarray(out["features"].to_pylist(), dtype=np.float32)
-    for i in range(0, 6, 3):  # PNG rows
+    for i in range(0, 8, 4):  # PNG rows
         img = parse_png(tab["payload"][i].as_py())
         assert img is not None and img.shape == (24, 32, 3)
         np.testing.assert_allclose(feats[i], png_features(img, 32))
@@ -127,6 +127,7 @@ def test_image_decode_stub_contract():
     assert out["features"].to_pylist() == out2["features"].to_pylist()
     det = out["media_type_detected"].to_pylist()
     assert det[0] == "image/png" and det[1] == "audio/wav" and det[2] == "video/mp4"
+    assert det[3] == "image/jpeg"
 
 
 def test_mp4_metadata_roundtrip():
@@ -137,8 +138,8 @@ def test_mp4_metadata_roundtrip():
     assert abs(dur_ms - 1234) <= 2  # timescale quantization
     assert parse_mp4(b"garbage" * 10) is None
     # the media table's mp4 rows are genuinely parseable
-    tab = make_fake_media_table(9)
-    for i in (2, 5, 8):
+    tab = make_fake_media_table(12)
+    for i in (2, 6, 10):
         got = parse_mp4(tab["payload"][i].as_py())
         assert got is not None and got[1] == 500 + 100 * (i % 7)
 
