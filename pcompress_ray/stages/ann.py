@@ -288,29 +288,63 @@ class HyperplaneLSH:
 def lsh_bucketed_pairs(emb_ds, threshold: float, dim: int,
                        id_col: str = "vec_id", emb_col: str = "embedding",
                        bucket_cap: int = 512, n_tables: int = 8,
-                       n_bits: int = 12):
+                       n_bits: int = 12, payload: str = "auto",
+                       auto_light_bytes: int = 1 << 30):
     """Scale path: candidate pairs from hyperplane-LSH buckets, verified by
-    exact cosine inside each bucket — all emitted pairs are true
-    ≥-threshold pairs (the approximation only affects recall).
+    exact cosine — all emitted pairs are true ≥-threshold pairs (the
+    approximation only affects recall).
 
-    Shuffle shape: one row per (vector, table) with the embedding carried as
-    a compact float32 BINARY payload (list columns crash Ray's pandas
-    shuffle concat here; binary is also n_tables× smaller than float64).
-    Buckets are processed per hash PARTITION (grouped_partitions — one
+    Two payload modes (identical output, tested pair-for-pair equal):
+
+    ``payload="light"`` (the scale path): the bucket exchange ships only
+    (bkey:u64, id:i64, proj:f32) — 20 B/row regardless of dim — and emits
+    UNVERIFIED candidate pairs; one second exchange of the 16 B (a, b) pair
+    rows dedups across tables and verifies exact cosine against a
+    plasma-resident per-block embedding store (the verify.py broadcast-CSR
+    pattern: the driver touches only id arrays, matrices stay in the object
+    store). Shuffle bytes ∝ n·n_tables·20 + pairs·16, vs inline's
+    n·n_tables·(24 + 4·dim) — ~7× lighter at dim=64 and measured so (see
+    BENCH_LOCAL.md). The store holds only PARTICIPATING ids (those in ≥1
+    candidate pair), normalized float64 of the same f32 quantization the
+    inline payload uses, so cosines match inline to the last ULP (only the
+    dot-product summation order differs).
+
+    ``payload="inline"``: one row per (vector, table) with the embedding
+    carried as a compact float32 BINARY payload (list columns crash Ray's
+    pandas shuffle concat here; binary is also 2× smaller than float64),
+    verified in-bucket. Right when candidate pairs vastly outnumber vectors
+    (low threshold / dense corpus) or when the participating-id store would
+    not fit in aggregate plasma.
+
+    Both modes process buckets per hash PARTITION (grouped_partitions — one
     vectorized call per partition, not one Python call per bucket): size-2
-    buckets (the common case) in one batched dot product, larger buckets by
-    per-bucket matmul. Oversized buckets (> bucket_cap) are NOT truncated:
-    members are ordered by their projection on a fixed direction (cosine
-    neighbors have close projections) and compared in 50%-overlapping
-    windows of bucket_cap — linear pair count, no silent member drop; only
-    projection-distant in-bucket pairs are skipped, the same approximation
-    LSH itself makes.
+    buckets (the common case) batched, larger buckets per-bucket. Oversized
+    buckets (> bucket_cap) are NOT truncated: members are ordered by their
+    projection on a fixed direction (cosine neighbors have close
+    projections) and compared in 50%-overlapping windows of bucket_cap —
+    linear pair count, no silent member drop; only projection-distant
+    in-bucket pairs are skipped, the same approximation LSH itself makes.
+
+    ``payload="auto"`` (default) picks by estimated inline-exchange size
+    (n·n_tables·(24+4·dim) vs ``auto_light_bytes``): small corpora take
+    inline (light pays ~3 extra fixed-latency executions — store build +
+    second exchange — that dominate under ~10⁶ vectors; measured 16.3 s vs
+    5.2 s at 2k vectors, while the bucket exchange itself is 11.5× lighter
+    in light mode). At web scale the estimate always crosses the threshold
+    and auto = light. The n estimate uses ``emb_ds.count()`` — metadata-only
+    on parquet-backed datasets.
 
     Calibration: P(pair at cosine c collides in ≥1 table) =
     1-(1-(1-arccos(c)/π)^n_bits)^n_tables. The (12, 8) default targets
     high-cosine near-dup (c ≥ 0.9); low thresholds need fewer bits / more
     tables (e.g. (4, 16) for c ≈ 0.35).
     """
+    if payload == "auto":
+        est = emb_ds.count() * n_tables * (24 + 4 * dim)
+        payload = "light" if est > auto_light_bytes else "inline"
+    if payload == "light":
+        return _lsh_pairs_light(emb_ds, threshold, dim, id_col, emb_col,
+                                bucket_cap, n_tables, n_bits)
     from pcompress_ray.functions.ops import grouped_partitions
     from pcompress_ray.hashing import splitmix64
 
@@ -406,3 +440,167 @@ def lsh_bucketed_pairs(emb_ds, threshold: float, dim: int,
             .agg(cosine=("cosine", "max"))
 
     return grouped_partitions(pairs, ["vec_a", "vec_b"], dedup)
+
+
+def _extract_emb_block(block, sorted_ids: np.ndarray,
+                       id_col: str, emb_col: str):
+    """One embeddings block → (kept ids, normalized f64-of-f32 matrix).
+
+    Runs as a Ray task (num_returns=2): the matrix is returned as its own
+    object so it stays resident in plasma — the driver only ever touches the
+    id arrays. The f32 round-trip matches the inline payload quantization,
+    so light/inline cosines are bit-identical.
+    """
+    t = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+    ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    if sorted_ids.size:
+        ix = np.minimum(np.searchsorted(sorted_ids, ids), sorted_ids.size - 1)
+        keep = sorted_ids[ix] == ids
+    else:
+        keep = np.zeros(ids.size, dtype=bool)
+    if not keep.any():
+        return np.empty(0, np.int64), np.empty((0, 0))
+    M = _matrix(t.filter(pa.array(keep))[emb_col]).astype(np.float32)
+    return ids[keep], _normalize(M.astype(np.float64))
+
+
+def _lsh_pairs_light(emb_ds, threshold: float, dim: int, id_col: str,
+                     emb_col: str, bucket_cap: int, n_tables: int,
+                     n_bits: int):
+    """payload="light" body of lsh_bucketed_pairs — see its docstring."""
+    import ray
+    import ray.data as rd
+
+    from pcompress_ray.functions.ops import (group_boundaries,
+                                             grouped_partitions,
+                                             materialized_block_refs)
+    from pcompress_ray.hashing import splitmix64
+    from pcompress_ray.stages.verify import _participating_ids
+
+    sig = emb_ds.select_columns([id_col, emb_col]).map_batches(
+        HyperplaneLSH,
+        fn_constructor_kwargs={"dim": dim, "emb_col": emb_col,
+                               "n_tables": n_tables, "n_bits": n_bits},
+        batch_format="pyarrow", concurrency=(1, 4))
+
+    proj_dir = np.random.default_rng(12345).standard_normal(dim)
+
+    def explode_light(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        t = t.replace_schema_metadata(None)
+        n = len(t)
+        n_tab = pc.list_value_length(t["lsh_buckets"]).to_numpy(
+            zero_copy_only=False)
+        ids = np.repeat(t[id_col].to_numpy(zero_copy_only=False), n_tab)
+        tab_ids = np.concatenate([np.arange(c, dtype=np.uint64) for c in n_tab]) \
+            if n else np.empty(0, np.uint64)
+        buckets = pc.list_flatten(t["lsh_buckets"]).to_numpy(
+            zero_copy_only=False)
+        bkey = splitmix64(buckets.astype(np.uint64)
+                          ^ splitmix64(tab_ids + np.uint64(1)))
+        # same f32 quantization + f64 normalize as the inline payload, so
+        # window ordering (and later cosine) matches inline bit-for-bit
+        E = _normalize(_matrix(t[emb_col]).astype(np.float32)
+                       .astype(np.float64))
+        proj = np.repeat(E @ proj_dir, n_tab) if n else np.empty(0)
+        return pa.table({
+            "bkey": pa.array(bkey),
+            "vid": pa.array(ids.astype(np.int64)),
+            "proj": pa.array(proj, pa.float64()),
+        })
+
+    def emit_candidates(part: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                              "b": pd.Series(dtype=np.int64)})
+        part = part.drop_duplicates(["bkey", "vid"])
+        if len(part) < 2:
+            return empty
+        part = part.sort_values(["bkey", "vid"])
+        keys = part["bkey"].to_numpy(dtype=np.uint64)
+        ids = part["vid"].to_numpy(dtype=np.int64)
+        proj = part["proj"].to_numpy(dtype=np.float64)
+        first, _, sizes = group_boundaries(keys)
+        starts = np.flatnonzero(first)
+        out_a, out_b = [], []
+        s2 = starts[sizes == 2]
+        if s2.size:
+            out_a.append(ids[s2]); out_b.append(ids[s2 + 1])
+        for s_idx, m in zip(starts[sizes >= 3], sizes[sizes >= 3]):
+            seg = slice(s_idx, s_idx + int(m))
+            seg_ids, seg_proj = ids[seg], proj[seg]
+            if m <= bucket_cap:
+                ai, bi = np.triu_indices(int(m), k=1)
+                out_a.append(seg_ids[ai]); out_b.append(seg_ids[bi])
+            else:
+                order = np.argsort(seg_proj, kind="stable")
+                seg_ids = seg_ids[order]
+                step = max(bucket_cap // 2, 1)
+                for w0 in range(0, int(m) - 1, step):
+                    wi = seg_ids[w0 : w0 + bucket_cap]
+                    ai, bi = np.triu_indices(wi.size, k=1)
+                    out_a.append(wi[ai]); out_b.append(wi[bi])
+        if not out_a:
+            return empty
+        a = np.concatenate(out_a); b = np.concatenate(out_b)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"a": lo, "b": hi}).drop_duplicates(["a", "b"])
+
+    cand = grouped_partitions(
+        sig.map_batches(explode_light, batch_format="pyarrow"),
+        ["bkey"], emit_candidates).materialize()
+
+    empty = pa.table({"vec_a": pa.array([], pa.int64()),
+                      "vec_b": pa.array([], pa.int64()),
+                      "cosine": pa.array([], pa.float64())})
+    ids = _participating_ids(cand)
+    if ids.size == 0:
+        return rd.from_arrow(empty)
+
+    # plasma-resident embedding store over participating ids only
+    ids_ref = ray.put(ids)
+    extract = ray.remote(num_returns=2)(_extract_emb_block)
+    emb_mat = emb_ds.select_columns([id_col, emb_col]).materialize()
+    parts = [extract.remote(b, ids_ref, id_col, emb_col)
+             for b in materialized_block_refs(emb_mat)]
+    kept = ray.get([p[0] for p in parts])
+    ranks_parts, blk_parts, row_parts, mat_refs = [], [], [], []
+    for bi, r in enumerate(kept):
+        if r.size == 0:
+            continue
+        ranks_parts.append(r)
+        blk_parts.append(np.full(r.size, len(mat_refs), dtype=np.int32))
+        row_parts.append(np.arange(r.size, dtype=np.int64))
+        mat_refs.append(parts[bi][1])
+    ranks_u = np.concatenate(ranks_parts)
+    order = np.argsort(ranks_u, kind="stable")
+    index_ref = ray.put((ranks_u[order],
+                         np.concatenate(blk_parts)[order],
+                         np.concatenate(row_parts)[order]))
+
+    def verify(part: pd.DataFrame) -> pd.DataFrame:
+        vempty = pd.DataFrame({"vec_a": pd.Series(dtype=np.int64),
+                               "vec_b": pd.Series(dtype=np.int64),
+                               "cosine": pd.Series(dtype=np.float64)})
+        part = part.drop_duplicates(["a", "b"])  # cross-table dedup
+        if part.empty:
+            return vempty
+        ranks_, blk_, row_ = ray.get(index_ref)   # zero-copy plasma
+        mats = ray.get(mat_refs)                  # zero-copy per block
+
+        def gather(side: np.ndarray) -> np.ndarray:
+            ix = np.searchsorted(ranks_, side)
+            blk, row = blk_[ix], row_[ix]
+            E = np.empty((side.size, dim))
+            for bno in np.unique(blk):
+                m = blk == bno
+                E[m] = mats[bno][row[m]]
+            return E
+
+        a = part["a"].to_numpy(dtype=np.int64)
+        b = part["b"].to_numpy(dtype=np.int64)
+        cos = (gather(a) * gather(b)).sum(axis=1)
+        keep = cos >= threshold
+        return pd.DataFrame({"vec_a": a[keep], "vec_b": b[keep],
+                             "cosine": cos[keep]})
+
+    return grouped_partitions(cand, ["a", "b"], verify)

@@ -85,3 +85,33 @@ def test_lsh_ann_hot_bucket_windows(ray_session):
     got_set = _pairs_set(got)
     assert got_set <= want_set
     assert len(want_set & got_set) / len(want_set) >= 0.5
+
+
+def test_lsh_payload_modes_identical(ray_session):
+    """light (two-phase, small-row bucket shuffle + store verify) and inline
+    (embedding rides every table row) must emit the SAME pair set with
+    cosines equal to last-ULP — including through the oversized-bucket
+    overlapping-window path (bucket_cap=16)."""
+    import ray.data as rd
+
+    import pcompress_ray
+
+    pcompress_ray.register_for_ray()
+    from pcompress_ray.stages.ann import lsh_bucketed_pairs
+
+    emb = rd.read_parquet(f"{SF_DIR}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    for cap in (512, 16):
+        light = lsh_bucketed_pairs(emb, 0.35, dim=64, n_bits=4, n_tables=16,
+                                   bucket_cap=cap, payload="light") \
+            .to_pandas().sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+        inline = lsh_bucketed_pairs(emb, 0.35, dim=64, n_bits=4, n_tables=16,
+                                    bucket_cap=cap, payload="inline") \
+            .to_pandas().sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+        assert _pairs_set(light) == _pairs_set(inline), cap
+        m = light.merge(inline, on=["vec_a", "vec_b"],
+                        suffixes=("_l", "_i"))
+        # same f32-quantized inputs; only the dot-product summation order
+        # differs (rowwise multiply-sum vs blocked matmul) → last-ULP only
+        np.testing.assert_allclose(m["cosine_l"].to_numpy(),
+                                   m["cosine_i"].to_numpy(), atol=1e-12)
