@@ -1290,6 +1290,42 @@ def q_lang_length_quantiles(sf_dir: str):
     return res.map_batches(rn, batch_format="pyarrow")
 
 
+def q_file_type_stats(sf_dir: str):
+    """Full 35-subtype file-type taxonomy (M8, utils/utils.h:276-324 +
+    pc_archive.c:1915-2070 magic dispatch re-expressed in
+    stages/filetype.py): counts per detected type over a deterministic
+    corpus covering every detectable kind. No SQL oracle (the corpus is
+    synthesized in-process; per-kind expectations are pytest-pinned in
+    tests/test_filetype.py)."""
+    import ray.data as rd
+
+    from pcompress_ray.stages.filetype import (detect_types_batch,
+                                               make_fake_file_table)
+
+    _setup()
+    files = rd.from_arrow(make_fake_file_table(repeats=8))
+    typed = files.map_batches(
+        lambda t: detect_types_batch(t, path_col="path"),
+        batch_format="pyarrow", batch_size=64)
+
+    def agg(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        t = t.replace_schema_metadata(None)
+        g = t.group_by("ftype_name").aggregate([("file_id", "count")])
+        return g.rename_columns(["ftype_name", "n_files"])
+
+    out = typed.select_columns(["file_id", "ftype_name"]) \
+        .map_batches(agg, batch_format="pyarrow") \
+        .groupby("ftype_name").sum("n_files")
+
+    def rn(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        return pa.table({"ftype_name": t["ftype_name"].cast(pa.string()),
+                         "n_files": t["sum(n_files)"].cast(pa.int64())})
+
+    return out.map_batches(rn, batch_format="pyarrow").sort("ftype_name")
+
+
 def q_media_features(sf_dir: str):
     """Multimodal plumbing: magic-byte typing + (stubbed) decode features."""
     import ray.data as rd
@@ -1401,6 +1437,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_clusters": q_embedding_clusters,
         "media_features": q_media_features,
+        "file_type_stats": q_file_type_stats,
         "audio_features": q_audio_features,
         "image_features": q_image_features,
         "simhash_neardup": q_simhash_neardup,

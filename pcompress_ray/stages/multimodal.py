@@ -41,8 +41,10 @@ MEDIA_SCHEMA = pa.schema([
 
 
 def detect_media_type(payload: bytes) -> str:
-    """Magic-byte sniffing — the analyzer/type-detection analog
-    (archive/pc_archive.c:108-110 magic dispatch)."""
+    """MIME-style magic sniffing for the media stages. The reference's FULL
+    type taxonomy (35 subtypes, utils/utils.h:276-324) lives in
+    ``stages/filetype.py`` — this is just the four media container tags the
+    decode stages dispatch on (archive/pc_archive.c:108-110 analog)."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return "image/png"
     if payload[:2] == b"\xff\xd8":

@@ -1,0 +1,129 @@
+"""M8 file-type taxonomy: every detect_type_by_data branch pinned.
+
+Oracle strategy: hand-built minimal payloads per format (genuine gzip /
+bz2 / zip / xz / tar bytes from the stdlib where available, crafted
+headers otherwise) with the expected type from the reference's semantics
+(archive/pc_archive.c:1918-2070, utils/phash/extensions.h)."""
+
+import numpy as np
+import pyarrow as pa
+
+from pcompress_ray.stages import filetype as ft
+
+
+def test_data_magic_branches():
+    cases = [
+        (b"XPCOM\nMozFASL\r\n\x1a" + b"x" * 8, ft.TYPE_BINARY),
+        (b"RIFF\x24\x00\x00\x00WAVEfmt ", ft.TYPE_BINARY | ft.TYPE_WAV),
+        (b"!<arch>\n" + b"x" * 8, ft.TYPE_BINARY | ft.TYPE_ARCHIVE_AR),
+        (b"%PDF-1.4\n" + b"x" * 8, ft.TYPE_BINARY | ft.TYPE_PDF),
+        (b"\0" * 60 + b"DICM" + b"\0" * 80, ft.TYPE_BINARY | ft.TYPE_DICOM),
+        (b"\0" * 60 + b"ISO_IR " + b"\0" * 80, ft.TYPE_BINARY | ft.TYPE_DICOM),
+        (b"\xff\xd8\xff\xe0\x00\x10JFIF\x00", ft.TYPE_BINARY | ft.TYPE_JPEG),
+        (b"\xff\xd8\xff\xe1\x00\x10Exif\x00", ft.TYPE_BINARY | ft.TYPE_JPEG),
+        # ELF: class byte 1/2 = 32/64-bit; e_type byte 16 == 4 → core dump
+        (b"\x7fELF\x01" + b"\0" * 11 + b"\x02\0\0\0",
+         ft.TYPE_BINARY | ft.TYPE_EXE32),
+        (b"\x7fELF\x02" + b"\0" * 11 + b"\x02\0\0\0",
+         ft.TYPE_BINARY | ft.TYPE_EXE64),
+        (b"\x7fELF\x01" + b"\0" * 11 + b"\x04\0\0\0", ft.TYPE_BINARY),
+        (b"LZ" + b"\0" * 10, ft.TYPE_BINARY | ft.TYPE_EXE32),
+        (b"BM" + b"\0" * 12 + b"\x28\x00" + b"\0" * 8,
+         ft.TYPE_BINARY | ft.TYPE_BMP),
+        (b"TZif2" + b"\0" * 10, ft.TYPE_BINARY),
+        (b"PPMZ" + b"\0" * 10,
+         ft.TYPE_BINARY | ft.TYPE_COMPRESSED | ft.TYPE_COMPRESSED_PPMD),
+        (b"wvpk" + b"\0" * 10,
+         ft.TYPE_BINARY | ft.TYPE_COMPRESSED | ft.TYPE_AUDIO_COMPRESSED),
+        (b"TTA1" + b"\0" * 10,
+         ft.TYPE_BINARY | ft.TYPE_COMPRESSED | ft.TYPE_AUDIO_COMPRESSED),
+        (b"P6\n4 4\n255\n" + b"\0" * 10, ft.TYPE_BINARY | ft.TYPE_PNM),
+        (b"S5 raster" + b"\0" * 10, ft.TYPE_BINARY | ft.TYPE_PNM),
+        # MSDOS COM: jmp opcode + 0xaa55 boot signature at 0x1fe
+        (b"\xe9" + b"\0" * 0x1fd + b"\x55\xaa",
+         ft.TYPE_BINARY | ft.TYPE_EXE32),
+        (b"\xeb" + b"\0" * 10, ft.TYPE_BINARY),
+        (bytes([0x42, 0x01]) + b"\0" * 10, ft.TYPE_BINARY | ft.TYPE_EXE32),
+        (bytes([0x64, 0x86]) + b"\0" * 10, ft.TYPE_BINARY | ft.TYPE_EXE64),
+        (b"\x55\xaa" + b"\0" * 10, ft.TYPE_BINARY | ft.TYPE_EXE32),
+        (b"\0\0\x21\xcd" + b"\0" * 8, ft.TYPE_BINARY | ft.TYPE_EXE32),
+        (b"random text here", ft.TYPE_UNKNOWN),
+        (b"short", ft.TYPE_UNKNOWN),
+    ]
+    for buf, want in cases:
+        assert ft.detect_type_by_data(buf) == want, (buf[:12], want)
+
+
+def test_pe_exe_and_tar():
+    import io
+    import tarfile
+
+    assert ft.detect_type_by_data(ft._pe32_exe()) == \
+        ft.TYPE_BINARY | ft.TYPE_EXE32_PE
+    assert ft.detect_type_by_data(ft._pe64_exe()) == \
+        ft.TYPE_BINARY | ft.TYPE_EXE64
+    tbuf = io.BytesIO()
+    with tarfile.open(fileobj=tbuf, mode="w") as tf:
+        ti = tarfile.TarInfo("x")
+        ti.size = 0
+        tf.addfile(ti)
+    assert ft.detect_type_by_data(tbuf.getvalue()) == \
+        ft.TYPE_BINARY | ft.TYPE_ARCHIVE_TAR
+
+
+def test_extended_magics_and_ext_table():
+    import bz2
+    import gzip
+    import lzma
+
+    assert ft.detect_type_extended(gzip.compress(b"x" * 64)) == \
+        ft.TYPE_BINARY | ft.TYPE_COMPRESSED | ft.TYPE_COMPRESSED_GZ
+    assert ft.detect_type_extended(bz2.compress(b"x" * 64)) == \
+        ft.TYPE_BINARY | ft.TYPE_COMPRESSED | ft.TYPE_COMPRESSED_BZ2
+    assert ft.detect_type_extended(lzma.compress(b"x" * 64)) == \
+        ft.TYPE_BINARY | ft.TYPE_COMPRESSED | ft.TYPE_COMPRESSED_LZMA
+    assert ft.detect_type_extended(b"GIF89a" + b"\0" * 10) == \
+        ft.TYPE_BINARY | ft.TYPE_COMPRESSED | ft.TYPE_COMPRESSED_LZW
+    assert ft.detect_type_extended(b"fLaC" + b"\0" * 10) == \
+        ft.TYPE_BINARY | ft.TYPE_FLAC
+    assert ft.detect_type_extended(b"RIFF\0\0\0\0AVI " + b"\0" * 8) == \
+        ft.TYPE_BINARY | ft.TYPE_AVI
+    assert ft.detect_type_extended(b"\0\0\0\x18ftypisom" + b"\0" * 8) == \
+        ft.TYPE_BINARY | ft.TYPE_COMPRESSED | ft.TYPE_MP4
+    # data detection takes precedence over extended magics
+    assert ft.detect_type_extended(b"%PDF-1.4\n" + b"\0" * 8) == \
+        ft.TYPE_BINARY | ft.TYPE_PDF
+
+    assert len(ft.EXT_TYPES) >= 200
+    assert ft.detect_type_by_ext("a/b/page.HTML") == \
+        ft.TYPE_TEXT | ft.TYPE_MARKUP
+    assert ft.detect_type_by_ext("x.tgz") == \
+        ft.TYPE_BINARY | ft.TYPE_COMPRESSED | ft.TYPE_COMPRESSED_GZ
+    assert ft.detect_type_by_ext("genome.fna") == \
+        ft.TYPE_TEXT | ft.TYPE_DNA_SEQ
+    assert ft.detect_type_by_ext("noext") == ft.TYPE_UNKNOWN
+    assert ft.detect_type_by_ext("trailing.") == ft.TYPE_UNKNOWN
+
+
+def test_fake_corpus_classifies_exactly():
+    t = ft.make_fake_file_table(repeats=3)
+    out = ft.detect_types_batch(t, path_col="path")
+    exp = out["expected"].to_pylist()
+    got = out["ftype_name"].to_pylist()
+    assert exp == got
+    # taxonomy breadth: ≥ 25 distinct subtype tags exercised
+    assert len(set(exp)) >= 25
+
+
+def test_file_type_stats_query(ray_session):
+    import pcompress_ray
+
+    pcompress_ray.register_for_ray()
+    import __ray_entry__ as e
+
+    out = e.queries()["file_type_stats"]("/root/testdata/sf0.001").to_pandas()
+    t = ft.make_fake_file_table(repeats=8)
+    want = ft.detect_types_batch(t, path_col="path").to_pandas() \
+        .groupby("ftype_name").size()
+    got = dict(zip(out["ftype_name"], out["n_files"]))
+    assert got == want.to_dict()
