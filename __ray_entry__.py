@@ -1326,6 +1326,46 @@ def q_file_type_stats(sf_dir: str):
     return out.map_batches(rn, batch_format="pyarrow").sort("ftype_name")
 
 
+def q_video_frames(sf_dir: str):
+    """REAL video path: MJPEG-AVI containers are RIFF-walked
+    (FrameSampleStage, every 2nd frame), each sampled frame decoded by the
+    from-scratch T.81 JPEG codec — per-frame dimensions + mean-luma stats,
+    no codec library anywhere. No SQL oracle (binary container parsing);
+    pytest-pinned against the planted frame counts/gradients."""
+    import ray.data as rd
+
+    from pcompress_ray.stages.jpeg import decode_jpeg
+    from pcompress_ray.stages.multimodal import (FrameSampleStage,
+                                                 make_fake_video_table)
+
+    _setup()
+    videos = rd.from_arrow(make_fake_video_table(40))
+    frames = videos.map_batches(
+        FrameSampleStage,
+        fn_constructor_kwargs={"fps_divisor": 2, "max_frames": 4,
+                               "fake": False},
+        batch_format="pyarrow", batch_size=8, concurrency=(1, 2))
+
+    def decode(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        w, h, luma = [], [], []
+        for p in t["frame_payload"].to_pylist():
+            img = decode_jpeg(p)
+            h.append(img.shape[0])
+            w.append(img.shape[1])
+            luma.append(int(np.floor(float(img.mean()) * 1e3 + 0.5)))
+        return pa.table({
+            "media_id": t["media_id"].cast(pa.int64()),
+            "frame_idx": t["frame_idx"].cast(pa.int32()),
+            "width": pa.array(w, pa.int32()),
+            "height": pa.array(h, pa.int32()),
+            "mean_luma_e3": pa.array(luma, pa.int64()),
+        })
+
+    return frames.map_batches(decode, batch_format="pyarrow",
+                              batch_size=64).sort(["media_id", "frame_idx"])
+
+
 def q_media_features(sf_dir: str):
     """Multimodal plumbing: magic-byte typing + (stubbed) decode features."""
     import ray.data as rd
@@ -1438,6 +1478,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_clusters": q_embedding_clusters,
         "media_features": q_media_features,
         "file_type_stats": q_file_type_stats,
+        "video_frames": q_video_frames,
         "audio_features": q_audio_features,
         "image_features": q_image_features,
         "simhash_neardup": q_simhash_neardup,

@@ -7,11 +7,12 @@ archive/pc_arc_filter.c per-type filters, is the byte-level precedent).
 The AUDIO path is REAL (PCM WAV struct parsing + numpy FFT features,
 tested against planted sine frequencies). The IMAGE path is REAL for both
 PNG (stdlib zlib + scanline unfiltering) and baseline JPEG (a from-scratch
-T.81 Huffman+IDCT decoder, ``stages/jpeg.py``). Only VIDEO frame decode
-remains stubbed — no container format with decodable frames is feasible
-stdlib-only — behind a deterministic fake, with all Ray-side plumbing
-(schema contract, actor-pool stage shape, batch sizing, output layout)
-real and tested.
+T.81 Huffman+IDCT decoder, ``stages/jpeg.py``). The VIDEO path is REAL for
+MJPEG-in-AVI (RIFF walk → per-frame JPEG decode via the same codec);
+other video codecs (H.264/MP4 …) stay behind a deterministic fake — no
+stdlib-feasible decoder exists — with all Ray-side plumbing (schema
+contract, actor-pool stage shape, batch sizing, output layout) real and
+tested.
 
 Real-deployment note: decode stages are the canonical actor-pool case (codec
 context per actor), with SMALL batch_size (large binary rows — see
@@ -346,12 +347,73 @@ def parse_mp4(payload: bytes):
     return int(ts), int(dur * 1000 // ts)
 
 
+def build_avi_mjpeg(frames_jpeg: list, fps: int = 10,
+                    width: int = 32, height: int = 24) -> bytes:
+    """Minimal-but-spec-shaped AVI RIFF writer for an MJPEG stream:
+    LIST hdrl (avih + LIST strl(strh 'vids'/'MJPG' + strf BITMAPINFOHEADER))
+    followed by LIST movi with one '00dc' chunk per JPEG frame."""
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        return fourcc + struct.pack("<I", len(data)) + data \
+            + (b"\x00" if len(data) % 2 else b"")
+
+    def lst(kind: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", kind + data)
+
+    n = len(frames_jpeg)
+    avih = struct.pack("<14I", 1_000_000 // fps, 0, 0, 0, n, 0, 1,
+                       max((len(f) for f in frames_jpeg), default=0),
+                       width, height, 0, 0, 0, 0)
+    strh = struct.pack("<4s4sIHHIIIIIIIi4H", b"vids", b"MJPG", 0, 0, 0, 0,
+                       1, fps, 0, n, 0, 0, -1, 0, 0,
+                       width & 0xFFFF, height & 0xFFFF)
+    strf = struct.pack("<I2i2H6I", 40, width, height, 1, 24,
+                       int.from_bytes(b"MJPG", "little"),
+                       width * height * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames_jpeg))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def parse_avi_frames(payload: bytes) -> list:
+    """RIFF walk → the MJPEG frame payloads ('00dc'/'00db' chunks inside
+    LIST movi). Pure struct parsing; each returned item is a complete JPEG
+    byte string decodable by ``stages/jpeg.py``."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" \
+            or payload[8:12] != b"AVI ":
+        return []
+
+    def chunks(buf: bytes):
+        pos = 0
+        while pos + 8 <= len(buf):
+            fourcc = buf[pos : pos + 4]
+            (sz,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            data = buf[pos + 8 : pos + 8 + sz]
+            yield fourcc, data
+            pos += 8 + sz + (sz % 2)
+
+    frames = []
+    for fourcc, data in chunks(payload[12:]):
+        if fourcc == b"LIST" and data[:4] == b"movi":
+            for cc, body in chunks(data[4:]):
+                if cc in (b"00dc", b"00db"):
+                    frames.append(body)
+    return frames
+
+
 class FrameSampleStage:
-    """Actor-pool stage contract for video frame sampling (stubbed).
+    """Actor-pool stage for video frame sampling.
 
     Emits one row per sampled frame: (media_id, frame_idx, frame_payload).
-    The fake samples deterministic byte slices so downstream plumbing
-    (flat_map-style expansion, per-frame decode) is exercised for real.
+    MJPEG-in-AVI payloads are sampled FOR REAL: the RIFF container is
+    walked (``parse_avi_frames``), every ``fps_divisor``-th '00dc' frame is
+    emitted as its actual JPEG bytes — decodable downstream by the
+    from-scratch T.81 codec (``stages/jpeg.py``), the same per-type filter
+    routing the reference applies to AVI/MJPEG inputs
+    (archive/pc_arc_filter.c:71-125, utils/utils.h TYPE_AVI/TYPE_MJPEG).
+    Other codecs (H.264 in MP4, …) have no stdlib-feasible decoder:
+    ``fake=True`` (default) samples deterministic byte slices so the
+    plumbing is exercised; ``fake=False`` raises for them.
     """
 
     def __init__(self, fps_divisor: int = 10, max_frames: int = 8,
@@ -367,9 +429,21 @@ class FrameSampleStage:
         payloads = t[self.payload_col].to_pylist()
         out_id, out_frame, out_bytes = [], [], []
         for mid, p in zip(ids, payloads):
-            if not self.fake:
-                raise NotImplementedError("video decode not available here")
             p = p or b""
+            frames = parse_avi_frames(p)
+            if frames:  # REAL path: every fps_divisor-th MJPEG frame
+                for f, idx in enumerate(
+                        range(0, len(frames), max(1, self.fps_divisor))):
+                    if f >= self.max_frames:
+                        break
+                    out_id.append(int(mid))
+                    out_frame.append(idx)
+                    out_bytes.append(frames[idx])
+                continue
+            if not self.fake:
+                raise NotImplementedError(
+                    "only MJPEG-AVI is decodable stdlib-side; this codec "
+                    "needs an external decoder (run with fake=True)")
             n = min(self.max_frames, max(1, len(p) // 64))
             step = max(1, len(p) // max(n, 1))
             for f in range(n):
@@ -381,6 +455,31 @@ class FrameSampleStage:
             "frame_idx": pa.array(out_frame, pa.int32()),
             "frame_payload": pa.array(out_bytes, pa.binary()),
         })
+
+
+def make_fake_video_table(n: int, seed: int = 17) -> pa.Table:
+    """Deterministic MJPEG-AVI corpus: every payload is a REAL AVI container
+    whose '00dc' frames are REAL baseline JPEGs (from-scratch encoder) —
+    the whole sample→decode chain runs without any codec library."""
+    rng = np.random.default_rng(seed)
+    payloads, n_frames = [], []
+    for i in range(n):
+        cnt = int(rng.integers(4, 13))
+        frames = []
+        for f in range(cnt):
+            img = np.clip(np.add.outer(np.arange(24) * 3, np.arange(32) * 2)
+                          [..., None] + np.array([(i * 7 + f * 11) % 128,
+                                                  60, 100]),
+                          0, 255).astype(np.uint8)
+            frames.append(encode_jpeg(img, quality=85))
+        payloads.append(build_avi_mjpeg(frames, fps=10, width=32, height=24))
+        n_frames.append(cnt)
+    return pa.table({
+        "media_id": pa.array(np.arange(n, dtype=np.int64)),
+        "payload": pa.array(payloads, pa.binary()),
+        "media_type": pa.array(["video/avi"] * n, pa.string()),
+        "n_frames": pa.array(n_frames, pa.int32()),
+    })
 
 
 def make_fake_media_table(n: int, seed: int = 11) -> pa.Table:
