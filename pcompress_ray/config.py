@@ -103,6 +103,11 @@ class PipelineConfig:
     archive_codec_binary: str = "zlib"
     archive_lzma_preset: int = 1           # throughput preset (knob, not semantics)
     archive_store_buckets: int = 64        # chunk-store hash partitions (resume unit)
+    # preprocessing filters (reference level>4 chain, pcompress.c:3698-3741):
+    # "delta2" (strided-RLE, vectorized — tried on BINARY chunks, kept only
+    # when the final payload shrinks) on by default; "lzp" is per-byte
+    # Python — a cold-archive ratio option, off by default.
+    archive_filters: tuple = ("delta2",)
 
     # Execution
     batch_size: int = 256                  # rows per batch for heavy text stages
@@ -136,7 +141,8 @@ class PipelineConfig:
         d["locality_sort"] = None
         # archive knobs key archive outputs, not dedup checkpoints
         for k in ("archive_codec_text", "archive_codec_binary",
-                  "archive_lzma_preset", "archive_store_buckets"):
+                  "archive_lzma_preset", "archive_store_buckets",
+                  "archive_filters"):
             d[k] = None
         s = json.dumps(d, sort_keys=True, default=str)
         return hashlib.sha256(s.encode()).hexdigest()[:16]

@@ -185,7 +185,8 @@ def _explode_payloads(chunked_ds, cfg: PipelineConfig, text_col: str):
 
 
 def _elect_compress_frame(part: pd.DataFrame, codec_text: str,
-                          codec_binary: str, preset: int) -> pd.DataFrame:
+                          codec_binary: str, preset: int,
+                          filters: tuple = ()) -> pd.DataFrame:
     """Owner election + adaptive compression over one chunk_hash partition:
     first occurrence per hash (min rank, then seq) wins and is compressed."""
     part = part.sort_values(["chunk_hash", "rank", "seq"])
@@ -195,7 +196,7 @@ def _elect_compress_frame(part: pd.DataFrame, codec_text: str,
     payloads: list[bytes] = []
     for data in raw:
         codec, payload = select_and_compress(
-            data, codec_text, codec_binary, preset=preset)
+            data, codec_text, codec_binary, preset=preset, filters=filters)
         codecs.append(codec)
         payloads.append(payload)
     return pd.DataFrame({
@@ -239,7 +240,8 @@ def _split_delta_members(pages_ds, cfg: PipelineConfig, text_col: str,
         payloads: list[bytes] = []
         for d in t["delta"].to_pylist():
             codec, payload = select_and_compress(
-                d, codec_text, codec_binary, preset=preset)
+                d, codec_text, codec_binary, preset=preset,
+                filters=cfg.archive_filters)
             codecs.append(codec)
             payloads.append(payload)
         return pa.table({
@@ -333,7 +335,8 @@ def archive_write(pages_ds, cfg: PipelineConfig | None = None,
     n_buckets = cfg.archive_store_buckets
 
     def elect_and_compress(part: pd.DataFrame) -> pd.DataFrame:
-        out = _elect_compress_frame(part, codec_text, codec_binary, preset)
+        out = _elect_compress_frame(part, codec_text, codec_binary, preset,
+                                    cfg.archive_filters)
         # bucket == this exchange's partition id: written as the store's
         # hive partition so archive_append can co-read ONLY the matching
         # bucket's hash column (O(increment) appends)
@@ -744,7 +747,7 @@ def archive_append(archive_dir: str, new_pages_ds,
                                      old_h.size - 1)
                     fresh = part[old_h[idx] != ch]
             out = _elect_compress_frame(fresh, codec_text, codec_binary,
-                                        preset)
+                                        preset, cfg.archive_filters)
             out["bucket"] = partition_bucket_u64(
                 out["chunk_hash"].to_numpy(dtype=np.uint64), n_buckets)
             return out
@@ -778,7 +781,7 @@ def archive_append(archive_dir: str, new_pages_ds,
                     fresh["chunk_hash"].to_numpy(dtype=np.uint64),
                     old_hashes)]
             return _elect_compress_frame(fresh, codec_text, codec_binary,
-                                         preset)
+                                         preset, cfg.archive_filters)
 
         store_new = grouped_partitions(merged, ["chunk_hash"], elect_new,
                                        n_parts=cfg.archive_store_buckets) \

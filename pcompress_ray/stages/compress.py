@@ -35,7 +35,21 @@ _MAGIC_BY_CODEC = {"none", "zlib", "bz2", "lzma"}
 
 
 def compress_chunk(data: bytes, codec: str, preset: int = 1) -> bytes:
-    """M10-style uniform wrapper: codec name → compressed payload."""
+    """M10-style uniform wrapper: codec name → compressed payload.
+
+    Codec names compose with the preprocessing filters as
+    "<filter>+<codec>" (e.g. "delta2+zlib") — the reference's level>4
+    filter-then-compress chain (pcompress.c:3698-3741); the filter name is
+    recorded in the chunk's codec tag so restore needs no side channel."""
+    if "+" in codec:
+        from pcompress_ray.stages.filters import delta2_encode, lzp_encode
+
+        fname, codec = codec.split("+", 1)
+        data = {"delta2": delta2_encode, "lzp": lzp_encode}[fname](data)
+        if data is None:
+            raise ValueError(
+                f"{fname} filter found no gain on this chunk; use "
+                "select_and_compress, which gates filters per chunk")
     if codec == "none":
         return data
     if codec == "zlib":
@@ -48,6 +62,12 @@ def compress_chunk(data: bytes, codec: str, preset: int = 1) -> bytes:
 
 
 def decompress_chunk(data: bytes, codec: str) -> bytes:
+    if "+" in codec:
+        from pcompress_ray.stages.filters import delta2_decode, lzp_decode
+
+        fname, codec = codec.split("+", 1)
+        return {"delta2": delta2_decode, "lzp": lzp_decode}[fname](
+            decompress_chunk(data, codec))
     if codec == "none":
         return data
     if codec == "zlib":
@@ -69,14 +89,38 @@ def is_text_chunk(data: bytes) -> bool:
 
 
 def select_and_compress(data: bytes, codec_text: str, codec_binary: str,
-                        preset: int = 1) -> tuple[str, bytes]:
+                        preset: int = 1,
+                        filters: tuple = ()) -> tuple[str, bytes]:
     """Adaptive route-then-gate for one chunk (adaptive_compress.c:324-430).
 
     Returns (codec, payload); codec == "none" when compression would not
-    shrink the chunk (incompressible slot + A3 gain gate).
+    shrink the chunk (incompressible slot + A3 gain gate). With
+    ``filters=("delta2",)`` BINARY chunks additionally try the Delta2
+    strided-RLE prefilter (the reference's level>4 auto-enable,
+    pcompress.c:3698-3741 — text chunks skip it, as there) and keep the
+    filtered encoding only when the final payload is strictly smaller;
+    "lzp" does the same for TEXT chunks (default-off: per-byte Python).
     """
-    codec = codec_text if is_text_chunk(data) else codec_binary
+    text = is_text_chunk(data)
+    codec = codec_text if text else codec_binary
     payload = compress_chunk(data, codec, preset=preset)
-    if len(payload) >= len(data):
+    best_codec, best = codec, payload
+    if "delta2" in filters and not text:
+        from pcompress_ray.stages.filters import delta2_encode
+
+        pre = delta2_encode(data)
+        if pre is not None:
+            fp = compress_chunk(pre, codec, preset=preset)
+            if len(fp) < len(best):
+                best_codec, best = f"delta2+{codec}", fp
+    if "lzp" in filters and text:
+        from pcompress_ray.stages.filters import lzp_encode
+
+        pre = lzp_encode(data)
+        if pre is not None:
+            fp = compress_chunk(pre, codec, preset=preset)
+            if len(fp) < len(best):
+                best_codec, best = f"lzp+{codec}", fp
+    if len(best) >= len(data):
         return "none", data
-    return codec, payload
+    return best_codec, best
