@@ -285,6 +285,34 @@ class HyperplaneLSH:
             "lsh_buckets", pa.array(list(buckets), pa.list_(pa.uint64())))
 
 
+def _lsh_row_keys(t: pa.Table, id_col: str):
+    """Shared explode-key derivation for BOTH payload modes: one row per
+    (vector, table) with a mixed 64-bit bucket key. Kept in ONE place so the
+    light/inline pair-set equivalence cannot drift."""
+    import pyarrow.compute as pc
+
+    n = len(t)
+    n_tab = pc.list_value_length(t["lsh_buckets"]).to_numpy(
+        zero_copy_only=False)
+    ids = np.repeat(t[id_col].to_numpy(zero_copy_only=False), n_tab)
+    tab_ids = np.concatenate([np.arange(c, dtype=np.uint64) for c in n_tab]) \
+        if n else np.empty(0, np.uint64)
+    buckets = pc.list_flatten(t["lsh_buckets"]).to_numpy(zero_copy_only=False)
+    from pcompress_ray.hashing import splitmix64
+
+    bkey = splitmix64(buckets.astype(np.uint64)
+                      ^ splitmix64(tab_ids + np.uint64(1)))
+    rep = np.repeat(np.arange(n), n_tab)
+    return bkey, ids.astype(np.int64), rep, n_tab
+
+
+def _window_starts(m: int, cap: int):
+    """Oversized-bucket 50%-overlapping window starts — shared by both
+    payload modes (the window layout IS the candidate-set contract)."""
+    step = max(cap // 2, 1)
+    return range(0, int(m) - 1, step)
+
+
 def lsh_bucketed_pairs(emb_ds, threshold: float, dim: int,
                        id_col: str = "vec_id", emb_col: str = "embedding",
                        bucket_cap: int = 512, n_tables: int = 8,
@@ -297,13 +325,13 @@ def lsh_bucketed_pairs(emb_ds, threshold: float, dim: int,
     Two payload modes (identical output, tested pair-for-pair equal):
 
     ``payload="light"`` (the scale path): the bucket exchange ships only
-    (bkey:u64, id:i64, proj:f32) — 20 B/row regardless of dim — and emits
+    (bkey:u64, id:i64, proj:f64) — 24 B/row regardless of dim — and emits
     UNVERIFIED candidate pairs; one second exchange of the 16 B (a, b) pair
     rows dedups across tables and verifies exact cosine against a
     plasma-resident per-block embedding store (the verify.py broadcast-CSR
     pattern: the driver touches only id arrays, matrices stay in the object
     store). Shuffle bytes ∝ n·n_tables·20 + pairs·16, vs inline's
-    n·n_tables·(24 + 4·dim) — ~7× lighter at dim=64 and measured so (see
+    n·n_tables·(24 + 4·dim) — 11.5× lighter at dim=64, measured (see
     BENCH_LOCAL.md). The store holds only PARTICIPATING ids (those in ≥1
     candidate pair), normalized float64 of the same f32 quantization the
     inline payload uses, so cosines match inline to the last ULP (only the
@@ -332,7 +360,9 @@ def lsh_bucketed_pairs(emb_ds, threshold: float, dim: int,
     5.2 s at 2k vectors, while the bucket exchange itself is 11.5× lighter
     in light mode). At web scale the estimate always crosses the threshold
     and auto = light. The n estimate uses ``emb_ds.count()`` — metadata-only
-    on parquet-backed datasets.
+    on parquet-backed datasets; a computed upstream pays one execution for
+    it (pass payload explicitly to skip), and the light path itself
+    materializes the embeddings exactly once (sig + store share blocks).
 
     Calibration: P(pair at cosine c collides in ≥1 table) =
     1-(1-(1-arccos(c)/π)^n_bits)^n_tables. The (12, 8) default targets
@@ -346,7 +376,6 @@ def lsh_bucketed_pairs(emb_ds, threshold: float, dim: int,
         return _lsh_pairs_light(emb_ds, threshold, dim, id_col, emb_col,
                                 bucket_cap, n_tables, n_bits)
     from pcompress_ray.functions.ops import grouped_partitions
-    from pcompress_ray.hashing import splitmix64
 
     sig = emb_ds.select_columns([id_col, emb_col]).map_batches(
         HyperplaneLSH,
@@ -355,23 +384,14 @@ def lsh_bucketed_pairs(emb_ds, threshold: float, dim: int,
         batch_format="pyarrow", concurrency=(1, 4))
 
     def explode(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
         t = t.replace_schema_metadata(None)
         n = len(t)
-        n_tab = pc.list_value_length(t["lsh_buckets"]).to_numpy(zero_copy_only=False)
-        ids = np.repeat(t[id_col].to_numpy(zero_copy_only=False), n_tab)
-        tab_ids = np.concatenate([np.arange(c, dtype=np.uint64) for c in n_tab]) \
-            if n else np.empty(0, np.uint64)
-        buckets = pc.list_flatten(t["lsh_buckets"]).to_numpy(zero_copy_only=False)
-        # one mixed 64-bit bucket key per (table, bucket)
-        bkey = splitmix64(buckets.astype(np.uint64)
-                          ^ splitmix64(tab_ids + np.uint64(1)))
+        bkey, ids, rep, _ = _lsh_row_keys(t, id_col)
         M = _matrix(t[emb_col]).astype(np.float32)
         emb_bin = [M[i].tobytes() for i in range(n)]
-        rep = np.repeat(np.arange(n), n_tab)
         return pa.table({
             "bkey": pa.array(bkey),
-            id_col: pa.array(ids.astype(np.int64)),
+            id_col: pa.array(ids),
             "emb_f32": pa.array([emb_bin[i] for i in rep], pa.binary()),
         })
 
@@ -417,8 +437,7 @@ def lsh_bucketed_pairs(emb_ds, threshold: float, dim: int,
                 # projection-ordered overlapping windows (no member drop)
                 order = np.argsort(Eseg @ proj_dir, kind="stable")
                 seg_ids, Eseg = seg_ids[order], Eseg[order]
-                step = max(bucket_cap // 2, 1)
-                for w0 in range(0, int(m) - 1, step):
+                for w0 in _window_starts(m, bucket_cap):
                     wi = slice(w0, min(w0 + bucket_cap, int(m)))
                     bucket_pairs(seg_ids[wi], Eseg[wi] @ Eseg[wi].T)
         if not out_a:
@@ -474,10 +493,14 @@ def _lsh_pairs_light(emb_ds, threshold: float, dim: int, id_col: str,
     from pcompress_ray.functions.ops import (group_boundaries,
                                              grouped_partitions,
                                              materialized_block_refs)
-    from pcompress_ray.hashing import splitmix64
     from pcompress_ray.stages.verify import _participating_ids
 
-    sig = emb_ds.select_columns([id_col, emb_col]).map_batches(
+    # ONE materialization: the signature stage streams from these blocks and
+    # the verify store extracts from the same refs — a computed (non-parquet)
+    # upstream executes exactly once
+    emb_mat = emb_ds.select_columns([id_col, emb_col]).materialize()
+
+    sig = emb_mat.map_batches(
         HyperplaneLSH,
         fn_constructor_kwargs={"dim": dim, "emb_col": emb_col,
                                "n_tables": n_tables, "n_bits": n_bits},
@@ -486,26 +509,18 @@ def _lsh_pairs_light(emb_ds, threshold: float, dim: int, id_col: str,
     proj_dir = np.random.default_rng(12345).standard_normal(dim)
 
     def explode_light(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
         t = t.replace_schema_metadata(None)
         n = len(t)
-        n_tab = pc.list_value_length(t["lsh_buckets"]).to_numpy(
-            zero_copy_only=False)
-        ids = np.repeat(t[id_col].to_numpy(zero_copy_only=False), n_tab)
-        tab_ids = np.concatenate([np.arange(c, dtype=np.uint64) for c in n_tab]) \
-            if n else np.empty(0, np.uint64)
-        buckets = pc.list_flatten(t["lsh_buckets"]).to_numpy(
-            zero_copy_only=False)
-        bkey = splitmix64(buckets.astype(np.uint64)
-                          ^ splitmix64(tab_ids + np.uint64(1)))
+        bkey, ids, _, n_tab = _lsh_row_keys(t, id_col)
         # same f32 quantization + f64 normalize as the inline payload, so
         # window ordering (and later cosine) matches inline bit-for-bit
+        # (proj stays f64 for that reason — 24 B/row, still dim-independent)
         E = _normalize(_matrix(t[emb_col]).astype(np.float32)
                        .astype(np.float64))
         proj = np.repeat(E @ proj_dir, n_tab) if n else np.empty(0)
         return pa.table({
             "bkey": pa.array(bkey),
-            "vid": pa.array(ids.astype(np.int64)),
+            "vid": pa.array(ids),
             "proj": pa.array(proj, pa.float64()),
         })
 
@@ -534,8 +549,7 @@ def _lsh_pairs_light(emb_ds, threshold: float, dim: int, id_col: str,
             else:
                 order = np.argsort(seg_proj, kind="stable")
                 seg_ids = seg_ids[order]
-                step = max(bucket_cap // 2, 1)
-                for w0 in range(0, int(m) - 1, step):
+                for w0 in _window_starts(m, bucket_cap):
                     wi = seg_ids[w0 : w0 + bucket_cap]
                     ai, bi = np.triu_indices(wi.size, k=1)
                     out_a.append(wi[ai]); out_b.append(wi[bi])
@@ -559,7 +573,6 @@ def _lsh_pairs_light(emb_ds, threshold: float, dim: int, id_col: str,
     # plasma-resident embedding store over participating ids only
     ids_ref = ray.put(ids)
     extract = ray.remote(num_returns=2)(_extract_emb_block)
-    emb_mat = emb_ds.select_columns([id_col, emb_col]).materialize()
     parts = [extract.remote(b, ids_ref, id_col, emb_col)
              for b in materialized_block_refs(emb_mat)]
     kept = ray.get([p[0] for p in parts])

@@ -362,10 +362,17 @@ def detect_types_batch(t: pa.Table, payload_col: str = "payload",
     column exists and matches) takes precedence like the reference's
     archiver (pc_archive.c:1325: ext hit skips data detection), data
     magics otherwise."""
+    import pyarrow.compute as pc
+
     t = t.replace_schema_metadata(None)
     paths = t[path_col].to_pylist() if path_col else [None] * len(t)
     types = np.empty(len(t), dtype=np.int32)
-    for i, (p, payload) in enumerate(zip(paths, t[payload_col].to_pylist())):
+    # bounded prefix only — every magic check reads ≤ 4 KiB (tar needs 265,
+    # boot sig 512, PE e_lfanew targets land well under 4K in practice);
+    # never copy multi-MB payloads onto the Python heap for sniffing
+    prefixes = pc.binary_slice(
+        t[payload_col].combine_chunks(), 0, 4096).to_pylist()
+    for i, (p, payload) in enumerate(zip(paths, prefixes)):
         ft = detect_type_by_ext(p) if p else TYPE_UNKNOWN
         if ft == TYPE_UNKNOWN:
             ft = detect_type_extended(payload or b"")

@@ -52,6 +52,8 @@ def detect_media_type(payload: bytes) -> str:
         return "image/jpeg"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "audio/wav"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return "video/avi"
     if payload[4:8] == b"ftyp":
         return "video/mp4"
     return "application/octet-stream"
@@ -392,12 +394,23 @@ def parse_avi_frames(payload: bytes) -> list:
             yield fourcc, data
             pos += 8 + sz + (sz % 2)
 
-    frames = []
-    for fourcc, data in chunks(payload[12:]):
-        if fourcc == b"LIST" and data[:4] == b"movi":
-            for cc, body in chunks(data[4:]):
-                if cc in (b"00dc", b"00db"):
-                    frames.append(body)
+    def walk_movi(buf: bytes, frames: list):
+        for cc, body in chunks(buf):
+            if cc[2:4] in (b"dc", b"db") and cc[:2].isdigit():
+                frames.append(body)
+            elif cc == b"LIST" and body[:4] == b"rec ":
+                # interleaved muxers wrap frame chunks in 'rec ' groups
+                walk_movi(body[4:], frames)
+
+    frames: list = []
+    # OpenDML files append further RIFF 'AVIX' segments after the first
+    # RIFF extent, each with its own movi list — walk ALL top-level RIFFs
+    for rcc, rbody in chunks(payload):
+        if rcc != b"RIFF" or rbody[:4] not in (b"AVI ", b"AVIX"):
+            continue
+        for fourcc, data in chunks(rbody[4:]):
+            if fourcc == b"LIST" and data[:4] == b"movi":
+                walk_movi(data[4:], frames)
     return frames
 
 
@@ -431,7 +444,9 @@ class FrameSampleStage:
         for mid, p in zip(ids, payloads):
             p = p or b""
             frames = parse_avi_frames(p)
-            if frames:  # REAL path: every fps_divisor-th MJPEG frame
+            # real path only for MJPEG streams: every frame must be a JPEG
+            # (an AVI can carry raw DIB / H.264 '00dc' chunks we can't decode)
+            if frames and all(f[:2] == b"\xff\xd8" for f in frames):
                 for f, idx in enumerate(
                         range(0, len(frames), max(1, self.fps_divisor))):
                     if f >= self.max_frames:

@@ -127,3 +127,29 @@ def test_file_type_stats_query(ray_session):
         .groupby("ftype_name").size()
     got = dict(zip(out["ftype_name"], out["n_files"]))
     assert got == want.to_dict()
+
+
+def test_detect_types_batch_bounded_prefix_on_large_payloads():
+    """Sniffing reads a bounded 4 KiB prefix: a multi-MB payload classifies
+    identically to its prefix (gzip magic at 0, tar magic at offset 257,
+    boot signature at 0x1fe all land inside the window)."""
+    import gzip
+    import io
+    import tarfile
+
+    gz = gzip.compress(b"hello world") + b"\0" * (3 << 20)
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        info = tarfile.TarInfo("a.txt")
+        info.size = 3
+        tf.addfile(info, io.BytesIO(b"abc"))
+    tar = buf.getvalue() + b"\0" * (3 << 20)
+    boot = b"\xe9" + b"\0" * 0x1fd + b"\x55\xaa" + b"\xcc" * (1 << 20)
+    t = pa.table({"file_id": pa.array([0, 1, 2], pa.int64()),
+                  "payload": pa.array([gz, tar, boot], pa.binary())})
+    out = ft.detect_types_batch(t)
+    types = out["ftype"].to_pylist()
+    assert types[0] == ft.TYPE_BINARY | ft.TYPE_COMPRESSED \
+        | ft.TYPE_COMPRESSED_GZ
+    assert types[1] == ft.TYPE_BINARY | ft.TYPE_ARCHIVE_TAR
+    assert types[2] == ft.TYPE_BINARY | ft.TYPE_EXE32

@@ -212,3 +212,54 @@ def test_video_frames_query(ray_session):
         assert got_counts[mid] == min(4, (int(cnt) + 1) // 2), mid
     assert (out["width"] == 32).all() and (out["height"] == 24).all()
     assert out["mean_luma_e3"].between(40_000, 220_000).all()
+
+
+def test_avi_opendml_rec_lists_and_stream_numbers():
+    """Container-walk generality: frames inside LIST 'rec ' groups
+    (interleaved muxers), non-zero stream numbers ('01dc'), and OpenDML
+    'AVIX' continuation RIFF segments are all collected, in file order."""
+    import struct
+
+    from pcompress_ray.stages.jpeg import encode_jpeg
+    from pcompress_ray.stages.multimodal import parse_avi_frames
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        return fourcc + struct.pack("<I", len(data)) + data \
+            + (b"\x00" if len(data) % 2 else b"")
+
+    def lst(kind: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", kind + data)
+
+    imgs = [np.full((8, 8, 3), 40 * (i + 1), np.uint8) for i in range(4)]
+    f = [encode_jpeg(im, quality=85) for im in imgs]
+    movi1 = lst(b"movi", chunk(b"00dc", f[0])
+                + lst(b"rec ", chunk(b"00dc", f[1]))
+                + chunk(b"01dc", f[2]))
+    movi2 = lst(b"movi", chunk(b"00db", f[3]))
+    avi = chunk(b"RIFF", b"AVI " + movi1) + chunk(b"RIFF", b"AVIX" + movi2)
+    assert parse_avi_frames(avi) == f
+    # non-frame chunks ('idx1', 'xxtx' text stream) are ignored
+    movi3 = lst(b"movi", chunk(b"00dc", f[0]) + chunk(b"02tx", b"subs"))
+    avi3 = chunk(b"RIFF", b"AVI " + movi3 + chunk(b"idx1", b"\0" * 16))
+    assert parse_avi_frames(avi3) == [f[0]]
+
+
+def test_frame_sample_rejects_non_mjpeg_avi():
+    """An AVI whose frame chunks are NOT JPEGs (raw DIB / H.264) must not
+    take the real path: fake=False raises, fake=True falls back to the
+    deterministic byte-slice plumbing."""
+    import pytest
+
+    from pcompress_ray.stages.multimodal import (FrameSampleStage,
+                                                 build_avi_mjpeg,
+                                                 parse_avi_frames)
+
+    raw_frames = [b"\x00\x01rawdib" * 20, b"\x00\x02rawdib" * 20]
+    avi = build_avi_mjpeg(raw_frames, fps=10, width=8, height=8)
+    assert parse_avi_frames(avi) == raw_frames  # container walk still works
+    tab = pa.table({"media_id": pa.array([1], pa.int64()),
+                    "payload": pa.array([avi], pa.binary())})
+    with pytest.raises(NotImplementedError):
+        FrameSampleStage(fake=False)(tab)
+    out = FrameSampleStage(fake=True, max_frames=2)(tab)
+    assert len(out) > 0  # plumbing path, not decoded frames
