@@ -1441,6 +1441,44 @@ def q_audio_features(sf_dir: str):
     return out.map_batches(rn, batch_format="pyarrow")
 
 
+def q_gopher_quality(sf_dir: str):
+    """Gopher-style repetition/diversity quality rule (Rae et al. 2021
+    §A1.1 analog): per-doc token count, distinct-token count, top-token
+    ratio + pass flag. Embarrassingly parallel — one vectorized
+    ``map_batches`` (lexsort+reduceat per batch), NO shuffle; the analog of
+    the reference analyzer's per-buffer dictionary-density heuristics
+    (filters/analyzer/analyzer.c:32-124) at document granularity."""
+    from pcompress_ray.stages.textstats import gopher_stats_batch
+
+    _setup()
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(gopher_stats_batch,
+                          batch_format="pyarrow").sort("doc_id")
+
+
+def q_top_bigrams(sf_dir: str):
+    """Corpus bigram frequency top-30: map-side combine (adjacency-aware,
+    per-batch partial counts) → groupby-sum → total-order top-k. Only
+    (bigram, partial_n) rows enter the shuffle — bounded by batch
+    vocabulary², not corpus token count."""
+    from ray.data.aggregate import Sum
+
+    from pcompress_ray.stages.textstats import bigram_counts
+
+    _setup()
+    ds = _read(sf_dir, "documents", ["text"])
+    out = (ds.map_batches(bigram_counts, batch_format="pyarrow")
+           .groupby("bigram").aggregate(Sum("n", alias_name="n")))
+
+    def rn(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        return pa.table({"bigram": t["bigram"].cast(pa.string()),
+                         "n": t["n"].cast(pa.int64())})
+
+    return (out.map_batches(rn, batch_format="pyarrow")
+            .sort(["n", "bigram"], descending=[True, False]).limit(30))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q1_pricing": q_q1_pricing,
@@ -1491,6 +1529,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "archive_stats": q_archive_stats,
         "archive_roundtrip": q_archive_roundtrip,
         "delta_gain": q_delta_gain,
+        "gopher_quality": q_gopher_quality,
+        "top_bigrams": q_top_bigrams,
     }
 
 
@@ -1924,5 +1964,49 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a, embeddings b
             WHERE a.vec_id < b.vec_id
               AND list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+        """,
+        # tokenization twin of stages/textstats._split_tokens: split on
+        # single spaces, drop empties; ratio rounding twin of
+        # gopher_stats_batch (floor(x*1e6+0.5), outer CASTs per the
+        # dtype-family gate)
+        "gopher_quality": """
+            WITH tok AS (
+                SELECT doc_id, t.tok
+                FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
+                WHERE t.tok <> ''
+            ), cnt AS (
+                SELECT doc_id, tok, COUNT(*) AS c
+                FROM tok GROUP BY doc_id, tok
+            ), agg AS (
+                SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_distinct,
+                       MAX(c) AS max_c
+                FROM cnt GROUP BY doc_id
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(n_distinct AS BIGINT) AS n_distinct,
+                   CAST(floor(max_c * 1e6 / n_tokens + 0.5) AS BIGINT)
+                       AS top_ratio_e6,
+                   CAST(floor(n_distinct * 1e6 / n_tokens + 0.5) AS BIGINT)
+                       AS distinct_ratio_e6,
+                   CAST((max_c * 1.0 / n_tokens <= 0.2
+                         AND n_distinct * 1.0 / n_tokens >= 0.3
+                         AND n_tokens BETWEEN 10 AND 100000) AS BIGINT)
+                       AS pass_gopher
+            FROM agg
+        """,
+        "top_bigrams": """
+            WITH l AS (
+                SELECT list_filter(string_split(text, ' '),
+                                   x -> x <> '') AS toks
+                FROM documents
+            ), b AS (
+                SELECT UNNEST([toks[i] || ' ' || toks[i + 1]
+                               FOR i IN generate_series(1, len(toks) - 1)])
+                    AS bigram
+                FROM l
+            )
+            SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n FROM b
+            GROUP BY bigram ORDER BY n DESC, bigram LIMIT 30
         """,
     }

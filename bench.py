@@ -40,7 +40,8 @@ QUERY_NAMES = ["q1_pricing", "q3_top_orders", "customer_nation", "doc_stats",
                "lang_length_quantiles", "dup_gain_by_source",
                "corpus_sample", "event_gaps", "archive_stats", "file_type_stats",
                "video_frames",
-               "delta_gain", "user_running_value", "user_first_last"]
+               "delta_gain", "user_running_value", "user_first_last",
+               "gopher_quality", "top_bigrams"]
 
 
 def run_bench() -> dict:

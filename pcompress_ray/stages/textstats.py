@@ -202,3 +202,89 @@ def token_counts(t: pa.Table, text_col: str = "text") -> pa.Table:
         c.update(_FP_RE.findall((x or "").lower()))
     return pa.table({"token": pa.array(list(c.keys()), pa.string()),
                      "n": pa.array(list(c.values()), pa.int64())})
+
+
+def _split_tokens(t: pa.Table, text_col: str):
+    """Vectorized whitespace tokenization shared by the Gopher/bigram
+    kernels AND their SQL twins' semantics: split on single spaces
+    (DuckDB ``string_split(text, ' ')``), drop empty tokens. Returns
+    (doc_row_index, token) as parallel numpy arrays — one Arrow
+    split_pattern + boolean masking, no per-row Python."""
+    import pyarrow.compute as pc
+
+    toks = pc.split_pattern(t[text_col].combine_chunks(), " ")
+    nper = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    words = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+    doc = np.repeat(np.arange(len(t), dtype=np.int64), nper)
+    keep = words != ""
+    return doc[keep], words[keep]
+
+
+def gopher_stats_batch(t: pa.Table, text_col: str = "text",
+                       id_col: str = "doc_id") -> pa.Table:
+    """Gopher-style repetition/diversity quality rule (Rae et al. 2021
+    §A1.1: drop docs whose top word dominates or whose vocabulary is
+    degenerate). Per doc: token count, distinct tokens, top-token count —
+    one lexsort + reduceat per batch, no per-doc Python loop. Ratios are
+    emitted as floor(x*1e6+0.5) ints so the SQL twin hashes identically.
+    Docs with zero tokens emit no row (the oracle's UNNEST does the same)."""
+    t = t.replace_schema_metadata(None)
+    doc, words = _split_tokens(t, text_col)
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    if doc.size == 0:
+        z = np.empty(0, np.int64)
+        return pa.table({"doc_id": z, "n_tokens": z, "n_distinct": z,
+                         "top_ratio_e6": z, "distinct_ratio_e6": z,
+                         "pass_gopher": z})
+    tok_ids = np.unique(words, return_inverse=True)[1]
+    order = np.lexsort((tok_ids, doc))
+    d_s, t_s = doc[order], tok_ids[order]
+    new = np.empty(d_s.size, bool)
+    new[0] = True
+    new[1:] = (d_s[1:] != d_s[:-1]) | (t_s[1:] != t_s[:-1])
+    starts = np.flatnonzero(new)
+    counts = np.diff(np.append(starts, d_s.size))
+    gdoc = d_s[starts]
+    dnew = np.empty(gdoc.size, bool)
+    dnew[0] = True
+    dnew[1:] = gdoc[1:] != gdoc[:-1]
+    dstarts = np.flatnonzero(dnew)
+    n_distinct = np.diff(np.append(dstarts, gdoc.size)).astype(np.int64)
+    n_tokens = np.add.reduceat(counts, dstarts).astype(np.int64)
+    max_c = np.maximum.reduceat(counts, dstarts).astype(np.int64)
+    ok = ((max_c / n_tokens <= 0.2) & (n_distinct / n_tokens >= 0.3)
+          & (n_tokens >= 10) & (n_tokens <= 100000))
+    return pa.table({
+        "doc_id": pa.array(ids[gdoc[dstarts]].astype(np.int64)),
+        "n_tokens": pa.array(n_tokens),
+        "n_distinct": pa.array(n_distinct),
+        "top_ratio_e6": pa.array(
+            np.floor(max_c * 1e6 / n_tokens + 0.5).astype(np.int64)),
+        "distinct_ratio_e6": pa.array(
+            np.floor(n_distinct * 1e6 / n_tokens + 0.5).astype(np.int64)),
+        "pass_gopher": pa.array(ok.astype(np.int64)),
+    })
+
+
+def bigram_counts(t: pa.Table, text_col: str = "text") -> pa.Table:
+    """(bigram, n) partial counts per batch — map-side combiner for the
+    corpus bigram-frequency aggregate (same shuffle-bounding idea as
+    ``token_counts``, but adjacency-aware: bigrams never cross doc
+    boundaries, and empty tokens are dropped BEFORE pairing, matching the
+    oracle's list_filter-then-index SQL)."""
+    import pyarrow.compute as pc
+
+    t = t.replace_schema_metadata(None)
+    doc, words = _split_tokens(t, text_col)
+    if doc.size < 2:
+        return pa.table({"bigram": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    same = doc[1:] == doc[:-1]
+    a, b = words[:-1][same], words[1:][same]
+    big = pc.binary_join_element_wise(
+        pa.array(a, pa.string()), pa.array(b, pa.string()), " ") \
+        .to_numpy(zero_copy_only=False)
+    uniq, cnt = np.unique(big, return_counts=True)
+    return pa.table({"bigram": pa.array(uniq, pa.string()),
+                     "n": pa.array(cnt.astype(np.int64))})
