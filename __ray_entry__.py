@@ -1479,6 +1479,52 @@ def q_top_bigrams(sf_dir: str):
             .sort(["n", "bigram"], descending=[True, False]).limit(30))
 
 
+def q_tfidf_top_term(sf_dir: str):
+    """Per-doc top TF-IDF term (keyword extraction): exploded (doc, tok, c)
+    term frequencies → ONE token-keyed exchange that computes document
+    frequency AND attaches the quantized idf to every row (no join — df is
+    complete within each token partition) → ONE doc-keyed exchange for the
+    vectorized per-doc argmax. idf is quantized to e6 ints BEFORE the
+    multiply so tfidf_e6 = c * idf_e6 is exact integer math on both sides
+    (a float tf*idf product would hash-diverge on ln() ULPs)."""
+    from pcompress_ray.functions.ops import grouped_partitions
+    from pcompress_ray.stages.textstats import doc_token_counts
+
+    _setup()
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = ds.count()  # parquet metadata only
+    tokc = ds.map_batches(doc_token_counts, batch_format="pyarrow")
+
+    def attach_idf(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.groupby("tok")["doc_id"].transform("size").to_numpy(np.float64)
+        idf_e6 = np.floor(np.log(n_docs / d) * 1e6 + 0.5).astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(np.int64),
+            "tok": g["tok"].astype(str),
+            "tfidf_e6": g["c"].to_numpy(np.int64) * idf_e6})
+
+    scored = grouped_partitions(tokc, ["tok"], attach_idf, n_parts=32)
+
+    def top1(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "tfidf_e6", "tok"],
+                          ascending=[True, False, True], kind="stable")
+        out = g.loc[~g["doc_id"].duplicated()]
+        return pd.DataFrame({
+            "doc_id": out["doc_id"].to_numpy(np.int64),
+            "top_term": out["tok"].astype(str),
+            "tfidf_e6": out["tfidf_e6"].to_numpy(np.int64)})
+
+    res = grouped_partitions(scored, ["doc_id"], top1, n_parts=16)
+
+    def rn(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                         "top_term": t["top_term"].cast(pa.string()),
+                         "tfidf_e6": t["tfidf_e6"].cast(pa.int64())})
+
+    return res.map_batches(rn, batch_format="pyarrow").sort("doc_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q1_pricing": q_q1_pricing,
@@ -1531,6 +1577,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "delta_gain": q_delta_gain,
         "gopher_quality": q_gopher_quality,
         "top_bigrams": q_top_bigrams,
+        "tfidf_top_term": q_tfidf_top_term,
     }
 
 
@@ -2008,5 +2055,33 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n FROM b
             GROUP BY bigram ORDER BY n DESC, bigram LIMIT 30
+        """,
+        # idf quantized to e6 ints BEFORE the multiply (twin of
+        # q_tfidf_top_term: integer c * idf_e6, immune to ln() ULP drift);
+        # argmax tie-break = (tfidf desc, tok asc) on both sides
+        "tfidf_top_term": """
+            WITH tok AS (
+                SELECT doc_id, t.tok
+                FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
+                WHERE t.tok <> ''
+            ), tf AS (
+                SELECT doc_id, tok, COUNT(*) AS c
+                FROM tok GROUP BY doc_id, tok
+            ), df AS (
+                SELECT tok, COUNT(*) AS d FROM tf GROUP BY tok
+            ), nd AS (SELECT COUNT(*) AS n FROM documents),
+            scored AS (
+                SELECT tf.doc_id, tf.tok,
+                       CAST(tf.c AS BIGINT)
+                       * CAST(floor(ln(nd.n * 1.0 / df.d) * 1e6 + 0.5)
+                              AS BIGINT) AS tfidf_e6
+                FROM tf JOIN df USING (tok) CROSS JOIN nd
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, tok AS top_term,
+                   tfidf_e6
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY doc_id
+                      ORDER BY tfidf_e6 DESC, tok) AS rn FROM scored)
+            WHERE rn = 1
         """,
     }

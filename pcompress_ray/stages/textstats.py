@@ -221,6 +221,41 @@ def _split_tokens(t: pa.Table, text_col: str):
     return doc[keep], words[keep]
 
 
+def _doc_token_runs(doc: np.ndarray, words: np.ndarray):
+    """Run-length encode (doc, token) pairs: one lexsort over integer token
+    ids, then boundary diffs. Returns (doc_of_run, token_id_of_run,
+    run_count, unique_token_values) — the shared core of the Gopher and
+    TF-IDF kernels."""
+    uniq, inv = np.unique(words, return_inverse=True)
+    order = np.lexsort((inv, doc))
+    d_s, i_s = doc[order], inv[order]
+    new = np.empty(d_s.size, bool)
+    new[0] = True
+    new[1:] = (d_s[1:] != d_s[:-1]) | (i_s[1:] != i_s[:-1])
+    starts = np.flatnonzero(new)
+    counts = np.diff(np.append(starts, d_s.size)).astype(np.int64)
+    return d_s[starts], i_s[starts], counts, uniq
+
+
+def doc_token_counts(t: pa.Table, text_col: str = "text",
+                     id_col: str = "doc_id") -> pa.Table:
+    """Exploded per-doc term frequencies: one (doc_id, tok, c) row per
+    distinct token per doc. Batch-local and complete (a doc never spans
+    batches), so downstream per-token aggregates (document frequency) can
+    simply count rows. Vectorized: one lexsort + run-length per batch."""
+    t = t.replace_schema_metadata(None)
+    doc, words = _split_tokens(t, text_col)
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    if doc.size == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "tok": pa.array([], pa.string()),
+                         "c": pa.array([], pa.int64())})
+    gdoc, gtok, counts, uniq = _doc_token_runs(doc, words)
+    return pa.table({"doc_id": pa.array(ids[gdoc].astype(np.int64)),
+                     "tok": pa.array(uniq[gtok], pa.string()),
+                     "c": pa.array(counts)})
+
+
 def gopher_stats_batch(t: pa.Table, text_col: str = "text",
                        id_col: str = "doc_id") -> pa.Table:
     """Gopher-style repetition/diversity quality rule (Rae et al. 2021
