@@ -152,3 +152,36 @@ def test_stop_shingles_detects_template(ray_session):
     assert 10 <= stop.size <= 200
     stop2 = compute_stop_shingles(rd.from_arrow(pages).repartition(7), cfg)
     assert (np.sort(stop) == np.sort(stop2)).all()
+
+
+def test_token_kernel_edge_cases():
+    """Empty text / all-space text / single-token docs through the shared
+    tokenization kernels: no rows for token-free docs (matching the SQL
+    twins' UNNEST), exact counts otherwise."""
+    import pyarrow as pa
+
+    from pcompress_ray.stages.textstats import (bigram_counts,
+                                                doc_token_counts,
+                                                gopher_stats_batch)
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                  "text": pa.array(["", "   ", "solo", "a a a a a a a a a a"],
+                                   pa.string())})
+    g = gopher_stats_batch(t).to_pandas().set_index("doc_id")
+    assert list(g.index) == [3, 4]  # docs 1,2 emit no row
+    assert g.loc[3, "n_tokens"] == 1 and g.loc[3, "top_ratio_e6"] == 1_000_000
+    assert g.loc[4, "n_tokens"] == 10 and g.loc[4, "n_distinct"] == 1
+    assert g.loc[4, "pass_gopher"] == 0  # top ratio 1.0 > 0.2
+
+    c = doc_token_counts(t).to_pandas()
+    assert len(c) == 2
+    assert c.set_index("doc_id").loc[4, "c"] == 10
+
+    b = bigram_counts(t).to_pandas().set_index("bigram")
+    assert b.loc["a a", "n"] == 9  # no cross-doc bigrams, no empty tokens
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "text": pa.array([], pa.string())})
+    assert len(gopher_stats_batch(empty)) == 0
+    assert len(doc_token_counts(empty)) == 0
+    assert len(bigram_counts(empty)) == 0
