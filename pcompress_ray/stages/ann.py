@@ -330,7 +330,7 @@ def lsh_bucketed_pairs(emb_ds, threshold: float, dim: int,
     rows dedups across tables and verifies exact cosine against a
     plasma-resident per-block embedding store (the verify.py broadcast-CSR
     pattern: the driver touches only id arrays, matrices stay in the object
-    store). Shuffle bytes ∝ n·n_tables·20 + pairs·16, vs inline's
+    store). Shuffle bytes ∝ n·n_tables·24 + pairs·16, vs inline's
     n·n_tables·(24 + 4·dim) — 11.5× lighter at dim=64, measured (see
     BENCH_LOCAL.md). The store holds only PARTICIPATING ids (those in ≥1
     candidate pair), normalized float64 of the same f32 quantization the

@@ -141,11 +141,17 @@ def identify_pnm_type(buf: bytes) -> bool:
             or (a == b"B" and b == b"M"))
 
 
-def detect_type_by_data(buf: bytes) -> int:
+def detect_type_by_data(buf: bytes, total_len: int | None = None) -> int:
     """Magic-signature detection mirroring detect_type_by_data
     (archive/pc_archive.c:1918-2070) branch for branch, in the same order
     (order matters: BMP before PNM's 'BM' case, multi-byte magics before
-    the one/two-byte MSDOS checks)."""
+    the one/two-byte MSDOS checks).
+
+    ``total_len``: true payload length when ``buf`` is a sniffing prefix —
+    lets the MZ→e_lfanew probe distinguish "PE header beyond the window"
+    (→ plain EXE32, stub too large to probe) from "e_lfanew past EOF"
+    (→ malformed, falls through exactly like the reference on a full
+    buffer)."""
     if len(buf) < 10:
         return TYPE_UNKNOWN
 
@@ -186,6 +192,11 @@ def detect_type_by_data(buf: bytes) -> int:
                             if machine == 0x8664 \
                             else (TYPE_BINARY | TYPE_EXE32_PE)
                     return TYPE_BINARY
+                return TYPE_BINARY | TYPE_EXE32
+            if total_len is not None and 0 <= off < total_len - 100:
+                # e_lfanew is valid for the FULL file but lands past the
+                # sniffing window: an MZ executable with an oversized DOS
+                # stub — PE subtype undetermined, plain EXE32 verdict
                 return TYPE_BINARY | TYPE_EXE32
     if buf[:2] == b"BM" and _le16(buf, 14) in (12, 64, 40, 128):
         return TYPE_BINARY | TYPE_BMP
@@ -233,10 +244,10 @@ _EXTRA_MAGICS = (
 )
 
 
-def detect_type_extended(buf: bytes) -> int:
+def detect_type_extended(buf: bytes, total_len: int | None = None) -> int:
     """Reference-exact detection first; on UNKNOWN, the extra compressed /
     media magics above plus RIFF-AVI and MP4-ftyp containers."""
-    t = detect_type_by_data(buf)
+    t = detect_type_by_data(buf, total_len=total_len)
     if t != TYPE_UNKNOWN:
         return t
     for magic, typ in _EXTRA_MAGICS:
@@ -367,15 +378,20 @@ def detect_types_batch(t: pa.Table, payload_col: str = "payload",
     t = t.replace_schema_metadata(None)
     paths = t[path_col].to_pylist() if path_col else [None] * len(t)
     types = np.empty(len(t), dtype=np.int32)
-    # bounded prefix only — every magic check reads ≤ 4 KiB (tar needs 265,
-    # boot sig 512, PE e_lfanew targets land well under 4K in practice);
-    # never copy multi-MB payloads onto the Python heap for sniffing
-    prefixes = pc.binary_slice(
-        t[payload_col].combine_chunks(), 0, 4096).to_pylist()
+    # bounded prefix only — never copy multi-MB payloads onto the Python
+    # heap for sniffing. 64 KiB covers every magic check: tar needs 265,
+    # boot sig 512, and the deepest probe is MZ→e_lfanew→'PE\0\0'; an
+    # e_lfanew past the window (oversized DOS stub) degrades to the
+    # plain-MZ EXE32 verdict via total_len instead of falling through
+    col = t[payload_col].combine_chunks()
+    total_lens = pc.fill_null(pc.binary_length(col), 0) \
+        .to_numpy(zero_copy_only=False)
+    prefixes = pc.binary_slice(col, 0, 65536).to_pylist()
     for i, (p, payload) in enumerate(zip(paths, prefixes)):
         ft = detect_type_by_ext(p) if p else TYPE_UNKNOWN
         if ft == TYPE_UNKNOWN:
-            ft = detect_type_extended(payload or b"")
+            ft = detect_type_extended(payload or b"",
+                                      total_len=int(total_lens[i]))
         types[i] = ft
     names = pa.array([type_name(int(x)) for x in types], pa.string())
     return t.append_column("ftype", pa.array(types, pa.int32())) \

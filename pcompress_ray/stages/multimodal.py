@@ -377,10 +377,14 @@ def build_avi_mjpeg(frames_jpeg: list, fps: int = 10,
     return chunk(b"RIFF", b"AVI " + hdrl + movi)
 
 
-def parse_avi_frames(payload: bytes) -> list:
-    """RIFF walk → the MJPEG frame payloads ('00dc'/'00db' chunks inside
-    LIST movi). Pure struct parsing; each returned item is a complete JPEG
-    byte string decodable by ``stages/jpeg.py``."""
+def parse_avi_frames(payload: bytes, stream: bytes = b"00") -> list:
+    """RIFF walk → the frame payloads of ONE video stream (``stream``dc /
+    ``stream``db chunks inside LIST movi, stream 00 = the primary video
+    stream by AVI convention). Restricting to a single stream keeps the
+    temporal order meaningful — a multi-stream AVI interleaves chunks in
+    file order, and mixing streams would corrupt every-Nth sampling. Pure
+    struct parsing; for MJPEG each returned item is a complete JPEG byte
+    string decodable by ``stages/jpeg.py``."""
     if len(payload) < 12 or payload[:4] != b"RIFF" \
             or payload[8:12] != b"AVI ":
         return []
@@ -396,7 +400,7 @@ def parse_avi_frames(payload: bytes) -> list:
 
     def walk_movi(buf: bytes, frames: list):
         for cc, body in chunks(buf):
-            if cc[2:4] in (b"dc", b"db") and cc[:2].isdigit():
+            if cc[:2] == stream and cc[2:4] in (b"dc", b"db"):
                 frames.append(body)
             elif cc == b"LIST" and body[:4] == b"rec ":
                 # interleaved muxers wrap frame chunks in 'rec ' groups
@@ -443,9 +447,13 @@ class FrameSampleStage:
         out_id, out_frame, out_bytes = [], [], []
         for mid, p in zip(ids, payloads):
             p = p or b""
-            frames = parse_avi_frames(p)
-            # real path only for MJPEG streams: every frame must be a JPEG
-            # (an AVI can carry raw DIB / H.264 '00dc' chunks we can't decode)
+            # zero-length '00dc' chunks are standard drop-frame markers —
+            # strip them BEFORE the codec gate so a real MJPEG stream with
+            # dropped frames still takes the real path (frame indices then
+            # number the retained frames, as a decoder's output would)
+            frames = [f for f in parse_avi_frames(p) if f]
+            # real path only for MJPEG streams: every retained frame must be
+            # a JPEG (an AVI can carry raw DIB / H.264 chunks we can't decode)
             if frames and all(f[:2] == b"\xff\xd8" for f in frames):
                 for f, idx in enumerate(
                         range(0, len(frames), max(1, self.fps_divisor))):

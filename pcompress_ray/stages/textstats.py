@@ -212,7 +212,10 @@ def _split_tokens(t: pa.Table, text_col: str):
     split_pattern + boolean masking, no per-row Python."""
     import pyarrow.compute as pc
 
-    toks = pc.split_pattern(t[text_col].combine_chunks(), " ")
+    # null text → "" (no tokens), like the SQL twins' UNNEST of a null list;
+    # without this the null list's NaN length poisons np.repeat
+    col = pc.fill_null(t[text_col].combine_chunks(), "")
+    toks = pc.split_pattern(col, " ")
     nper = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
         .astype(np.int64)
     words = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
@@ -272,15 +275,7 @@ def gopher_stats_batch(t: pa.Table, text_col: str = "text",
         return pa.table({"doc_id": z, "n_tokens": z, "n_distinct": z,
                          "top_ratio_e6": z, "distinct_ratio_e6": z,
                          "pass_gopher": z})
-    tok_ids = np.unique(words, return_inverse=True)[1]
-    order = np.lexsort((tok_ids, doc))
-    d_s, t_s = doc[order], tok_ids[order]
-    new = np.empty(d_s.size, bool)
-    new[0] = True
-    new[1:] = (d_s[1:] != d_s[:-1]) | (t_s[1:] != t_s[:-1])
-    starts = np.flatnonzero(new)
-    counts = np.diff(np.append(starts, d_s.size))
-    gdoc = d_s[starts]
+    gdoc, _, counts, _ = _doc_token_runs(doc, words)
     dnew = np.empty(gdoc.size, bool)
     dnew[0] = True
     dnew[1:] = gdoc[1:] != gdoc[:-1]

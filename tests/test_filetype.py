@@ -153,3 +153,22 @@ def test_detect_types_batch_bounded_prefix_on_large_payloads():
         | ft.TYPE_COMPRESSED_GZ
     assert types[1] == ft.TYPE_BINARY | ft.TYPE_ARCHIVE_TAR
     assert types[2] == ft.TYPE_BINARY | ft.TYPE_EXE32
+
+
+def test_pe_with_oversized_dos_stub_degrades_to_exe32():
+    """An MZ executable whose e_lfanew points past the 64 KiB sniffing
+    window (huge DOS stub) classifies as plain EXE32 — not UNKNOWN — while
+    a malformed e_lfanew past EOF still falls through like the reference."""
+    stub = bytearray(b"\0" * 0x20000)
+    stub[0:2] = b"MZ"
+    stub[0x18:0x1A] = (0x40).to_bytes(2, "little")  # reloc table >= 0x40
+    stub[0x3C:0x40] = (0x1F000).to_bytes(4, "little")  # e_lfanew past 64K
+    stub[0x1F000:0x1F004] = b"PE\0\0"
+    t = pa.table({"file_id": pa.array([0], pa.int64()),
+                  "payload": pa.array([bytes(stub)], pa.binary())})
+    out = ft.detect_types_batch(t)
+    assert out["ftype"][0].as_py() == ft.TYPE_BINARY | ft.TYPE_EXE32
+    # full-buffer semantics unchanged: e_lfanew past EOF -> not an EXE
+    bad = bytes(stub[:0x100])  # truncated: off points beyond total_len
+    assert ft.detect_type_by_data(bad, total_len=len(bad)) \
+        != ft.TYPE_BINARY | ft.TYPE_EXE32

@@ -214,10 +214,11 @@ def test_video_frames_query(ray_session):
     assert out["mean_luma_e3"].between(40_000, 220_000).all()
 
 
-def test_avi_opendml_rec_lists_and_stream_numbers():
+def test_avi_opendml_rec_lists_and_stream_isolation():
     """Container-walk generality: frames inside LIST 'rec ' groups
-    (interleaved muxers), non-zero stream numbers ('01dc'), and OpenDML
-    'AVIX' continuation RIFF segments are all collected, in file order."""
+    (interleaved muxers) and OpenDML 'AVIX' continuation RIFF segments are
+    collected in file order — but ONLY the requested stream's chunks, so a
+    secondary video stream ('01dc') never corrupts every-Nth sampling."""
     import struct
 
     from pcompress_ray.stages.jpeg import encode_jpeg
@@ -237,11 +238,42 @@ def test_avi_opendml_rec_lists_and_stream_numbers():
                 + chunk(b"01dc", f[2]))
     movi2 = lst(b"movi", chunk(b"00db", f[3]))
     avi = chunk(b"RIFF", b"AVI " + movi1) + chunk(b"RIFF", b"AVIX" + movi2)
-    assert parse_avi_frames(avi) == f
+    assert parse_avi_frames(avi) == [f[0], f[1], f[3]]  # stream 00 only
+    assert parse_avi_frames(avi, stream=b"01") == [f[2]]
     # non-frame chunks ('idx1', 'xxtx' text stream) are ignored
     movi3 = lst(b"movi", chunk(b"00dc", f[0]) + chunk(b"02tx", b"subs"))
     avi3 = chunk(b"RIFF", b"AVI " + movi3 + chunk(b"idx1", b"\0" * 16))
     assert parse_avi_frames(avi3) == [f[0]]
+
+
+def test_frame_sample_tolerates_drop_frames():
+    """Zero-length '00dc' chunks (drop-frame markers) don't reroute a real
+    MJPEG stream to the fake path: empty frames are stripped, the retained
+    JPEG frames sample normally."""
+    import struct
+
+    import pyarrow as pa
+
+    from pcompress_ray.stages.jpeg import decode_jpeg, encode_jpeg
+    from pcompress_ray.stages.multimodal import FrameSampleStage
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        return fourcc + struct.pack("<I", len(data)) + data \
+            + (b"\x00" if len(data) % 2 else b"")
+
+    f = [encode_jpeg(np.full((8, 8, 3), 60 * (i + 1), np.uint8), quality=85)
+         for i in range(3)]
+    movi = chunk(b"LIST", b"movi" + chunk(b"00dc", f[0])
+                 + chunk(b"00dc", b"")        # drop frame
+                 + chunk(b"00dc", f[1]) + chunk(b"00dc", f[2]))
+    avi = chunk(b"RIFF", b"AVI " + movi)
+    tab = pa.table({"media_id": pa.array([9], pa.int64()),
+                    "payload": pa.array([avi], pa.binary())})
+    out = FrameSampleStage(fps_divisor=1, max_frames=8, fake=False)(tab)
+    assert out["frame_idx"].to_pylist() == [0, 1, 2]
+    got = [decode_jpeg(b.as_py()) for b in out["frame_payload"]]
+    assert [g.mean() for g in got] == \
+        [decode_jpeg(x).mean() for x in f]
 
 
 def test_frame_sample_rejects_non_mjpeg_avi():
