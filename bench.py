@@ -192,11 +192,14 @@ def run_scaling():
         r_lo = run(lo)
         r_hi = run(hi)
         eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
-        # a pair is only credible if its own hardware-calibration window was
-        # clean (ceiling in [0.85, 1.05]); efficiency is capped at the
-        # ceiling so a load wave that inflates the slow leg (observed
-        # 1.06-1.62 "superlinear" pairs) can never become the gate number
-        credible = 0.85 <= ceiling <= 1.05
+        # a pair is only credible if (a) its own hardware-calibration window
+        # was clean (ceiling in [0.85, 1.05]) AND (b) its raw efficiency
+        # does not overshoot that ceiling by >10% — the engine cannot scale
+        # better than the hardware, so overshoot means one leg ran through
+        # an external load change BETWEEN the calibration and the legs
+        # (observed: raw 1.25 at 480k docs with a clean 1.028 calibration).
+        # Efficiency is still capped at the ceiling for disclosure.
+        credible = 0.85 <= ceiling <= 1.05 and eff <= ceiling * 1.10
         pairs.append({f"sec_{lo}": r_lo["value"], f"sec_{hi}": r_hi["value"],
                       f"docs_per_sec_{lo}": r_lo["docs_per_sec"],
                       f"docs_per_sec_{hi}": r_hi["docs_per_sec"],
