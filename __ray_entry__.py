@@ -1525,6 +1525,41 @@ def q_tfidf_top_term(sf_dir: str):
     return res.map_batches(rn, batch_format="pyarrow").sort("doc_id")
 
 
+def q_lm_quality(sf_dir: str):
+    """CCNet-style unigram-LM quality signal: per-doc mean negative
+    log-likelihood against the corpus unigram model. Two passes — (1) build
+    the model with a map-side combiner + token groupby (shuffle bounded by
+    vocabulary, not corpus); the fitted table is pulled to the driver
+    (bounded by VOCAB size) and broadcast via ray.put — the classic
+    broadcast-model pattern; at web scale (vocab ≫ memory) swap the
+    broadcast for a token-keyed grouped_partitions join, same as
+    tfidf_top_term. (2) score every doc in one streaming map_batches
+    (searchsorted + reduceat per batch). Logprobs are quantized to e6 ints
+    before aggregation so the SQL twin hashes identically."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from pcompress_ray.stages.textstats import (lm_score_batch,
+                                                unigram_vocab_counts)
+
+    _setup()
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    vocab = (ds.map_batches(unigram_vocab_counts, batch_format="pyarrow")
+             .groupby("tok").aggregate(Sum("n", alias_name="n"))
+             .to_pandas())  # bounded by vocabulary size
+    n = vocab["n"].to_numpy(np.float64)
+    order = np.argsort(vocab["tok"].to_numpy())
+    toks = vocab["tok"].to_numpy()[order]
+    lp_e6 = np.floor(-np.log(n[order] / n.sum()) * 1e6 + 0.5) \
+        .astype(np.int64)
+    toks_ref, lp_ref = ray.put(toks), ray.put(lp_e6)
+
+    def score(t: pa.Table) -> pa.Table:
+        return lm_score_batch(t, ray.get(toks_ref), ray.get(lp_ref))
+
+    return ds.map_batches(score, batch_format="pyarrow").sort("doc_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q1_pricing": q_q1_pricing,
@@ -1578,6 +1613,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality": q_gopher_quality,
         "top_bigrams": q_top_bigrams,
         "tfidf_top_term": q_tfidf_top_term,
+        "lm_quality": q_lm_quality,
     }
 
 
@@ -2083,5 +2119,32 @@ def oracle_sql() -> dict[str, str]:
                       PARTITION BY doc_id
                       ORDER BY tfidf_e6 DESC, tok) AS rn FROM scored)
             WHERE rn = 1
+        """,
+        # per-token logprob quantized to e6 ints BEFORE the per-doc mean
+        # (twin of q_lm_quality: SUM(c*lp_e6) is exact integer math; the
+        # single 1.0*sum/n division + floor(+0.5) is identical IEEE double
+        # arithmetic on both sides)
+        "lm_quality": """
+            WITH tok AS (
+                SELECT doc_id, t.tok
+                FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
+                WHERE t.tok <> ''
+            ), tf AS (
+                SELECT doc_id, tok, COUNT(*) AS c
+                FROM tok GROUP BY doc_id, tok
+            ), vocab AS (
+                SELECT tok, SUM(c) AS n FROM tf GROUP BY tok
+            ), tot AS (SELECT SUM(n) AS nn FROM vocab),
+            lp AS (
+                SELECT tok,
+                       CAST(floor(-ln(n * 1.0 / tot.nn) * 1e6 + 0.5)
+                            AS BIGINT) AS lp_e6
+                FROM vocab CROSS JOIN tot
+            )
+            SELECT CAST(tf.doc_id AS BIGINT) AS doc_id,
+                   CAST(SUM(tf.c) AS BIGINT) AS n_tokens,
+                   CAST(floor(1.0 * SUM(tf.c * lp.lp_e6) / SUM(tf.c) + 0.5)
+                        AS BIGINT) AS lm_score_e6
+            FROM tf JOIN lp USING (tok) GROUP BY tf.doc_id
         """,
     }

@@ -41,7 +41,8 @@ QUERY_NAMES = ["q1_pricing", "q3_top_orders", "customer_nation", "doc_stats",
                "corpus_sample", "event_gaps", "archive_stats", "file_type_stats",
                "video_frames",
                "delta_gain", "user_running_value", "user_first_last",
-               "gopher_quality", "top_bigrams", "tfidf_top_term"]
+               "gopher_quality", "top_bigrams", "tfidf_top_term",
+               "lm_quality"]
 
 
 def run_bench() -> dict:

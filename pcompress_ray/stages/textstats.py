@@ -318,3 +318,47 @@ def bigram_counts(t: pa.Table, text_col: str = "text") -> pa.Table:
     uniq, cnt = np.unique(big, return_counts=True)
     return pa.table({"bigram": pa.array(uniq, pa.string()),
                      "n": pa.array(cnt.astype(np.int64))})
+
+
+def unigram_vocab_counts(t: pa.Table, text_col: str = "text") -> pa.Table:
+    """(tok, n) partial counts per batch with the SAME space-split
+    tokenization as the Gopher/TF-IDF kernels — map-side combiner for the
+    corpus unigram model (shuffle bounded by batch vocabulary)."""
+    t = t.replace_schema_metadata(None)
+    _, words = _split_tokens(t, text_col)
+    uniq, cnt = np.unique(words, return_counts=True)
+    return pa.table({"tok": pa.array(uniq, pa.string()),
+                     "n": pa.array(cnt.astype(np.int64))})
+
+
+def lm_score_batch(t: pa.Table, vocab_toks: np.ndarray, lp_e6: np.ndarray,
+                   text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Per-doc mean unigram negative log-likelihood against a broadcast
+    model (CCNet-style LM quality signal). ``vocab_toks`` sorted,
+    ``lp_e6`` = floor(-ln(p)*1e6+0.5) ints, so the doc score
+    floor(sum(c*lp_e6)/n + 0.5) is exact integer+one-division math and
+    hashes identically to the SQL twin. Tokens outside the vocab (possible
+    when scoring NEW text against a frozen model) get the rarest token's
+    logprob. One searchsorted + reduceat per batch, no per-doc Python."""
+    t = t.replace_schema_metadata(None)
+    doc, words = _split_tokens(t, text_col)
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    if doc.size == 0:
+        z = np.empty(0, np.int64)
+        return pa.table({"doc_id": z, "n_tokens": z, "lm_score_e6": z})
+    idx = np.searchsorted(vocab_toks, words)
+    idx = np.minimum(idx, vocab_toks.size - 1)
+    oov = vocab_toks[idx] != words
+    lp = lp_e6[idx]
+    if oov.any():
+        lp = np.where(oov, lp_e6.max(), lp)
+    dnew = np.empty(doc.size, bool)
+    dnew[0] = True
+    dnew[1:] = doc[1:] != doc[:-1]
+    starts = np.flatnonzero(dnew)
+    n_tok = np.diff(np.append(starts, doc.size)).astype(np.int64)
+    s = np.add.reduceat(lp, starts)
+    score = np.floor(1.0 * s / n_tok + 0.5).astype(np.int64)
+    return pa.table({"doc_id": pa.array(ids[doc[starts]].astype(np.int64)),
+                     "n_tokens": pa.array(n_tok),
+                     "lm_score_e6": pa.array(score)})
