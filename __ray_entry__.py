@@ -1560,6 +1560,44 @@ def q_lm_quality(sf_dir: str):
     return ds.map_batches(score, batch_format="pyarrow").sort("doc_id")
 
 
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination (GPT-3 appendix-C style): flag every doc
+    sharing a 13-token n-gram with the benchmark set (here: doc_id < 20 as
+    the stand-in benchmark). The benchmark's n-gram set is tiny by nature —
+    pulled once to the driver and broadcast via ray.put; each batch then
+    builds its n-grams vectorized (one join over 13 shifted views) and
+    membership-tests against the broadcast set. One streaming pass, no
+    shuffle. At web scale with a HUGE benchmark, swap the broadcast for a
+    gram-keyed grouped_partitions semi-join."""
+    import ray
+
+    from pcompress_ray.stages.textstats import (_split_tokens,
+                                                contamination_batch,
+                                                ngram_strings)
+
+    _setup()
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def pick_bench(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.replace_schema_metadata(None)
+        return t.filter(pc.less(t["doc_id"], 20))
+
+    # bounded: the benchmark set, not the corpus
+    bench_df = ds.map_batches(pick_bench, batch_format="pyarrow").to_pandas()
+    bt = pa.table({"doc_id": pa.array(bench_df["doc_id"], pa.int64()),
+                   "text": pa.array(bench_df["text"], pa.string())})
+    doc, words = _split_tokens(bt, "text")
+    _, grams = ngram_strings(doc, words, 13)
+    bench_ref = ray.put(frozenset(grams.tolist()))
+
+    def score(t: pa.Table) -> pa.Table:
+        return contamination_batch(t, ray.get(bench_ref), n=13)
+
+    return ds.map_batches(score, batch_format="pyarrow").sort("doc_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q1_pricing": q_q1_pricing,
@@ -1614,6 +1652,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_bigrams": q_top_bigrams,
         "tfidf_top_term": q_tfidf_top_term,
         "lm_quality": q_lm_quality,
+        "decontaminate": q_decontaminate,
     }
 
 
@@ -2146,5 +2185,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(1.0 * SUM(tf.c * lp.lp_e6) / SUM(tf.c) + 0.5)
                         AS BIGINT) AS lm_score_e6
             FROM tf JOIN lp USING (tok) GROUP BY tf.doc_id
+        """,
+        # 13-gram construction twin of ngram_strings (filter empties, then
+        # join 13 adjacent tokens); benchmark = doc_id < 20, LEFT JOIN so
+        # gram-free docs still emit 0 like the engine
+        "decontaminate": """
+            WITH l AS (
+                SELECT doc_id, list_filter(string_split(text, ' '),
+                                           x -> x <> '') AS toks
+                FROM documents
+            ), grams AS (
+                SELECT doc_id,
+                       UNNEST([array_to_string(toks[i:i+12], ' ')
+                               FOR i IN generate_series(1, len(toks) - 12)])
+                    AS g
+                FROM l
+            ), bench AS (
+                SELECT DISTINCT g FROM grams WHERE doc_id < 20
+            ), hits AS (
+                SELECT doc_id, COUNT(*) AS n_hits
+                FROM grams WHERE g IN (SELECT g FROM bench) GROUP BY doc_id
+            )
+            SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+                   CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_contaminated,
+                   CAST(COALESCE(h.n_hits, 0) > 0 AS BIGINT)
+                       AS is_contaminated
+            FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
         """,
     }

@@ -362,3 +362,43 @@ def lm_score_batch(t: pa.Table, vocab_toks: np.ndarray, lp_e6: np.ndarray,
     return pa.table({"doc_id": pa.array(ids[doc[starts]].astype(np.int64)),
                      "n_tokens": pa.array(n_tok),
                      "lm_score_e6": pa.array(score)})
+
+
+def ngram_strings(doc: np.ndarray, words: np.ndarray, n: int):
+    """Vectorized n-gram STRING builder over the flat (doc, token) arrays:
+    one binary_join_element_wise over n shifted views + a same-doc validity
+    mask. Strings (not hashes) so a SQL twin can compare equal sets."""
+    import pyarrow.compute as pc
+
+    if words.size < n:
+        return (np.empty(0, np.int64),
+                np.empty(0, dtype=object))
+    m = words.size - n + 1
+    valid = doc[:m] == doc[n - 1 :]
+    parts = [pa.array(words[j : m + j], pa.string()) for j in range(n)]
+    grams = pc.binary_join_element_wise(*parts, " ") \
+        .to_numpy(zero_copy_only=False)
+    return doc[:m][valid], grams[valid]
+
+
+def contamination_batch(t: pa.Table, bench_grams, n: int = 13,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> pa.Table:
+    """GPT-3-style benchmark decontamination: per-doc count of token
+    n-grams (default 13, the GPT-3 paper's filter) that appear in a
+    broadcast benchmark n-gram set. Every doc emits a row (0 for docs too
+    short to have an n-gram), matching the SQL twin's LEFT JOIN. Hash-based
+    membership via pandas isin — no per-doc Python."""
+    t = t.replace_schema_metadata(None)
+    doc, words = _split_tokens(t, text_col)
+    ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    counts = np.zeros(len(t), np.int64)
+    gdoc, grams = ngram_strings(doc, words, n)
+    if grams.size:
+        hit = pd.Index(grams).isin(bench_grams)
+        np.add.at(counts, gdoc[hit], 1)
+    return pa.table({
+        "doc_id": pa.array(ids),
+        "n_contaminated": pa.array(counts),
+        "is_contaminated": pa.array((counts > 0).astype(np.int64)),
+    })
