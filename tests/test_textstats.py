@@ -185,3 +185,32 @@ def test_token_kernel_edge_cases():
     assert len(gopher_stats_batch(empty)) == 0
     assert len(doc_token_counts(empty)) == 0
     assert len(bigram_counts(empty)) == 0
+
+
+def test_token_kernels_accept_null_text():
+    """Null text cells flow through every tokenization-based kernel as
+    empty docs (the review-caught NaN-length crash class)."""
+    import pyarrow as pa
+
+    from pcompress_ray.stages.textstats import (bigram_counts,
+                                                contamination_batch,
+                                                doc_token_counts,
+                                                gopher_stats_batch,
+                                                lm_score_batch,
+                                                unigram_vocab_counts)
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array(["a b", None, "b c"], pa.string())})
+    g = gopher_stats_batch(t)
+    assert g["doc_id"].to_pylist() == [1, 3]
+    assert doc_token_counts(t).num_rows == 4
+    assert bigram_counts(t)["bigram"].to_pylist() == ["a b", "b c"]
+    v = unigram_vocab_counts(t).to_pandas().set_index("tok")["n"]
+    assert v.to_dict() == {"a": 1, "b": 2, "c": 1}
+    import numpy as np
+    toks = np.array(["a", "b", "c"]); lp = np.array([10, 20, 30], np.int64)
+    lm = lm_score_batch(t, toks, lp)
+    assert lm["doc_id"].to_pylist() == [1, 3]  # null doc emits no row
+    c = contamination_batch(t, {"a b"}, n=2)
+    assert c["doc_id"].to_pylist() == [1, 2, 3]   # every doc emits a row
+    assert c["n_contaminated"].to_pylist() == [1, 0, 0]
