@@ -1575,19 +1575,21 @@ def q_decontaminate(sf_dir: str):
                                                 contamination_batch,
                                                 ngram_strings)
 
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
     _setup()
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    def pick_bench(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        t = t.replace_schema_metadata(None)
-        return t.filter(pc.less(t["doc_id"], 20))
-
-    # bounded: the benchmark set, not the corpus
-    bench_df = ds.map_batches(pick_bench, batch_format="pyarrow").to_pandas()
-    bt = pa.table({"doc_id": pa.array(bench_df["doc_id"], pa.int64()),
-                   "text": pa.array(bench_df["text"], pa.string())})
+    # benchmark extraction: a FILTERED parquet read (row-group pushdown) —
+    # constant cost at any corpus size, not a second full scan
+    bench_rows = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filter=(pads.field("doc_id") < 20)).take_all()
+    bt = pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in bench_rows], pa.int64()),
+        "text": pa.array([r["text"] for r in bench_rows], pa.string())})
     doc, words = _split_tokens(bt, "text")
     _, grams = ngram_strings(doc, words, 13)
     bench_ref = ray.put(frozenset(grams.tolist()))

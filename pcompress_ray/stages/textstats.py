@@ -302,19 +302,14 @@ def bigram_counts(t: pa.Table, text_col: str = "text") -> pa.Table:
     corpus bigram-frequency aggregate (same shuffle-bounding idea as
     ``token_counts``, but adjacency-aware: bigrams never cross doc
     boundaries, and empty tokens are dropped BEFORE pairing, matching the
-    oracle's list_filter-then-index SQL)."""
-    import pyarrow.compute as pc
-
+    oracle's list_filter-then-index SQL). Gram construction shared with
+    the decontamination kernel (``ngram_strings`` at n=2)."""
     t = t.replace_schema_metadata(None)
     doc, words = _split_tokens(t, text_col)
     if doc.size < 2:
         return pa.table({"bigram": pa.array([], pa.string()),
                          "n": pa.array([], pa.int64())})
-    same = doc[1:] == doc[:-1]
-    a, b = words[:-1][same], words[1:][same]
-    big = pc.binary_join_element_wise(
-        pa.array(a, pa.string()), pa.array(b, pa.string()), " ") \
-        .to_numpy(zero_copy_only=False)
+    _, big = ngram_strings(doc, words, 2)
     uniq, cnt = np.unique(big, return_counts=True)
     return pa.table({"bigram": pa.array(uniq, pa.string()),
                      "n": pa.array(cnt.astype(np.int64))})
@@ -336,16 +331,22 @@ def lm_score_batch(t: pa.Table, vocab_toks: np.ndarray, lp_e6: np.ndarray,
     """Per-doc mean unigram negative log-likelihood against a broadcast
     model (CCNet-style LM quality signal). ``vocab_toks`` sorted,
     ``lp_e6`` = floor(-ln(p)*1e6+0.5) ints, so the doc score
-    floor(sum(c*lp_e6)/n + 0.5) is exact integer+one-division math and
-    hashes identically to the SQL twin. Tokens outside the vocab (possible
-    when scoring NEW text against a frozen model) get the rarest token's
-    logprob. One searchsorted + reduceat per batch, no per-doc Python."""
+    floor(sum(c*lp_e6)/n + 0.5) is exact integer+one-division math on both
+    sides (residual risk: np.log vs DuckDB ln may differ by 1 ulp, flipping
+    a token's lp_e6 only when -ln(p)*1e6+0.5 lands within an ulp of an
+    integer — same accepted exposure class as tfidf's idf_e6). Tokens
+    outside the vocab (possible when scoring NEW text against a frozen
+    model) get the rarest token's logprob. One searchsorted + reduceat per
+    batch, no per-doc Python."""
     t = t.replace_schema_metadata(None)
     doc, words = _split_tokens(t, text_col)
     ids = t[id_col].to_numpy(zero_copy_only=False)
     if doc.size == 0:
         z = np.empty(0, np.int64)
         return pa.table({"doc_id": z, "n_tokens": z, "lm_score_e6": z})
+    if vocab_toks.size == 0:
+        raise ValueError("lm_score_batch: empty model (vocab_toks) cannot "
+                         "score non-empty text — fit the model first")
     idx = np.searchsorted(vocab_toks, words)
     idx = np.minimum(idx, vocab_toks.size - 1)
     oov = vocab_toks[idx] != words

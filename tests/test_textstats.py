@@ -214,3 +214,15 @@ def test_token_kernels_accept_null_text():
     c = contamination_batch(t, {"a b"}, n=2)
     assert c["doc_id"].to_pylist() == [1, 2, 3]   # every doc emits a row
     assert c["n_contaminated"].to_pylist() == [1, 0, 0]
+
+
+def test_lm_score_empty_model_raises():
+    import pyarrow as pa
+    import pytest
+
+    from pcompress_ray.stages.textstats import lm_score_batch
+
+    t = pa.table({"doc_id": pa.array([1], pa.int64()),
+                  "text": pa.array(["a b"], pa.string())})
+    with pytest.raises(ValueError, match="empty model"):
+        lm_score_batch(t, np.empty(0, object), np.empty(0, np.int64))
