@@ -1600,6 +1600,29 @@ def q_decontaminate(sf_dir: str):
     return ds.map_batches(score, batch_format="pyarrow").sort("doc_id")
 
 
+def q_dataset_split(sf_dir: str):
+    """Deterministic train/val/test split (~80/10/10) by content hash —
+    the reproducible splitting primitive for training corpora: no RNG, no
+    state, identical assignment across runs/engines/shard layouts (the
+    same content-addressed idea as corpus_sample, three-way). One
+    streaming map, no shuffle."""
+    import hashlib
+
+    _setup()
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        h2 = [hashlib.md5((x or "").encode("utf-8")).hexdigest()[:2]
+              for x in t["text"].to_pylist()]
+        split = ["train" if x < "cc" else ("val" if x < "e6" else "test")
+                 for x in h2]
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                         "split": pa.array(split, pa.string())})
+
+    return ds.map_batches(assign, batch_format="pyarrow").sort("doc_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q1_pricing": q_q1_pricing,
@@ -1655,6 +1678,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_term": q_tfidf_top_term,
         "lm_quality": q_lm_quality,
         "decontaminate": q_decontaminate,
+        "dataset_split": q_dataset_split,
     }
 
 
@@ -2213,5 +2237,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(h.n_hits, 0) > 0 AS BIGINT)
                        AS is_contaminated
             FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        """,
+        # lowercase-hex string thresholds: 'cc' = 204/256 (~80%),
+        # 'e6' = 230/256 (~90%) — lexicographic compare == numeric compare
+        # on fixed-width lowercase hex, same expression the engine uses
+        "dataset_split": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CASE WHEN substr(md5(coalesce(text, '')), 1, 2) < 'cc'
+                            THEN 'train'
+                        WHEN substr(md5(coalesce(text, '')), 1, 2) < 'e6'
+                            THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
         """,
     }
