@@ -1623,6 +1623,96 @@ def q_dataset_split(sf_dir: str):
     return ds.map_batches(assign, batch_format="pyarrow").sort("doc_id")
 
 
+def q_segment_dedup(sf_dir: str):
+    """Segment-level exact dedup (CCNet-style repeated-passage removal at
+    fixed 10-token windows — the corpus analog of pcompress's fixed-block
+    identity dedup, rabin/rabin_dedup.c:711-724 + the global hash index):
+    per doc, how many of its segments are corpus-wide duplicates of an
+    EARLIER occurrence (first occurrence = min (doc_id, seg_no), the same
+    backward-reference canonical order the reference's stream dedup uses,
+    rabin/rabin_dedup.c:1606-1617). Segment strings are the shuffle key so
+    the DuckDB twin compares equal sets (no hash-collision caveat). Two
+    bounded exchanges: segment-keyed dup marking (partials emitted per
+    partition), then a doc-keyed sum."""
+    from ray.data.aggregate import Sum
+
+    from pcompress_ray.functions.ops import grouped_partitions
+    from pcompress_ray.stages.textstats import doc_segments
+
+    _setup()
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    segs = ds.map_batches(doc_segments, batch_format="pyarrow")
+
+    def mark(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["seg", "doc_id", "seg_no"], kind="stable")
+        segv = g["seg"].to_numpy()
+        firsts = np.empty(len(g), bool)
+        if len(g):
+            firsts[0] = True
+            firsts[1:] = segv[1:] != segv[:-1]
+        part = pd.DataFrame({"doc_id": g["doc_id"].to_numpy(np.int64),
+                             "dup": (~firsts).astype(np.int64)})
+        agg = part.groupby("doc_id", sort=False)["dup"] \
+            .agg(n_segs="size", n_dup_segs="sum").reset_index()
+        return agg.astype({"doc_id": np.int64, "n_segs": np.int64,
+                           "n_dup_segs": np.int64})
+
+    partial = grouped_partitions(segs, ["seg"], mark, n_parts=32)
+    out = (partial.groupby("doc_id")
+           .aggregate(Sum("n_segs", alias_name="n_segs"),
+                      Sum("n_dup_segs", alias_name="n_dup_segs")))
+
+    def rn(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                         "n_segs": t["n_segs"].cast(pa.int64()),
+                         "n_dup_segs": t["n_dup_segs"].cast(pa.int64())})
+
+    return out.map_batches(rn, batch_format="pyarrow").sort("doc_id")
+
+
+def q_top_dup_segments(sf_dir: str):
+    """Boilerplate detection: the 20 most-repeated 10-token segments
+    corpus-wide (occurrence count + distinct-doc count). Map-side combine:
+    each batch emits (seg, n_occ, n_docs) partials — docs never span
+    batches, so summing per-batch distinct-doc counts is exact — then one
+    segment-keyed groupby-sum bounded by distinct segments, a total-order
+    top-k, and a >1-occurrence filter."""
+    from ray.data.aggregate import Sum
+
+    from pcompress_ray.stages.textstats import doc_segments
+
+    _setup()
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def combine(t: pa.Table) -> pa.Table:
+        s = doc_segments(t)
+        df = pd.DataFrame({"seg": s["seg"].to_numpy(zero_copy_only=False),
+                           "doc_id": s["doc_id"].to_numpy()})
+        g = df.groupby("seg", sort=False)["doc_id"] \
+            .agg(n_occ="size", n_docs="nunique").reset_index()
+        return pa.table({"seg": pa.array(g["seg"], pa.string()),
+                         "n_occ": pa.array(g["n_occ"].to_numpy(np.int64)),
+                         "n_docs": pa.array(g["n_docs"].to_numpy(np.int64))})
+
+    out = (ds.map_batches(combine, batch_format="pyarrow")
+           .groupby("seg")
+           .aggregate(Sum("n_occ", alias_name="n_occ"),
+                      Sum("n_docs", alias_name="n_docs")))
+
+    def rn(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.replace_schema_metadata(None)
+        t = pa.table({"seg": t["seg"].cast(pa.string()),
+                      "n_occ": t["n_occ"].cast(pa.int64()),
+                      "n_docs": t["n_docs"].cast(pa.int64())})
+        return t.filter(pc.greater(t["n_occ"], 1))
+
+    return (out.map_batches(rn, batch_format="pyarrow")
+            .sort(["n_occ", "seg"], descending=[True, False]).limit(20))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q1_pricing": q_q1_pricing,
@@ -1679,6 +1769,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_quality": q_lm_quality,
         "decontaminate": q_decontaminate,
         "dataset_split": q_dataset_split,
+        "segment_dedup": q_segment_dedup,
+        "top_dup_segments": q_top_dup_segments,
     }
 
 
@@ -2249,5 +2341,56 @@ def oracle_sql() -> dict[str, str]:
                             THEN 'val'
                         ELSE 'test' END AS split
             FROM documents
+        """,
+        # fixed 10-token windows; duplicate = any occurrence after the
+        # (doc_id, seg_no)-minimal one, matching the engine's canonical
+        # backward-reference order
+        "segment_dedup": """
+            WITH toks AS (
+                SELECT doc_id, list_filter(string_split(text, ' '),
+                                           x -> x <> '') AS tk
+                FROM documents
+            ), segl AS (
+                SELECT doc_id,
+                       list_transform(
+                           range(0, CAST(ceil(len(tk) / 10.0) AS BIGINT)),
+                           s -> array_to_string(tk[s*10+1 : s*10+10], ' '))
+                           AS segs
+                FROM toks WHERE len(tk) > 0
+            ), ex AS (
+                SELECT doc_id, unnest(segs) AS seg,
+                       unnest(range(0, len(segs))) AS seg_no
+                FROM segl
+            ), marked AS (
+                SELECT doc_id,
+                       row_number() OVER (PARTITION BY seg
+                                          ORDER BY doc_id, seg_no) AS rn
+                FROM ex
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   COUNT(*) AS n_segs,
+                   CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_dup_segs
+            FROM marked GROUP BY doc_id ORDER BY doc_id
+        """,
+        "top_dup_segments": """
+            WITH toks AS (
+                SELECT doc_id, list_filter(string_split(text, ' '),
+                                           x -> x <> '') AS tk
+                FROM documents
+            ), segl AS (
+                SELECT doc_id,
+                       list_transform(
+                           range(0, CAST(ceil(len(tk) / 10.0) AS BIGINT)),
+                           s -> array_to_string(tk[s*10+1 : s*10+10], ' '))
+                           AS segs
+                FROM toks WHERE len(tk) > 0
+            ), ex AS (
+                SELECT doc_id, unnest(segs) AS seg FROM segl
+            )
+            SELECT seg, COUNT(*) AS n_occ,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+            FROM ex GROUP BY seg HAVING COUNT(*) > 1
+            ORDER BY n_occ DESC, seg LIMIT 20
         """,
     }

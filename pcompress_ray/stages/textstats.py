@@ -403,3 +403,40 @@ def contamination_batch(t: pa.Table, bench_grams, n: int = 13,
         "n_contaminated": pa.array(counts),
         "is_contaminated": pa.array((counts > 0).astype(np.int64)),
     })
+
+
+def doc_segments(t: pa.Table, text_col: str = "text",
+                 id_col: str = "doc_id", w: int = 10) -> pa.Table:
+    """Fixed token-window segmentation: one (doc_id, seg_no, seg) row per
+    w-token window (last window may be short) — the document-corpus analog
+    of the reference's fixed-block chunker (rabin/rabin_dedup.c:711-724,
+    ``-F`` mode) at token granularity, feeding corpus-wide segment-level
+    dedup the way pcompress dedups identical fixed-size blocks.
+    Vectorized: the flat (doc, token) arrays are cut at every w-th
+    within-doc position, wrapped as an Arrow ListArray at those offsets,
+    and joined with one ``pc.binary_join`` kernel — no per-segment
+    Python."""
+    import pyarrow.compute as pc
+
+    t = t.replace_schema_metadata(None)
+    doc, words = _split_tokens(t, text_col)
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    if doc.size == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "seg_no": pa.array([], pa.int64()),
+                         "seg": pa.array([], pa.string())})
+    first = np.empty(doc.size, bool)
+    first[0] = True
+    first[1:] = doc[1:] != doc[:-1]
+    starts = np.flatnonzero(first)
+    sizes = np.diff(np.append(starts, doc.size))
+    pos = np.arange(doc.size, dtype=np.int64) - np.repeat(starts, sizes)
+    segstart = pos % w == 0
+    offs = np.append(np.flatnonzero(segstart), doc.size).astype(np.int32)
+    lst = pa.ListArray.from_arrays(pa.array(offs),
+                                   pa.array(words, pa.string()))
+    seg = pc.binary_join(lst, " ")
+    sdoc = doc[segstart]
+    return pa.table({"doc_id": pa.array(ids[sdoc].astype(np.int64)),
+                     "seg_no": pa.array(pos[segstart] // w),
+                     "seg": seg})

@@ -226,3 +226,29 @@ def test_lm_score_empty_model_raises():
                   "text": pa.array(["a b"], pa.string())})
     with pytest.raises(ValueError, match="empty model"):
         lm_score_batch(t, np.empty(0, object), np.empty(0, np.int64))
+
+
+def test_doc_segments_fixed_windows():
+    import pyarrow as pa
+
+    from pcompress_ray.stages.textstats import doc_segments
+
+    # doc 1: 12 tokens -> segs of 10 + 2; doc 2: exactly 3 (w=3) -> 1 seg;
+    # doc 3: null -> no rows; doc 4: multi-space runs collapse (empty
+    # tokens dropped before windowing, matching the oracle's list_filter)
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["t0 t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11",
+                          "x y z", None, "a  b   c d"], pa.string())})
+    s = doc_segments(t, w=10)
+    assert s["doc_id"].to_pylist() == [1, 1, 2, 4]
+    assert s["seg_no"].to_pylist() == [0, 1, 0, 0]
+    assert s["seg"].to_pylist() == [
+        "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9", "t10 t11", "x y z", "a b c d"]
+    s3 = doc_segments(t, w=3)
+    assert s3["seg"].to_pylist() == [
+        "t0 t1 t2", "t3 t4 t5", "t6 t7 t8", "t9 t10 t11",
+        "x y z", "a b c", "d"]
+    empty = doc_segments(pa.table({"doc_id": pa.array([], pa.int64()),
+                                   "text": pa.array([], pa.string())}))
+    assert empty.num_rows == 0
