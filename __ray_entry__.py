@@ -1631,9 +1631,11 @@ def q_segment_dedup(sf_dir: str):
     EARLIER occurrence (first occurrence = min (doc_id, seg_no), the same
     backward-reference canonical order the reference's stream dedup uses,
     rabin/rabin_dedup.c:1606-1617). Segment strings are the shuffle key so
-    the DuckDB twin compares equal sets (no hash-collision caveat). Two
-    bounded exchanges: segment-keyed dup marking (partials emitted per
-    partition), then a doc-keyed sum."""
+    the DuckDB twin compares equal sets (no hash-collision caveat); at
+    100-TB scale, key the exchange on a 128-bit segment hash instead
+    (collision-free in practice, ~2x lighter payload) — the string key is
+    kept here for oracle-exactness. Two bounded exchanges: segment-keyed
+    dup marking (partials emitted per partition), then a doc-keyed sum."""
     from ray.data.aggregate import Sum
 
     from pcompress_ray.functions.ops import grouped_partitions
@@ -1713,6 +1715,59 @@ def q_top_dup_segments(sf_dir: str):
             .sort(["n_occ", "seg"], descending=[True, False]).limit(20))
 
 
+def q_pack_sequences(sf_dir: str, seq_len: int = 256, n_parts: int = 16):
+    """Sequence packing for pretraining: assign each doc (in doc_id order)
+    to a fixed-token-budget training bin via a DISTRIBUTED EXCLUSIVE
+    PREFIX SUM — bin_id = (tokens before this doc) // seq_len. The scan
+    pattern: (1) one streaming pass reduces each doc to two ints
+    (doc_id, n_tokens), materialized — the smallest possible intermediate
+    (16 B/doc; at 10^12 docs this spills to the object store rather than
+    re-tokenizing the corpus twice); (2) range-partition by doc_id
+    (bounds from a metadata-cheap min/max), per-range token totals via a
+    tiny groupby-sum pulled to the driver (n_parts rows) and exclusive-
+    scanned there; (3) one partition-parallel pass applies
+    local-sort + segmented cumsum + the broadcast range offset. No
+    global sort, ONE small shuffle."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from pcompress_ray.stages.textstats import doc_token_len
+
+    _setup()
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    tpd = ds.map_batches(doc_token_len, batch_format="pyarrow") \
+        .materialize()
+
+    mm = tpd.aggregate(Min("doc_id"), Max("doc_id"))
+    lo, hi = int(mm["min(doc_id)"]), int(mm["max(doc_id)"])
+    width = max(1, (hi - lo) // n_parts + 1)
+
+    def add_rp(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        rp = ((t["doc_id"].to_numpy(zero_copy_only=False) - lo)
+              // width).astype(np.int32)
+        return t.append_column("rp", pa.array(rp))
+
+    parted = tpd.map_batches(add_rp, batch_format="pyarrow")
+    totals = (parted.groupby("rp")
+              .aggregate(Sum("n_tokens", alias_name="tot")).to_pandas())
+    totals = totals.sort_values("rp")
+    offsets = dict(zip(
+        totals["rp"].to_numpy(np.int64),
+        (totals["tot"].cumsum() - totals["tot"]).to_numpy(np.int64)))
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        n = g["n_tokens"].to_numpy(np.int64)
+        excl = np.cumsum(n) - n + offsets[int(g["rp"].iat[0])]
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(np.int64),
+            "n_tokens": n,
+            "bin_id": (excl // seq_len).astype(np.int64)})
+
+    return (parted.groupby("rp").map_groups(scan, batch_format="pandas")
+            .sort("doc_id"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q1_pricing": q_q1_pricing,
@@ -1771,6 +1826,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dataset_split": q_dataset_split,
         "segment_dedup": q_segment_dedup,
         "top_dup_segments": q_top_dup_segments,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -2392,5 +2448,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
             FROM ex GROUP BY seg HAVING COUNT(*) > 1
             ORDER BY n_occ DESC, seg LIMIT 20
+        """,
+        "pack_sequences": """
+            WITH t AS (
+                SELECT doc_id,
+                       COALESCE(len(list_filter(string_split(text, ' '),
+                                                x -> x <> '')), 0)
+                           AS n_tokens
+                FROM documents
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) // 256
+                        AS BIGINT) AS bin_id
+            FROM t ORDER BY doc_id
         """,
     }

@@ -405,6 +405,19 @@ def contamination_batch(t: pa.Table, bench_grams, n: int = 13,
     })
 
 
+def doc_token_len(t: pa.Table, text_col: str = "text",
+                  id_col: str = "doc_id") -> pa.Table:
+    """(doc_id, n_tokens) per doc — non-empty whitespace tokens, same
+    tokenizer as every other kernel (``_split_tokens`` semantics). Every
+    doc emits a row (0 for empty/null text). One split + bincount per
+    batch."""
+    t = t.replace_schema_metadata(None)
+    doc, _ = _split_tokens(t, text_col)
+    ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = np.bincount(doc, minlength=len(t)).astype(np.int64)
+    return pa.table({"doc_id": pa.array(ids), "n_tokens": pa.array(n)})
+
+
 def doc_segments(t: pa.Table, text_col: str = "text",
                  id_col: str = "doc_id", w: int = 10) -> pa.Table:
     """Fixed token-window segmentation: one (doc_id, seg_no, seg) row per

@@ -252,3 +252,15 @@ def test_doc_segments_fixed_windows():
     empty = doc_segments(pa.table({"doc_id": pa.array([], pa.int64()),
                                    "text": pa.array([], pa.string())}))
     assert empty.num_rows == 0
+
+
+def test_doc_token_len_counts_nonempty_tokens():
+    import pyarrow as pa
+
+    from pcompress_ray.stages.textstats import doc_token_len
+
+    t = pa.table({"doc_id": pa.array([7, 8, 9], pa.int64()),
+                  "text": pa.array(["a  b c", None, ""], pa.string())})
+    out = doc_token_len(t)
+    assert out["doc_id"].to_pylist() == [7, 8, 9]
+    assert out["n_tokens"].to_pylist() == [3, 0, 0]
