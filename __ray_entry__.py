@@ -1768,6 +1768,42 @@ def q_pack_sequences(sf_dir: str, seq_len: int = 256, n_parts: int = 16):
             .sort("doc_id"))
 
 
+def q_lang_temperature_sample(sf_dir: str):
+    """Multilingual corpus rebalancing (CC100/XLM-R temperature sampling,
+    tau=0.5): downsample each language at rate sqrt(n_min/n_lang) so
+    high-resource languages shrink toward the low-resource ones.
+    Deterministic and engine-exact: keep-decisions are content-hash
+    thresholds — first 8 md5 hex chars compared against a per-lang
+    fixed-width lowercase-hex threshold floor(rate*2^32) (IEEE sqrt is
+    correctly rounded, so numpy and DuckDB produce the identical
+    integer; rate>=1 languages get sentinel 'g', above every hex char).
+    Two stages: a tiny lang-count groupby pulled to the driver (bounded
+    by #languages), then one streaming keep-filter pass."""
+    import hashlib
+
+    _setup()
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    counts = ds.groupby("lang").count().to_pandas()  # bounded by #langs
+    n = counts["count()"].to_numpy(np.float64)
+    nmin = n.min()
+    thr = {}
+    for lang, ni in zip(counts["lang"], n):
+        thr[lang] = ("g" if ni <= nmin else
+                     format(int(np.floor(np.sqrt(nmin / ni) * 2.0**32)),
+                            "08x"))
+
+    def keep(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        langs = t["lang"].to_pylist()
+        h8 = [hashlib.md5((x or "").encode("utf-8")).hexdigest()[:8]
+              for x in t["text"].to_pylist()]
+        mask = pa.array([h < thr[lg] for h, lg in zip(h8, langs)])
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                         "lang": t["lang"].cast(pa.string())}).filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow").sort("doc_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q1_pricing": q_q1_pricing,
@@ -1827,6 +1863,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_dedup": q_segment_dedup,
         "top_dup_segments": q_top_dup_segments,
         "pack_sequences": q_pack_sequences,
+        "lang_temperature_sample": q_lang_temperature_sample,
     }
 
 
@@ -2464,5 +2501,27 @@ def oracle_sql() -> dict[str, str]:
                             AND 1 PRECEDING), 0) // 256
                         AS BIGINT) AS bin_id
             FROM t ORDER BY doc_id
+        """,
+        # tau=0.5 temperature sampling; fixed-width lowercase-hex compare
+        # == numeric compare; IEEE sqrt is correctly rounded so both
+        # engines derive the identical integer threshold
+        "lang_temperature_sample": """
+            WITH c AS (
+                SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+            ), m AS (SELECT MIN(n) AS nmin FROM c
+            ), r AS (
+                SELECT lang,
+                       CASE WHEN n = (SELECT nmin FROM m) THEN 'g'
+                            ELSE printf('%08x',
+                                 CAST(floor(sqrt((SELECT nmin FROM m) * 1.0
+                                                 / n) * 4294967296.0)
+                                      AS BIGINT))
+                       END AS thr
+                FROM c
+            )
+            SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang
+            FROM documents d JOIN r ON d.lang = r.lang
+            WHERE substr(md5(coalesce(d.text, '')), 1, 8) < r.thr
+            ORDER BY doc_id
         """,
     }

@@ -43,7 +43,8 @@ QUERY_NAMES = ["q1_pricing", "q3_top_orders", "customer_nation", "doc_stats",
                "delta_gain", "user_running_value", "user_first_last",
                "gopher_quality", "top_bigrams", "tfidf_top_term",
                "lm_quality", "decontaminate", "dataset_split",
-               "segment_dedup", "top_dup_segments", "pack_sequences"]
+               "segment_dedup", "top_dup_segments", "pack_sequences",
+               "lang_temperature_sample"]
 
 
 def run_bench() -> dict:
