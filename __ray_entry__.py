@@ -1804,6 +1804,18 @@ def q_lang_temperature_sample(sf_dir: str):
     return ds.map_batches(keep, batch_format="pyarrow").sort("doc_id")
 
 
+def q_intradoc_repetition(sf_dir: str):
+    """Per-doc duplicate-3-gram fraction (the Gopher repetition filter's
+    n-gram arm): embarrassingly parallel, ONE streaming map_batches with
+    a shared vectorized n-gram builder, no shuffle."""
+    from pcompress_ray.stages.textstats import intradoc_repetition
+
+    _setup()
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(intradoc_repetition,
+                          batch_format="pyarrow").sort("doc_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q1_pricing": q_q1_pricing,
@@ -1864,6 +1876,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_dup_segments": q_top_dup_segments,
         "pack_sequences": q_pack_sequences,
         "lang_temperature_sample": q_lang_temperature_sample,
+        "intradoc_repetition": q_intradoc_repetition,
     }
 
 
@@ -2522,6 +2535,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang
             FROM documents d JOIN r ON d.lang = r.lang
             WHERE substr(md5(coalesce(d.text, '')), 1, 8) < r.thr
+            ORDER BY doc_id
+        """,
+        "intradoc_repetition": """
+            WITH l AS (
+                SELECT doc_id, list_filter(string_split(text, ' '),
+                                           x -> x <> '') AS toks
+                FROM documents
+            ), grams AS (
+                SELECT doc_id,
+                       UNNEST([array_to_string(toks[i:i+2], ' ')
+                               FOR i IN generate_series(1, len(toks) - 2)])
+                    AS g
+                FROM l
+            ), agg AS (
+                SELECT doc_id, COUNT(*) AS n_grams,
+                       CAST(COUNT(*) - COUNT(DISTINCT g) AS BIGINT) AS n_dup
+                FROM grams GROUP BY doc_id
+            )
+            SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+                   CAST(COALESCE(a.n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(COALESCE(a.n_dup, 0) AS BIGINT) AS n_dup_grams,
+                   CAST(CASE WHEN COALESCE(a.n_grams, 0) = 0 THEN 0
+                        ELSE floor(COALESCE(a.n_dup, 0) * 1e6 / a.n_grams
+                                   + 0.5) END AS BIGINT) AS dup_ratio_e6
+            FROM documents d LEFT JOIN agg a USING (doc_id)
             ORDER BY doc_id
         """,
     }

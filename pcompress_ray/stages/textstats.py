@@ -405,6 +405,39 @@ def contamination_batch(t: pa.Table, bench_grams, n: int = 13,
     })
 
 
+def intradoc_repetition(t: pa.Table, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3) -> pa.Table:
+    """Gopher-style intra-document repetition signal (Rae et al. 2021
+    §A1.1 'duplicate n-grams'): per doc, total overlapping n-grams,
+    occurrences beyond each gram's first (duplicates), and the duplicate
+    fraction as an e6 int. Every doc emits a row (zeros when shorter than
+    n tokens). Vectorized: shared ``ngram_strings`` builder, one
+    unique+lexsort for per-doc distinct counts — no per-doc Python."""
+    t = t.replace_schema_metadata(None)
+    doc, words = _split_tokens(t, text_col)
+    ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    n_grams = np.zeros(len(t), np.int64)
+    n_dup = np.zeros(len(t), np.int64)
+    gdoc, grams = ngram_strings(doc, words, n)
+    if grams.size:
+        n_grams = np.bincount(gdoc, minlength=len(t)).astype(np.int64)
+        _, inv = np.unique(grams, return_inverse=True)
+        order = np.lexsort((inv, gdoc))
+        d_s, i_s = gdoc[order], inv[order]
+        first = np.empty(d_s.size, bool)
+        first[0] = True
+        first[1:] = (d_s[1:] != d_s[:-1]) | (i_s[1:] != i_s[:-1])
+        distinct = np.bincount(d_s[first], minlength=len(t))
+        n_dup = n_grams - distinct.astype(np.int64)
+    ratio = np.zeros(len(t), np.int64)
+    nz = n_grams > 0
+    ratio[nz] = np.floor(n_dup[nz] * 1e6 / n_grams[nz] + 0.5).astype(np.int64)
+    return pa.table({"doc_id": pa.array(ids),
+                     "n_grams": pa.array(n_grams),
+                     "n_dup_grams": pa.array(n_dup),
+                     "dup_ratio_e6": pa.array(ratio)})
+
+
 def doc_token_len(t: pa.Table, text_col: str = "text",
                   id_col: str = "doc_id") -> pa.Table:
     """(doc_id, n_tokens) per doc — non-empty whitespace tokens, same

@@ -264,3 +264,21 @@ def test_doc_token_len_counts_nonempty_tokens():
     out = doc_token_len(t)
     assert out["doc_id"].to_pylist() == [7, 8, 9]
     assert out["n_tokens"].to_pylist() == [3, 0, 0]
+
+
+def test_intradoc_repetition_planted():
+    import pyarrow as pa
+
+    from pcompress_ray.stages.textstats import intradoc_repetition
+
+    # doc 1: "a b c a b c a b" -> 3-grams: abc bca cab abc bca cab -> 6
+    # grams, 3 distinct -> 3 dups (ratio 0.5); doc 2: all distinct;
+    # doc 3: too short -> zeros; doc 4: null -> zeros
+    t = pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                  "text": pa.array(["a b c a b c a b", "p q r s",
+                                    "x y", None], pa.string())})
+    out = intradoc_repetition(t)
+    assert out["doc_id"].to_pylist() == [1, 2, 3, 4]
+    assert out["n_grams"].to_pylist() == [6, 2, 0, 0]
+    assert out["n_dup_grams"].to_pylist() == [3, 0, 0, 0]
+    assert out["dup_ratio_e6"].to_pylist() == [500000, 0, 0, 0]
