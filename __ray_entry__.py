@@ -1804,6 +1804,24 @@ def q_lang_temperature_sample(sf_dir: str):
     return ds.map_batches(keep, batch_format="pyarrow").sort("doc_id")
 
 
+def q_pq_topk(sf_dir: str):
+    """Product-quantization ADC top-5 for query vectors vec_id<10 — the
+    compressed-domain ANN scale path (uint8 codes, 8-32x smaller than
+    f32; recall vs brute force pinned in pytest alongside IVF/LSH)."""
+    from pcompress_ray.stages.ann import pq_topk
+
+    _setup()
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = pq_topk(emb, np.arange(10), k=5, m=16, ks=64)
+
+    def rn(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        return pa.table({"query_id": t["query_id"].cast(pa.int64()),
+                         "neighbor_id": t["neighbor_id"].cast(pa.int64())})
+
+    return out.map_batches(rn, batch_format="pyarrow")
+
+
 def q_intradoc_repetition(sf_dir: str):
     """Per-doc duplicate-3-gram fraction (the Gopher repetition filter's
     n-gram arm): embarrassingly parallel, ONE streaming map_batches with
@@ -1877,6 +1895,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": q_pack_sequences,
         "lang_temperature_sample": q_lang_temperature_sample,
         "intradoc_repetition": q_intradoc_repetition,
+        "pq_topk": q_pq_topk,
     }
 
 

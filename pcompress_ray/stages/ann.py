@@ -258,6 +258,132 @@ def ivf_topk(emb_ds, query_ids: np.ndarray, k: int = 5, n_centroids: int = 64,
     return partials.groupby("query_id").map_groups(topk, batch_format="pandas")
 
 
+def train_pq_codebooks(sample: np.ndarray, m: int = 8, ks: int = 64,
+                       n_iter: int = 12, seed: int = 7) -> np.ndarray:
+    """Product-quantization training (Jégou et al. 2011): split the
+    (normalized) vector into ``m`` subspaces and run k-means with ``ks``
+    centroids independently in each. Driver-side over a constant-size
+    sample — same cost model as the IVF coarse quantizer. Returns
+    (m, ks, d/m) float64 codebooks."""
+    rng = np.random.default_rng(seed)
+    sample = _normalize(sample)
+    n, d = sample.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    ks = min(ks, n)
+    books = np.empty((m, ks, sub), np.float64)
+    for j in range(m):
+        X = sample[:, j * sub : (j + 1) * sub]
+        C = X[rng.choice(n, size=ks, replace=False)].copy()
+        for _ in range(n_iter):
+            # ||x-c||^2 = |x|^2 - 2xc + |c|^2; |x|^2 constant per row
+            d2 = (C * C).sum(1)[None, :] - 2.0 * (X @ C.T)
+            a = d2.argmin(1)
+            for ci in range(ks):
+                msk = a == ci
+                if msk.any():
+                    C[ci] = X[msk].mean(axis=0)
+        books[j] = C
+    return books
+
+
+def pq_encode_batch(t: pa.Table, books: np.ndarray, id_col: str = "vec_id",
+                    emb_col: str = "embedding") -> pa.Table:
+    """Encode a batch to PQ codes: per subspace, nearest-codeword argmin —
+    m small matmuls, output one uint8 per subspace (dim*4 bytes → m bytes
+    per vector; 32x compression at dim=64, m=8)."""
+    t = t.replace_schema_metadata(None)
+    ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    M = _normalize(_matrix(t[emb_col]))
+    m, ks, sub = books.shape
+    codes = np.empty((M.shape[0], m), np.uint8)
+    for j in range(m):
+        X = M[:, j * sub : (j + 1) * sub]
+        C = books[j]
+        d2 = (C * C).sum(1)[None, :] - 2.0 * (X @ C.T)
+        codes[:, j] = d2.argmin(1).astype(np.uint8)
+    return pa.table({
+        "vec_id": pa.array(ids),
+        "codes": pa.FixedSizeListArray.from_arrays(
+            pa.array(codes.reshape(-1)), m)})
+
+
+def pq_topk(emb_ds, query_ids: np.ndarray, k: int = 5, m: int = 8,
+            ks: int = 64, train_sample: int = 4096,
+            id_col: str = "vec_id", emb_col: str = "embedding"):
+    """PQ top-k via asymmetric distance computation (ADC): vectors live as
+    uint8 codes (m bytes each — the 100-TB memory path where raw f32
+    embeddings cannot be rescanned), queries stay full-precision. Per
+    query, one (m, ks) lookup table of subspace dot products is built
+    once; batch scores are m gathers + a sum, no float matmul against the
+    corpus.
+
+    Scale shape: codebooks train once on a constant sample and broadcast;
+    ENCODE is one streaming pass producing the 32x-smaller codes dataset
+    (persist it at scale — reused by every subsequent query); SCORING
+    streams over codes with per-batch partial top-k; only partials reach
+    the final small groupby. Exactness is delegated to the recall gate in
+    tests (vs brute force), as for IVF/LSH."""
+    import ray
+
+    from pcompress_ray.functions.ops import semi_join_filter
+
+    sample_tab = emb_ds.select_columns([emb_col]).limit(train_sample) \
+        .to_pandas()
+    books = train_pq_codebooks(
+        np.asarray(sample_tab[emb_col].tolist(), dtype=np.float64), m, ks)
+
+    qset = set(int(q) for q in query_ids)
+    q_tab = semi_join_filter(emb_ds.select_columns([id_col, emb_col]),
+                             qset, on=id_col).to_pandas().sort_values(id_col)
+    Q = _normalize(np.asarray(q_tab[emb_col].tolist(), dtype=np.float64))
+    qids = q_tab[id_col].to_numpy(dtype=np.int64)
+    mm, ks_eff, sub = books.shape
+    # (nq, m, ks) ADC tables: qsub_j . C_jc approximates q.x per subspace
+    lut = np.einsum("qjs,jcs->qjc", Q.reshape(-1, mm, sub), books)
+    books_ref = ray.put(books)
+    lut_ref = ray.put((qids, lut))
+
+    def encode(t: pa.Table) -> pa.Table:
+        return pq_encode_batch(t, ray.get(books_ref), id_col, emb_col)
+
+    codes_ds = emb_ds.select_columns([id_col, emb_col]).map_batches(
+        encode, batch_format="pyarrow")
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        qids_, lut_ = ray.get(lut_ref)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        codes = np.asarray(t["codes"].combine_chunks().flatten()) \
+            .reshape(len(ids), -1)
+        S = np.zeros((lut_.shape[0], len(ids)))
+        for j in range(codes.shape[1]):
+            S += lut_[:, j, :][:, codes[:, j]]
+        out_q, out_n, out_c = [], [], []
+        kk = min(k + 1, S.shape[1])
+        for qi in range(S.shape[0]):
+            idx = np.argpartition(-S[qi], kk - 1)[:kk]
+            out_q.append(np.full(idx.size, qids_[qi], dtype=np.int64))
+            out_n.append(ids[idx])
+            out_c.append(S[qi][idx])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            "neighbor_id": pa.array(np.concatenate(out_n)),
+            "adc_score": pa.array(np.concatenate(out_c), pa.float64())})
+
+    partials = codes_ds.map_batches(partial, batch_format="pyarrow")
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["neighbor_id"] != g["query_id"]]
+        g = g.sort_values(["adc_score", "neighbor_id"],
+                          ascending=[False, True]).head(k)
+        return g[["query_id", "neighbor_id", "adc_score"]]
+
+    return partials.groupby("query_id").map_groups(topk,
+                                                   batch_format="pandas")
+
+
 class HyperplaneLSH:
     """Actor-pool stage: random-hyperplane signatures → bucket keys.
 

@@ -115,3 +115,47 @@ def test_lsh_payload_modes_identical(ray_session):
         # differs (rowwise multiply-sum vs blocked matmul) → last-ULP only
         np.testing.assert_allclose(m["cosine_l"].to_numpy(),
                                    m["cosine_i"].to_numpy(), atol=1e-12)
+
+
+def test_pq_topk_recall_and_compression(ray_session):
+    """PQ/ADC recall vs brute force rises with subspace count; codes are
+    32x (m=8) / 8x (m=32) smaller than raw f32. Uniform-random embeddings
+    are PQ's WORST case (no inter-dim structure for the codebooks to
+    exploit; real embedding corpora quantize far better), hence the
+    modest gates: measured 0.54 @ m=16, 0.88 @ m=32 on this corpus."""
+    import numpy as np
+    import ray.data as rd
+
+    import pcompress_ray
+
+    pcompress_ray.register_for_ray()
+    from pcompress_ray.stages.ann import (brute_force_topk, pq_encode_batch,
+                                          pq_topk, train_pq_codebooks)
+
+    emb = rd.read_parquet(f"{SF_DIR}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    qids = np.arange(10)
+    exact = brute_force_topk(emb, qids, k=5).to_pandas()
+    es = set(zip(exact.query_id.astype(int), exact.neighbor_id.astype(int)))
+    assert len(es) == 50
+
+    got16 = pq_topk(emb, qids, k=5, m=16, ks=64).to_pandas()
+    gs16 = set(zip(got16.query_id.astype(int), got16.neighbor_id.astype(int)))
+    got32 = pq_topk(emb, qids, k=5, m=32, ks=64).to_pandas()
+    gs32 = set(zip(got32.query_id.astype(int), got32.neighbor_id.astype(int)))
+    r16 = len(es & gs16) / len(es)
+    r32 = len(es & gs32) / len(es)
+    assert r16 >= 0.40, r16
+    assert r32 >= 0.75, r32
+    assert r32 > r16  # finer subspaces -> strictly better on this corpus
+
+    # compression: m uint8 codes per vector vs dim*4 f32 bytes
+    import pyarrow as pa
+    tab = pa.Table.from_pandas(emb.limit(32).to_pandas())
+    sample = np.asarray(tab["embedding"].combine_chunks().flatten(),
+                        dtype=np.float64).reshape(32, -1)
+    books = train_pq_codebooks(sample, m=8, ks=16)
+    enc = pq_encode_batch(tab, books)
+    assert enc["codes"].type == pa.list_(pa.uint8(), 8)
+    code_bytes, f32_bytes = 8, sample.shape[1] * 4
+    assert f32_bytes // code_bytes == 32  # 8 B codes vs 256 B raw f32
