@@ -191,9 +191,22 @@ def resolve_components(edges_ds, sig_ds, cfg: PipelineConfig,
     if n_edges is None:
         n_edges = edges_ds.count()
     if n_edges <= cfg.cc_driver_edge_limit:
-        edf = edges_ds.select_columns(["a", "b"]).to_pandas()
-        keys, vals = min_label_components(edf["a"].to_numpy(),
-                                          edf["b"].to_numpy())
+        # pull just (a, b) from the materialized edges blocks via raw Ray
+        # tasks — a select_columns().to_pandas() here would relaunch the
+        # streaming executor (~1 s fixed latency in this sandbox) for a
+        # projection block_rounds does zero-copy from plasma
+        from pcompress_ray.functions.ops import block_rounds
+
+        def ab(t: pa.Table) -> tuple:
+            return (t["a"].to_numpy(zero_copy_only=False).astype(np.int64),
+                    t["b"].to_numpy(zero_copy_only=False).astype(np.int64))
+
+        parts = [p for p in block_rounds(edges_ds, ab) if p is not None]
+        a_all = (np.concatenate([p[0] for p in parts]) if parts
+                 else np.empty(0, np.int64))
+        b_all = (np.concatenate([p[1] for p in parts]) if parts
+                 else np.empty(0, np.int64))
+        keys, vals = min_label_components(a_all, b_all)
         ref = ray.put((keys, vals))
 
         def assign(t: pa.Table) -> pa.Table:
