@@ -1834,6 +1834,91 @@ def q_intradoc_repetition(sf_dir: str):
                           batch_format="pyarrow").sort("doc_id")
 
 
+def q_url_dedup(sf_dir: str):
+    """URL-canonicalization exact dedup (the cheapest web-corpus dedup
+    tier, RefinedWeb/CCNet practice: canonical-URL dedup precedes MinHash).
+    Messy URLs are synthesized deterministically from doc_id (the sf tables
+    carry no url column); the kernel lowercases scheme/host, strips default
+    ports, fragments, utm_* params and trailing slashes — all vectorized
+    pandas str ops — then one hash-partitioned exchange assigns per-group
+    canonical_doc_id = min(doc_id), exactly like exact_dup_docs."""
+    from pcompress_ray.functions.ops import group_boundaries, grouped_partitions
+    from pcompress_ray.stages.urlnorm import canonicalize_urls, synthesize_messy_urls
+
+    _setup()
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def canon_col(df: pd.DataFrame) -> pd.DataFrame:
+        urls = synthesize_messy_urls(df["doc_id"].to_numpy())
+        return pd.DataFrame({"doc_id": df["doc_id"].astype(np.int64),
+                             "canon_url": canonicalize_urls(urls)})
+
+    def assign(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["canon_url", "doc_id"])
+        key = part["canon_url"].to_numpy()
+        ids = part["doc_id"].to_numpy(dtype=np.int64)
+        first, gid, _ = group_boundaries(key)
+        return pd.DataFrame({"doc_id": ids, "canon_url": key,
+                             "canonical_doc_id": ids[first][gid]})
+
+    return grouped_partitions(ds.map_batches(canon_col, batch_format="pandas"),
+                              ["canon_url"], assign)
+
+
+def q_token_doc_freq(sf_dir: str):
+    """Corpus document-frequency top-50 (stopword/df extraction): per-batch
+    per-doc-distinct partial counts → groupby-sum → sort/limit. Same
+    map-side-combine shuffle shape as top_tokens."""
+    from ray.data.aggregate import Sum
+
+    from pcompress_ray.stages.textstats import token_doc_counts
+
+    _setup()
+    ds = _read(sf_dir, "documents", ["text"])
+    out = (ds.map_batches(token_doc_counts, batch_format="pyarrow")
+           .groupby("token").aggregate(Sum("df", alias_name="df")))
+
+    def rn(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        return pa.table({"token": t["token"].cast(pa.string()),
+                         "df": t["df"].cast(pa.int64())})
+
+    return (out.map_batches(rn, batch_format="pyarrow")
+            .sort(["df", "token"], descending=[True, False]).limit(50))
+
+
+def q_length_buckets(sf_dir: str):
+    """Per-(lang, power-of-2 token-length bucket) doc counts — the sequence
+    length histogram a packing/curriculum stage reads to pick seq_len.
+    Buckets are exact integer comparisons (no float log2) on both sides."""
+    from ray.data.aggregate import Count
+
+    _setup()
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        from pcompress_ray.stages.textstats import TOKEN_RE
+
+        n = df["text"].fillna("").str.lower().str.count(TOKEN_RE) \
+            .to_numpy(dtype=np.int64)
+        edges = 2 ** np.arange(13, dtype=np.int64)  # 1,2,...,4096
+        idx = np.searchsorted(edges, n, side="right")  # 0 → n==0
+        lo = np.where(idx == 0, 0, edges[np.maximum(idx - 1, 0)])
+        return pd.DataFrame({"lang": df["lang"].astype(str),
+                             "bucket_lo": np.minimum(lo, 4096).astype(np.int64)})
+
+    out = ds.map_batches(bucketize, batch_format="pandas") \
+            .groupby(["lang", "bucket_lo"]).aggregate(Count(alias_name="n_docs"))
+
+    def rn(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        return pa.table({"lang": t["lang"].cast(pa.string()),
+                         "bucket_lo": t["bucket_lo"].cast(pa.int64()),
+                         "n_docs": t["n_docs"].cast(pa.int64())})
+
+    return out.map_batches(rn, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q1_pricing": q_q1_pricing,
@@ -1896,6 +1981,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_temperature_sample": q_lang_temperature_sample,
         "intradoc_repetition": q_intradoc_repetition,
         "pq_topk": q_pq_topk,
+        "url_dedup": q_url_dedup,
+        "token_doc_freq": q_token_doc_freq,
+        "length_buckets": q_length_buckets,
     }
 
 
@@ -1936,6 +2024,27 @@ def _lang_id_sql() -> str:
                 {counts}
                 FROM documents)
         """
+
+
+def _url_dedup_sql() -> str:
+    """url_dedup oracle: the SAME messy-URL synthesis + canonicalization
+    rule sequence as stages/urlnorm.py, composed from its SQL twins."""
+    from pcompress_ray.stages.urlnorm import (
+        canonicalize_sql,
+        synthesize_messy_urls_sql,
+    )
+
+    return f"""
+        WITH c AS (
+            SELECT doc_id,
+                   {canonicalize_sql(synthesize_messy_urls_sql("doc_id"))}
+                       AS canon_url
+            FROM documents
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, canon_url,
+               min(doc_id) OVER (PARTITION BY canon_url) AS canonical_doc_id
+        FROM c
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2580,5 +2689,39 @@ def oracle_sql() -> dict[str, str]:
                                    + 0.5) END AS BIGINT) AS dup_ratio_e6
             FROM documents d LEFT JOIN agg a USING (doc_id)
             ORDER BY doc_id
+        """,
+        "url_dedup": _url_dedup_sql(),
+        "token_doc_freq": f"""
+            SELECT token, count(*) AS df
+            FROM (SELECT DISTINCT doc_id,
+                         unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                                   '{_TOKEN_SQL}')) AS token
+                  FROM documents)
+            GROUP BY token
+            ORDER BY df DESC, token
+            LIMIT 50
+        """,
+        "length_buckets": f"""
+            SELECT lang,
+                   CAST(CASE WHEN n_tok = 0 THEN 0
+                        WHEN n_tok >= 4096 THEN 4096
+                        WHEN n_tok >= 2048 THEN 2048
+                        WHEN n_tok >= 1024 THEN 1024
+                        WHEN n_tok >= 512 THEN 512
+                        WHEN n_tok >= 256 THEN 256
+                        WHEN n_tok >= 128 THEN 128
+                        WHEN n_tok >= 64 THEN 64
+                        WHEN n_tok >= 32 THEN 32
+                        WHEN n_tok >= 16 THEN 16
+                        WHEN n_tok >= 8 THEN 8
+                        WHEN n_tok >= 4 THEN 4
+                        WHEN n_tok >= 2 THEN 2
+                        ELSE 1 END AS BIGINT) AS bucket_lo,
+                   count(*) AS n_docs
+            FROM (SELECT lang,
+                         len(regexp_extract_all(lower(coalesce(text, '')),
+                                                '{_TOKEN_SQL}')) AS n_tok
+                  FROM documents)
+            GROUP BY lang, bucket_lo
         """,
     }

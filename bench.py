@@ -44,7 +44,8 @@ QUERY_NAMES = ["q1_pricing", "q3_top_orders", "customer_nation", "doc_stats",
                "gopher_quality", "top_bigrams", "tfidf_top_term",
                "lm_quality", "decontaminate", "dataset_split",
                "segment_dedup", "top_dup_segments", "pack_sequences",
-               "lang_temperature_sample", "intradoc_repetition", "pq_topk"]
+               "lang_temperature_sample", "intradoc_repetition", "pq_topk",
+               "url_dedup", "token_doc_freq", "length_buckets"]
 
 
 def run_bench() -> dict:

@@ -204,6 +204,20 @@ def token_counts(t: pa.Table, text_col: str = "text") -> pa.Table:
                      "n": pa.array(list(c.values()), pa.int64())})
 
 
+def token_doc_counts(t: pa.Table, text_col: str = "text") -> pa.Table:
+    """(token, df) partial DOCUMENT-frequency counts per batch — each doc
+    contributes at most 1 per token (CCNet-style df/stopword extraction).
+    Same map-side-combine shape as ``token_counts``: the shuffle carries
+    vocabulary × batches rows, not corpus-size rows."""
+    t = t.replace_schema_metadata(None)
+    texts = t[text_col].to_pylist()
+    c: Counter = Counter()
+    for x in texts:
+        c.update(set(_FP_RE.findall((x or "").lower())))
+    return pa.table({"token": pa.array(list(c.keys()), pa.string()),
+                     "df": pa.array(list(c.values()), pa.int64())})
+
+
 def _split_tokens(t: pa.Table, text_col: str):
     """Vectorized whitespace tokenization shared by the Gopher/bigram
     kernels AND their SQL twins' semantics: split on single spaces
