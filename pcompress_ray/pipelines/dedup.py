@@ -33,8 +33,14 @@ from pcompress_ray.stages.extract import Extractor
 from pcompress_ray.stages.signatures import SignatureStage
 from pcompress_ray.stages.verify import verify_candidates
 
+# Columns the pipeline materializes. The raw 128-perm `minhash` vector is
+# deliberately ABSENT: every downstream stage consumes its derivatives
+# (band_hashes for LSH, kmv for verify), and carrying 128×8 B/doc through
+# the object store was ~25% of the signature table's bytes for a column
+# nothing read (measured at 480k docs). SignatureStage still emits it, so
+# direct callers (golden digests, ad-hoc analysis) can project it.
 SIG_COLUMNS = ["url", "rank", "text_sha256", "n_chunks", "chunk_hashes",
-               "chunk_lengths", "n_tokens", "n_shingles", "minhash",
+               "chunk_lengths", "n_tokens", "n_shingles",
                "band_hashes", "simhash", "kmv"]
 
 

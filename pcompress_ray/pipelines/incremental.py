@@ -89,7 +89,12 @@ def dedup_increment_from_checkpoint(checkpoint_dir: str, new_pages_ds,
     stop_path = ck.path("stop_shingles") + ".parquet"
     if os.path.exists(stop_path):
         stop = pq.read_table(stop_path)["sh"].to_numpy(zero_copy_only=False)
-    prev_sig = rd.read_parquet(ck.path("signatures"))
+    # project to the CURRENT pipeline schema: a checkpoint written before a
+    # column was dropped from SIG_COLUMNS (e.g. minhash) is a superset and
+    # must still union cleanly with freshly built signatures
+    from pcompress_ray.pipelines.dedup import SIG_COLUMNS
+
+    prev_sig = rd.read_parquet(ck.path("signatures"), columns=SIG_COLUMNS)
     # append-only rank contract: new docs are ranked by url among
     # themselves, shifted past the previous run's max (any incoming rank
     # column is ignored — global order is owned by the run history)
