@@ -1919,6 +1919,138 @@ def q_length_buckets(sf_dir: str):
     return out.map_batches(rn, batch_format="pyarrow")
 
 
+def q_shingle_novelty(sf_dir: str):
+    """Per-doc shingle novelty (curation signal: how much of a doc's
+    content is first seen HERE, in rank order): for each doc, the count of
+    its distinct token 3-grams, and how many of those have this doc as
+    their global min-doc_id first occurrence. One shingle-keyed exchange
+    (each shingle wholly in one partition ⇒ its min is global) emitting
+    tiny (first_doc, count) partials, plus a shuffle-free per-doc stats
+    pass — same shape as the stop-shingle/document-frequency family."""
+    from pcompress_ray.functions.ops import grouped_partitions, hash_join
+    from pcompress_ray.stages.textstats import (doc_shingle_rows,
+                                                doc_shingle_stats)
+
+    _setup()
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    exploded = ds.map_batches(doc_shingle_rows, batch_format="pyarrow")
+
+    def min_doc_partials(part: pd.DataFrame) -> pd.DataFrame:
+        if len(part) == 0:
+            return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                                 "novel": pd.Series(dtype=np.int64)})
+        m = part.groupby("sh", sort=False)["doc_id"].min()
+        vc = m.value_counts()
+        return pd.DataFrame({"doc_id": vc.index.to_numpy(np.int64),
+                             "novel": vc.to_numpy(np.int64)})
+
+    partials = grouped_partitions(exploded, ["sh"], min_doc_partials)
+
+    def sum_part(p: pd.DataFrame) -> pd.DataFrame:
+        g = p.groupby("doc_id", as_index=False)["novel"].sum()
+        return pd.DataFrame({"doc_id": g["doc_id"].to_numpy(np.int64),
+                             "n_novel": g["novel"].to_numpy(np.int64)})
+
+    novel = grouped_partitions(partials, ["doc_id"], sum_part, n_parts=16)
+    stats = ds.map_batches(doc_shingle_stats, batch_format="pyarrow")
+    joined = hash_join(stats, novel, left_on="doc_id", right_on="doc_id",
+                       how="left")
+
+    def rn(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        nov = t["n_novel"].to_numpy(zero_copy_only=False)
+        nov = np.where(pd.isna(nov), 0, nov).astype(np.int64)
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                         "n_shingles": t["n_shingles"].cast(pa.int64()),
+                         "n_novel": pa.array(nov)})
+
+    return joined.map_batches(rn, batch_format="pyarrow").sort("doc_id")
+
+
+def q_source_overlap(sf_dir: str):
+    """Cross-source contamination matrix: for every source pair, the count
+    of distinct token 3-grams present in BOTH sources. One shingle-keyed
+    exchange; per partition a vectorized self-merge over the (few) sources
+    sharing each shingle; final per-pair sum is tiny (#sources² rows)."""
+    from pcompress_ray.functions.ops import grouped_partitions
+    from pcompress_ray.stages.textstats import doc_shingle_rows
+
+    _setup()
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    exploded = ds.map_batches(
+        lambda t: doc_shingle_rows(t, carry_col="source"),
+        batch_format="pyarrow")
+
+    def pair_partials(part: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"source_a": pd.Series(dtype=str),
+                              "source_b": pd.Series(dtype=str),
+                              "n": pd.Series(dtype=np.int64)})
+        if len(part) == 0:
+            return empty
+        d = part[["sh", "source"]].drop_duplicates()
+        m = d.merge(d, on="sh")
+        m = m[m["source_x"] < m["source_y"]]
+        if len(m) == 0:
+            return empty
+        g = m.groupby(["source_x", "source_y"], as_index=False).size()
+        return pd.DataFrame({"source_a": g["source_x"].astype(str),
+                             "source_b": g["source_y"].astype(str),
+                             "n": g["size"].to_numpy(np.int64)})
+
+    partials = grouped_partitions(exploded, ["sh"], pair_partials)
+
+    def sum_part(p: pd.DataFrame) -> pd.DataFrame:
+        g = p.groupby(["source_a", "source_b"], as_index=False)["n"].sum()
+        return pd.DataFrame({"source_a": g["source_a"].astype(str),
+                             "source_b": g["source_b"].astype(str),
+                             "n_shared": g["n"].to_numpy(np.int64)})
+
+    out = grouped_partitions(partials, ["source_a", "source_b"], sum_part,
+                             n_parts=8)
+
+    def rn(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        return pa.table({"source_a": t["source_a"].cast(pa.string()),
+                         "source_b": t["source_b"].cast(pa.string()),
+                         "n_shared": t["n_shared"].cast(pa.int64())})
+
+    return out.map_batches(rn, batch_format="pyarrow") \
+              .sort(["source_a", "source_b"])
+
+
+def q_corpus_fingerprint(sf_dir: str):
+    """Order-invariant per-lang corpus fingerprint: XOR of each doc's
+    first-60-bit SHA-256 prefix + doc count — the dataset-versioning /
+    integrity-manifest analog of the reference's decoded-payload SHA
+    gate (test/backward_compat/). Per-block partials (XOR commutes), one
+    tiny per-lang combine; no driver materialization."""
+    from pcompress_ray.functions.ops import grouped_partitions
+    from pcompress_ray.stages.textstats import sha_prefix_fingerprint
+
+    _setup()
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+    partials = ds.map_batches(sha_prefix_fingerprint, batch_format="pyarrow")
+
+    def combine(p: pd.DataFrame) -> pd.DataFrame:
+        g = p.groupby("lang", as_index=False).agg(
+            n_docs=("n_docs", "sum"),
+            fingerprint=("fingerprint",
+                         lambda s: np.bitwise_xor.reduce(s.to_numpy())))
+        return pd.DataFrame({"lang": g["lang"].astype(str),
+                             "n_docs": g["n_docs"].to_numpy(np.int64),
+                             "fingerprint": g["fingerprint"].to_numpy(np.int64)})
+
+    out = grouped_partitions(partials, ["lang"], combine, n_parts=8)
+
+    def rn(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        return pa.table({"lang": t["lang"].cast(pa.string()),
+                         "n_docs": t["n_docs"].cast(pa.int64()),
+                         "fingerprint": t["fingerprint"].cast(pa.int64())})
+
+    return out.map_batches(rn, batch_format="pyarrow").sort("lang")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q1_pricing": q_q1_pricing,
@@ -1984,6 +2116,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_dedup": q_url_dedup,
         "token_doc_freq": q_token_doc_freq,
         "length_buckets": q_length_buckets,
+        "shingle_novelty": q_shingle_novelty,
+        "source_overlap": q_source_overlap,
+        "corpus_fingerprint": q_corpus_fingerprint,
     }
 
 
@@ -2723,5 +2858,56 @@ def oracle_sql() -> dict[str, str]:
                                                 '{_TOKEN_SQL}')) AS n_tok
                   FROM documents)
             GROUP BY lang, bucket_lo
+        """,
+        # shingle construction shared with the Ray side (_split_tokens +
+        # ngram_strings): whitespace split, empty tokens dropped, 3 tokens
+        # joined by ' '
+        "shingle_novelty": """
+            WITH sh AS (
+                SELECT DISTINCT doc_id,
+                       UNNEST([toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+                               FOR i IN generate_series(1, len(toks) - 2)]) AS sh
+                FROM (SELECT doc_id,
+                             list_filter(string_split(coalesce(text, ''), ' '),
+                                         x -> x <> '') AS toks
+                      FROM documents)
+            ), per AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+                FROM sh GROUP BY doc_id
+            ), nov AS (
+                SELECT first_doc AS doc_id, CAST(count(*) AS BIGINT) AS n_novel
+                FROM (SELECT sh, min(doc_id) AS first_doc FROM sh GROUP BY sh)
+                GROUP BY first_doc
+            )
+            SELECT d.doc_id,
+                   coalesce(per.n_shingles, 0) AS n_shingles,
+                   coalesce(nov.n_novel, 0) AS n_novel
+            FROM documents d
+            LEFT JOIN per ON d.doc_id = per.doc_id
+            LEFT JOIN nov ON d.doc_id = nov.doc_id
+            ORDER BY d.doc_id
+        """,
+        "source_overlap": """
+            WITH d AS (
+                SELECT DISTINCT source,
+                       UNNEST([toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+                               FOR i IN generate_series(1, len(toks) - 2)]) AS sh
+                FROM (SELECT source,
+                             list_filter(string_split(coalesce(text, ''), ' '),
+                                         x -> x <> '') AS toks
+                      FROM documents)
+            )
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM d a JOIN d b ON a.sh = b.sh AND a.source < b.source
+            GROUP BY source_a, source_b
+            ORDER BY source_a, source_b
+        """,
+        "corpus_fingerprint": """
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   bit_xor(CAST(('0x' || substr(sha256(coalesce(text, '')),
+                                                1, 15)) AS BIGINT))
+                       AS fingerprint
+            FROM documents GROUP BY lang ORDER BY lang
         """,
     }

@@ -500,3 +500,75 @@ def doc_segments(t: pa.Table, text_col: str = "text",
     return pa.table({"doc_id": pa.array(ids[sdoc].astype(np.int64)),
                      "seg_no": pa.array(pos[segstart] // w),
                      "seg": seg})
+
+
+def doc_shingle_rows(t: pa.Table, n: int = 3, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     carry_col: str | None = None) -> pa.Table:
+    """Exploded DISTINCT-per-doc token n-gram (shingle) strings:
+    one (doc_id, sh[, carry]) row per distinct shingle per document.
+
+    Batch-local and complete (a doc never spans batches), so any
+    downstream shingle-keyed aggregate sees each (doc, shingle) once.
+    Shingle construction is shared with the SQL twins: whitespace split
+    (empty tokens dropped), n consecutive tokens joined by ' '. STRING
+    shingles (not hashes) so the twin compares equal sets exactly."""
+    t = t.replace_schema_metadata(None)
+    doc, words = _split_tokens(t, text_col)
+    ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    gdoc, grams = ngram_strings(doc, words, n)
+    cols = {"doc_id": pa.array([], pa.int64()), "sh": pa.array([], pa.string())}
+    if grams.size == 0:
+        if carry_col is not None:
+            cols[carry_col] = pa.array([], pa.string())
+        return pa.table(cols)
+    df = pd.DataFrame({"d": gdoc, "sh": grams}).drop_duplicates()
+    cols = {"doc_id": pa.array(ids[df["d"].to_numpy()], pa.int64()),
+            "sh": pa.array(df["sh"].to_numpy(), pa.string())}
+    if carry_col is not None:
+        carry = t[carry_col].to_numpy(zero_copy_only=False)
+        cols[carry_col] = pa.array(carry[df["d"].to_numpy()].astype(str),
+                                   pa.string())
+    return pa.table(cols)
+
+
+def doc_shingle_stats(t: pa.Table, n: int = 3, text_col: str = "text",
+                      id_col: str = "doc_id") -> pa.Table:
+    """(doc_id, n_shingles) — count of DISTINCT token n-grams per doc;
+    every doc emits a row (0 when shorter than n tokens)."""
+    t = t.replace_schema_metadata(None)
+    doc, words = _split_tokens(t, text_col)
+    ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    counts = np.zeros(len(t), np.int64)
+    gdoc, grams = ngram_strings(doc, words, n)
+    if grams.size:
+        df = pd.DataFrame({"d": gdoc, "sh": grams}).drop_duplicates()
+        np.add.at(counts, df["d"].to_numpy(), 1)
+    return pa.table({"doc_id": pa.array(ids), "n_shingles": pa.array(counts)})
+
+
+def sha_prefix_fingerprint(t: pa.Table, text_col: str = "text",
+                           group_col: str = "lang") -> pa.Table:
+    """Per-group PARTIAL of the order-invariant corpus fingerprint:
+    XOR of each doc's first-60-bit SHA-256 prefix plus a doc count.
+    XOR is commutative/associative and overflow-free, so partials
+    combine across blocks in any order — the dataset-versioning analog
+    of the reference's decoded-payload SHA manifest
+    (test/backward_compat/, run_backward_compat.sh)."""
+    import hashlib
+
+    t = t.replace_schema_metadata(None)
+    texts = t[text_col].to_pylist()
+    h = np.fromiter(
+        (int(hashlib.sha256((x or "").encode("utf-8")).hexdigest()[:15], 16)
+         for x in texts), np.int64, len(texts))
+    g = pd.Series(t[group_col].to_numpy(zero_copy_only=False)).astype(str)
+    out = pd.DataFrame({group_col: g, "h": h, "one": np.ones(h.size, np.int64)})
+    agg = out.groupby(group_col, as_index=False).agg(
+        fingerprint=("h", lambda s: np.bitwise_xor.reduce(s.to_numpy())),
+        n_docs=("one", "sum"))
+    return pa.table({
+        group_col: pa.array(agg[group_col].to_numpy(), pa.string()),
+        "n_docs": pa.array(agg["n_docs"].to_numpy(np.int64)),
+        "fingerprint": pa.array(agg["fingerprint"].to_numpy(np.int64)),
+    })
