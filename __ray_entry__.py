@@ -2051,6 +2051,114 @@ def q_corpus_fingerprint(sf_dir: str):
     return out.map_batches(rn, batch_format="pyarrow").sort("lang")
 
 
+def q_stratified_sample(sf_dir: str):
+    """Deterministic per-stratum eval-set carving: the k=20 docs with the
+    smallest (md5(text), doc_id) key per language — no RNG, identical
+    across runs/engines/shard layouts (content-addressed like
+    dataset_split, but fixed-size per stratum). Scale shape: per-batch
+    partial top-k (map-side combiner) → one lang-keyed exchange of ≤ k
+    rows per (lang, batch) → final top-k; the corpus never shuffles."""
+    import hashlib
+
+    from pcompress_ray.functions.ops import grouped_partitions
+
+    _setup()
+    K = 20
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        key = [hashlib.md5((x if x is not None else "").encode("utf-8"))
+               .hexdigest() for x in df["text"]]
+        out = pd.DataFrame({"lang": df["lang"].astype(str),
+                            "doc_id": df["doc_id"].to_numpy(np.int64),
+                            "key": key})
+        return out.sort_values(["lang", "key", "doc_id"]) \
+                  .groupby("lang", sort=False).head(K)
+
+    partials = ds.map_batches(partial_topk, batch_format="pandas")
+
+    def final_topk(p: pd.DataFrame) -> pd.DataFrame:
+        p = p.sort_values(["lang", "key", "doc_id"]) \
+             .groupby("lang", sort=False).head(K)
+        return pd.DataFrame({"lang": p["lang"].astype(str),
+                             "doc_id": p["doc_id"].to_numpy(np.int64)})
+
+    out = grouped_partitions(partials, ["lang"], final_topk, n_parts=8)
+
+    def rn(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        return pa.table({"lang": t["lang"].cast(pa.string()),
+                         "doc_id": t["doc_id"].cast(pa.int64())})
+
+    return out.map_batches(rn, batch_format="pyarrow").sort(["lang", "doc_id"])
+
+
+def q_pmi_bigrams(sf_dir: str):
+    """Phrase mining (tokenizer-vocab candidates): top-30 bigrams by
+    pointwise-mutual-information LIFT = c_ab·N / (c_a·c_b) among bigrams
+    with c_ab ≥ 5. The lift is computed as an EXACT integer
+    floor(c_ab·N·1e6 / (c_a·c_b)) on both sides — no log(), no float, no
+    ULP drift (same idea as tfidf_top_term's pre-quantized idf). Unigram
+    model broadcast like lm_quality (bounded by vocabulary, not corpus);
+    bigram counts arrive map-side-combined like top_bigrams."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from pcompress_ray.stages.textstats import (bigram_counts,
+                                                unigram_vocab_counts)
+
+    _setup()
+    MIN_AB = 5
+    ds = _read(sf_dir, "documents", ["text"])
+    vocab = (ds.map_batches(unigram_vocab_counts, batch_format="pyarrow")
+             .groupby("tok").aggregate(Sum("n", alias_name="n"))
+             .to_pandas())  # bounded by vocabulary size
+    toks = vocab["tok"].to_numpy()
+    order = np.argsort(toks)
+    toks_sorted = toks[order]
+    cnt_sorted = vocab["n"].to_numpy(np.int64)[order]
+    n_total = int(cnt_sorted.sum())
+    # int64 bound: lift numerator ≤ N²·1e6 — exact in int64 for N ≤ 3e6
+    # tokens; beyond that fall back to arbitrary-precision Python ints
+    use_np = n_total <= 3_000_000
+    toks_ref, cnt_ref = ray.put(toks_sorted), ray.put(cnt_sorted)
+
+    big = (ds.map_batches(bigram_counts, batch_format="pyarrow")
+           .groupby("bigram").aggregate(Sum("n", alias_name="n_ab")))
+
+    def lift(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["n_ab"].to_numpy() >= MIN_AB]
+        if len(df) == 0:
+            return pd.DataFrame({"bigram": pd.Series(dtype=str),
+                                 "n_ab": pd.Series(dtype=np.int64),
+                                 "lift_e6": pd.Series(dtype=np.int64)})
+        tk, ct = ray.get(toks_ref), ray.get(cnt_ref)
+        parts = df["bigram"].str.split(" ", n=1, expand=True)
+        ca = ct[np.searchsorted(tk, parts[0].to_numpy())]
+        cb = ct[np.searchsorted(tk, parts[1].to_numpy())]
+        n_ab = df["n_ab"].to_numpy(np.int64)
+        if use_np:
+            lift_e6 = (n_ab * n_total * 1_000_000) // (ca * cb)
+        else:
+            lift_e6 = np.fromiter(
+                ((int(a) * n_total * 1_000_000) // (int(x) * int(y))
+                 for a, x, y in zip(n_ab, ca, cb)), np.int64, n_ab.size)
+        return pd.DataFrame({"bigram": df["bigram"].astype(str),
+                             "n_ab": n_ab,
+                             "lift_e6": lift_e6.astype(np.int64)})
+
+    out = big.map_batches(lift, batch_format="pandas")
+
+    def rn(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        return pa.table({"bigram": t["bigram"].cast(pa.string()),
+                         "n_ab": t["n_ab"].cast(pa.int64()),
+                         "lift_e6": t["lift_e6"].cast(pa.int64())})
+
+    return (out.map_batches(rn, batch_format="pyarrow")
+            .sort(["lift_e6", "bigram"], descending=[True, False]).limit(30))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q1_pricing": q_q1_pricing,
@@ -2119,6 +2227,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shingle_novelty": q_shingle_novelty,
         "source_overlap": q_source_overlap,
         "corpus_fingerprint": q_corpus_fingerprint,
+        "stratified_sample": q_stratified_sample,
+        "pmi_bigrams": q_pmi_bigrams,
     }
 
 
@@ -2909,5 +3019,47 @@ def oracle_sql() -> dict[str, str]:
                                                 1, 15)) AS BIGINT))
                        AS fingerprint
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "stratified_sample": """
+            SELECT lang, CAST(doc_id AS BIGINT) AS doc_id
+            FROM (SELECT lang, doc_id,
+                         row_number() OVER (
+                             PARTITION BY lang
+                             ORDER BY md5(coalesce(text, '')), doc_id) AS rn
+                  FROM documents)
+            WHERE rn <= 20
+            ORDER BY lang, doc_id
+        """,
+        # exact integer lift (no log/float): HUGEINT product, floor
+        # division, result cast back to BIGINT — twin of the Ray side's
+        # int64 (or python-int) arithmetic
+        "pmi_bigrams": """
+            WITH toks AS (
+                SELECT list_filter(string_split(coalesce(text, ''), ' '),
+                                   x -> x <> '') AS tk
+                FROM documents
+            ), uni AS (
+                SELECT t AS tok, CAST(count(*) AS BIGINT) AS c
+                FROM (SELECT unnest(tk) AS t FROM toks) GROUP BY t
+            ), tot AS (
+                SELECT CAST(sum(c) AS HUGEINT) AS n FROM uni
+            ), bic AS (
+                SELECT bigram, CAST(count(*) AS BIGINT) AS n_ab
+                FROM (SELECT UNNEST([tk[i] || ' ' || tk[i + 1]
+                                     FOR i IN generate_series(1, len(tk) - 1)])
+                          AS bigram
+                      FROM toks)
+                GROUP BY bigram HAVING count(*) >= 5
+            )
+            SELECT bigram, n_ab,
+                   CAST((CAST(n_ab AS HUGEINT) * (SELECT n FROM tot)
+                         * 1000000)
+                        // (CAST(u1.c AS HUGEINT) * u2.c) AS BIGINT)
+                       AS lift_e6
+            FROM bic
+            JOIN uni u1 ON u1.tok = string_split(bigram, ' ')[1]
+            JOIN uni u2 ON u2.tok = string_split(bigram, ' ')[2]
+            ORDER BY lift_e6 DESC, bigram
+            LIMIT 30
         """,
     }

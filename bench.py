@@ -46,7 +46,8 @@ QUERY_NAMES = ["q1_pricing", "q3_top_orders", "customer_nation", "doc_stats",
                "segment_dedup", "top_dup_segments", "pack_sequences",
                "lang_temperature_sample", "intradoc_repetition", "pq_topk",
                "url_dedup", "token_doc_freq", "length_buckets",
-               "shingle_novelty", "source_overlap", "corpus_fingerprint"]
+               "shingle_novelty", "source_overlap", "corpus_fingerprint",
+               "stratified_sample", "pmi_bigrams"]
 
 
 def run_bench() -> dict:
