@@ -2159,6 +2159,58 @@ def q_pmi_bigrams(sf_dir: str):
             .sort(["lift_e6", "bigram"], descending=[True, False]).limit(30))
 
 
+def q_cms_top_tokens(sf_dir: str):
+    """Approximate heavy hitters via Count-Min sketch: top-20 tokens by
+    estimated count from FIXED-size per-block partial sketches (64 KB
+    each) + per-block local top-k candidate unions — no vocabulary-sized
+    shuffle at all, the summary the engine would use where the key space
+    is unbounded (URLs, raw byte n-grams) at 10^12 docs. One-sided error:
+    estimate ≥ true count. Deterministic (fixed hash seeds, merge is a
+    sum). Rows-only for the driver (approximate by design); pinned by the
+    pytest sketch oracle (tests/test_cms.py)."""
+    import ray.data as rd
+
+    from pcompress_ray.functions.cms import CountMinSketch
+    from pcompress_ray.hashing import hash_strings
+    from pcompress_ray.stages.textstats import unigram_vocab_counts
+
+    _setup()
+    K, CAND = 20, 64
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        counts = unigram_vocab_counts(t)
+        toks = counts["tok"].to_numpy(zero_copy_only=False)
+        n = counts["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = CountMinSketch.empty().add(hash_strings(toks.astype(str)), n)
+        top = np.lexsort((toks, -n))[:CAND]  # local exact top candidates
+        return pa.table({
+            "sketch": pa.array([sk.table.tobytes()], pa.binary()),
+            "shape": pa.array([list(sk.table.shape)],
+                              pa.list_(pa.int64())),
+            "cand_toks": pa.array([[str(x) for x in toks[top]]],
+                                  pa.list_(pa.string())),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    # driver merge: #blocks × 64 KB partials — bounded, not corpus-sized
+    merged, cand = None, []
+    for row in parts:
+        d, w = row["shape"]
+        sk = CountMinSketch(
+            np.frombuffer(row["sketch"], np.int64).reshape(d, w).copy())
+        merged = sk if merged is None else merged.merge(sk)
+        cand.extend(row["cand_toks"])
+    cand = np.array(sorted(set(cand)), dtype=object)
+    if merged is None:
+        return pa.table({"token": pa.array([], pa.string()),
+                         "est_n": pa.array([], pa.int64())})
+    est = merged.estimate(hash_strings(cand.astype(str)))
+    sel = np.lexsort((cand.astype(str), -est))[:K]
+    return pa.table({"token": pa.array(cand[sel].astype(str), pa.string()),
+                     "est_n": pa.array(est[sel], pa.int64())})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q1_pricing": q_q1_pricing,
@@ -2229,6 +2281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_fingerprint": q_corpus_fingerprint,
         "stratified_sample": q_stratified_sample,
         "pmi_bigrams": q_pmi_bigrams,
+        "cms_top_tokens": q_cms_top_tokens,
     }
 
 
