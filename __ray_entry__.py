@@ -2211,6 +2211,39 @@ def q_cms_top_tokens(sf_dir: str):
                      "est_n": pa.array(est[sel], pa.int64())})
 
 
+def q_dedup_rewrite(sf_dir: str):
+    """RefinedWeb/CCNet-style corpus REWRITE: remove every 10-token segment
+    already seen earlier corpus-wide (first occurrence by (doc_id, seg_no)
+    keeps it) and re-emit the cleaned document — the corpus analog of
+    pcompress re-emitting the deduplicated stream with backward references
+    (rabin/rabin_dedup.c:711-724, 1606-1617), where q_segment_dedup only
+    reports the counts. Two hash-partitioned exchanges
+    (stages/rewrite.py); output carries sha256 of the rewritten text so
+    the oracle compares full content without shipping it."""
+    import hashlib
+
+    from pcompress_ray.stages.rewrite import segment_dedup_rewrite
+
+    _setup()
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = segment_dedup_rewrite(ds, w=10, n_parts=32)
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        txt = t["new_text"].to_pylist()
+        return pa.table({
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "n_segs": t["n_segs"].cast(pa.int64()),
+            "n_kept": t["n_kept"].cast(pa.int64()),
+            "new_n_chars": pa.array([len(s) for s in txt], pa.int64()),
+            "new_sha": pa.array(
+                [hashlib.sha256(s.encode("utf-8")).hexdigest()
+                 for s in txt], pa.string()),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow").sort("doc_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q1_pricing": q_q1_pricing,
@@ -2282,6 +2315,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": q_stratified_sample,
         "pmi_bigrams": q_pmi_bigrams,
         "cms_top_tokens": q_cms_top_tokens,
+        "dedup_rewrite": q_dedup_rewrite,
     }
 
 
@@ -3114,5 +3148,43 @@ def oracle_sql() -> dict[str, str]:
             JOIN uni u2 ON u2.tok = string_split(bigram, ' ')[2]
             ORDER BY lift_e6 DESC, bigram
             LIMIT 30
+        """,
+        "dedup_rewrite": """
+            WITH toks AS (
+                SELECT doc_id, list_filter(string_split(text, ' '),
+                                           x -> x <> '') AS tk
+                FROM documents
+            ), segl AS (
+                SELECT doc_id,
+                       list_transform(
+                           range(0, CAST(ceil(len(tk) / 10.0) AS BIGINT)),
+                           s -> array_to_string(tk[s*10+1 : s*10+10], ' '))
+                           AS segs
+                FROM toks WHERE len(tk) > 0
+            ), ex AS (
+                SELECT doc_id, unnest(segs) AS seg,
+                       unnest(range(0, len(segs))) AS seg_no
+                FROM segl
+            ), marked AS (
+                SELECT doc_id, seg_no, seg,
+                       row_number() OVER (PARTITION BY seg
+                                          ORDER BY doc_id, seg_no) AS rn
+                FROM ex
+            ), re AS (
+                SELECT doc_id,
+                       COUNT(*) AS n_segs,
+                       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_kept,
+                       COALESCE(string_agg(CASE WHEN rn = 1 THEN seg END,
+                                           ' ' ORDER BY seg_no), '')
+                           AS new_text
+                FROM marked GROUP BY doc_id
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(n_segs AS BIGINT) AS n_segs,
+                   n_kept,
+                   CAST(length(new_text) AS BIGINT) AS new_n_chars,
+                   sha256(new_text) AS new_sha
+            FROM re ORDER BY doc_id
         """,
     }

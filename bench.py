@@ -47,7 +47,8 @@ QUERY_NAMES = ["q1_pricing", "q3_top_orders", "customer_nation", "doc_stats",
                "lang_temperature_sample", "intradoc_repetition", "pq_topk",
                "url_dedup", "token_doc_freq", "length_buckets",
                "shingle_novelty", "source_overlap", "corpus_fingerprint",
-               "stratified_sample", "pmi_bigrams", "cms_top_tokens"]
+               "stratified_sample", "pmi_bigrams", "cms_top_tokens",
+               "dedup_rewrite"]
 
 
 def run_bench() -> dict:

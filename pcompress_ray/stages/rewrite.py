@@ -1,0 +1,114 @@
+"""Corpus-rewriting segment dedup (RefinedWeb/CCNet-style passage removal).
+
+Reference parity: pcompress's fixed-block identity dedup doesn't just COUNT
+duplicate blocks — it replaces them with backward references and re-emits
+the deduplicated stream (rabin/rabin_dedup.c:711-724 block-index probe +
+rabin/rabin_dedup.c:1606-1617 backward-reference emit).  The corpus analog
+removes every fixed token segment already seen EARLIER corpus-wide (first
+occurrence by (doc_id, seg_no) wins — the same canonical backward order)
+and re-emits the REWRITTEN document.  ``q_segment_dedup`` gives the counts;
+this stage gives the actual cleaned corpus a training pipeline consumes.
+
+Shape: two hash-partitioned exchanges, both vectorized per partition.
+
+1. segment-keyed (``grouped_partitions`` on ``seg``): every occurrence of a
+   segment string co-locates, so global keep-first is one stable sort +
+   one shifted-comparison per partition — no per-key Python.
+2. doc-keyed: per-doc ``seg_no`` sort, then kept segments are wrapped as an
+   Arrow ``ListArray`` at doc boundaries and joined with ONE
+   ``pc.binary_join`` kernel — no per-doc string building.
+
+100-TB note: the exchanges carry the corpus text ~2x — irreducible in
+spirit (a rewrite must move the text once to co-locate duplicate segments
+and once to bring kept segments home), and each leg streams through the
+object store with backpressure.  Keying leg 1 on a 128-bit segment hash
+with the string carried as payload (not key) halves comparator cost at
+scale; the string key is kept here so the DuckDB oracle compares equal
+sets with zero collision caveats.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def mark_first_occurrence(part: pd.DataFrame) -> pd.DataFrame:
+    """Global keep-first inside one seg-keyed partition.
+
+    All rows of any segment string are guaranteed co-located (hash
+    partition on ``seg``), so the first row of each run after a stable
+    (seg, doc_id, seg_no) sort is the corpus-wide first occurrence.
+    """
+    part = part.sort_values(["seg", "doc_id", "seg_no"], kind="stable")
+    segv = part["seg"].to_numpy()
+    keep = np.empty(len(part), dtype=bool)
+    if len(part):
+        keep[0] = True
+        keep[1:] = segv[1:] != segv[:-1]
+    return pd.DataFrame({
+        "doc_id": part["doc_id"].to_numpy(np.int64),
+        "seg_no": part["seg_no"].to_numpy(np.int64),
+        "seg": segv,
+        "keep": keep.astype(np.int8),
+    })
+
+
+def reassemble_docs(part: pd.DataFrame) -> pd.DataFrame:
+    """Rebuild one doc-keyed partition's documents from kept segments.
+
+    Vectorized: one (doc_id, seg_no) sort, doc boundaries by shifted
+    comparison, kept rows wrapped as a ListArray at per-doc offsets and
+    joined by a single ``pc.binary_join`` call.  Docs whose every segment
+    was a duplicate still emit a row (empty ``new_text``).
+    """
+    import pyarrow.compute as pc
+
+    if not len(part):
+        return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                             "n_segs": pd.Series([], dtype=np.int64),
+                             "n_kept": pd.Series([], dtype=np.int64),
+                             "new_text": pd.Series([], dtype=object)})
+    part = part.sort_values(["doc_id", "seg_no"], kind="stable")
+    doc = part["doc_id"].to_numpy(np.int64)
+    keep = part["keep"].to_numpy(np.int8).astype(bool)
+    first = np.empty(doc.size, dtype=bool)
+    first[0] = True
+    first[1:] = doc[1:] != doc[:-1]
+    starts = np.flatnonzero(first)
+    sizes = np.diff(np.append(starts, doc.size))
+    doc_ids = doc[starts]
+    n_kept = np.add.reduceat(keep.astype(np.int64), starts)
+    # offsets of kept rows at doc boundaries: cumulative kept count at
+    # each doc start (exclusive prefix), closed by the total.
+    ck = np.cumsum(keep.astype(np.int64))
+    off = np.empty(starts.size + 1, dtype=np.int32)
+    off[0] = 0
+    off[1:] = ck[starts + sizes - 1]
+    segs_kept = part["seg"].to_numpy()[keep]
+    lst = pa.ListArray.from_arrays(pa.array(off),
+                                   pa.array(segs_kept, pa.string()))
+    new_text = pc.binary_join(lst, " ").to_pandas()
+    return pd.DataFrame({"doc_id": doc_ids,
+                         "n_segs": sizes.astype(np.int64),
+                         "n_kept": n_kept,
+                         "new_text": new_text.to_numpy()})
+
+
+def segment_dedup_rewrite(ds, w: int = 10, n_parts: int = 32):
+    """documents Dataset -> (doc_id, n_segs, n_kept, new_text) Dataset.
+
+    ``ds`` must carry ``doc_id`` and ``text``.  Segmentation is the same
+    fixed ``w``-token window as ``stages/textstats.doc_segments`` (the
+    reference's ``-F`` fixed-block chunker analog), so counts agree with
+    ``q_segment_dedup`` exactly.
+    """
+    from pcompress_ray.functions.ops import grouped_partitions
+    from pcompress_ray.stages.textstats import doc_segments
+
+    segs = ds.map_batches(lambda t: doc_segments(t, w=w),
+                          batch_format="pyarrow")
+    marked = grouped_partitions(segs, ["seg"], mark_first_occurrence,
+                                n_parts=n_parts)
+    return grouped_partitions(marked, ["doc_id"], reassemble_docs,
+                              n_parts=n_parts)
