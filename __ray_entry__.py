@@ -2244,6 +2244,56 @@ def q_dedup_rewrite(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow").sort("doc_id")
 
 
+def q_pii_redact(sf_dir: str):
+    """PII redaction (emails / IPv4 / phone-shaped tokens) — the fixed-order
+    pattern-rewrite preprocessing pass of a webtext pipeline (reference
+    analog: the preproc filter chain, archive/pc_arc_filter.c:71-125). The
+    synthetic corpus contains no PII, so BOTH sides first append a
+    deterministic doc_id-derived PII suffix (pure test harness — identical
+    string construction in Ray and SQL), then run the byte-identical
+    regexes (stages/pii.py PII_PATTERNS, common Python-re/RE2 subset).
+    Output: per-doc match counts + sha256 of the redacted text."""
+    import hashlib
+
+    from pcompress_ray.stages.pii import redact_batch
+
+    _setup()
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def aug(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        d = pd.Series(t["doc_id"].to_numpy(zero_copy_only=False)
+                      .astype(np.int64))
+        base = pd.Series(t["text"].to_pandas()).fillna("")
+        phone = pd.Series(np.where(
+            d % 3 == 0,
+            " call 555-" + (d % 10000).astype(str).str.zfill(4), ""))
+        txt = (base + " contact user" + d.astype(str)
+               + "@example.com or 10." + (d % 256).astype(str) + "."
+               + ((d // 256) % 256).astype(str) + ".7" + phone)
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                         "text": pa.array(txt.to_numpy(), pa.string())})
+
+    out = (ds.map_batches(aug, batch_format="pyarrow")
+           .map_batches(redact_batch, batch_format="pyarrow"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        red = t["red_text"].to_pylist()
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_email": t["n_email"],
+            "n_ipv4": t["n_ipv4"],
+            "n_phone": t["n_phone"],
+            "red_n_chars": pa.array([len(s) for s in red], pa.int64()),
+            "red_sha": pa.array(
+                [hashlib.sha256(s.encode("utf-8")).hexdigest()
+                 for s in red], pa.string()),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow").sort("doc_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q1_pricing": q_q1_pricing,
@@ -2316,6 +2366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_bigrams": q_pmi_bigrams,
         "cms_top_tokens": q_cms_top_tokens,
         "dedup_rewrite": q_dedup_rewrite,
+        "pii_redact": q_pii_redact,
     }
 
 
@@ -2379,8 +2430,39 @@ def _url_dedup_sql() -> str:
     """
 
 
+def _pii_sql() -> str:
+    """Generated from the SAME stages/pii.PII_PATTERNS constants the Ray
+    kernel compiles, so the RE2 pattern bytes are identical by
+    construction; the doc_id-derived PII suffix mirrors q_pii_redact's
+    aug() string-for-string."""
+    from pcompress_ray.stages.pii import PII_PATTERNS
+
+    aug = ("coalesce(text, '') || ' contact user' || "
+           "CAST(doc_id AS VARCHAR) || '@example.com or 10.' || "
+           "CAST(doc_id % 256 AS VARCHAR) || '.' || "
+           "CAST((doc_id // 256) % 256 AS VARCHAR) || '.7' || "
+           "CASE WHEN doc_id % 3 = 0 THEN ' call 555-' || "
+           "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END")
+    rt = "txt"
+    for _, pat, repl in PII_PATTERNS:
+        rt = f"regexp_replace({rt}, '{pat}', '{repl}', 'g')"
+    counts = ",\n                   ".join(
+        f"CAST(len(regexp_extract_all(txt, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS)
+    return f"""
+            WITH aug AS (SELECT doc_id, {aug} AS txt FROM documents),
+                 red AS (SELECT doc_id, txt, {rt} AS rt FROM aug)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   {counts},
+                   CAST(length(rt) AS BIGINT) AS red_n_chars,
+                   sha256(rt) AS red_sha
+            FROM red ORDER BY doc_id
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "pii_redact": _pii_sql(),
         "q1_pricing": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 4) AS sum_qty,
