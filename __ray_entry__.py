@@ -2294,6 +2294,22 @@ def q_pii_redact(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow").sort("doc_id")
 
 
+def q_heuristic_filter(sf_dir: str):
+    """C4/Gopher-style heuristic pre-filter: fixed ordered rule set per doc
+    (min/max words, mean token length band, top-token dominance, stopword
+    presence, blocklist) reported as a fail BITMASK + keep flag — the
+    corpus analog of pcompress's per-block gating before expensive work
+    (incompressible gate, pcompress.c:3698-3741). All thresholds are
+    exact-integer comparisons shared with the generated SQL twin
+    (stages/filter_rules.py)."""
+    from pcompress_ray.stages.filter_rules import heuristic_filter_batch
+
+    _setup()
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return (ds.map_batches(heuristic_filter_batch, batch_format="pyarrow")
+            .sort("doc_id"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q1_pricing": q_q1_pricing,
@@ -2367,6 +2383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_top_tokens": q_cms_top_tokens,
         "dedup_rewrite": q_dedup_rewrite,
         "pii_redact": q_pii_redact,
+        "heuristic_filter": q_heuristic_filter,
     }
 
 
@@ -2461,8 +2478,11 @@ def _pii_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from pcompress_ray.stages.filter_rules import heuristic_filter_sql
+
     return {
         "pii_redact": _pii_sql(),
+        "heuristic_filter": heuristic_filter_sql(),
         "q1_pricing": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 4) AS sum_qty,
