@@ -2310,6 +2310,59 @@ def q_heuristic_filter(sf_dir: str):
             .sort("doc_id"))
 
 
+def q_bloom_dedup(sf_dir: str):
+    """Incremental exact dedup behind a broadcast Bloom prefilter: the
+    store (even doc_ids) ships once as fixed-size Bloom bits; the
+    increment (odd doc_ids) resolves "definitely new" locally and only the
+    maybe sliver pays the exact sha exchange
+    (pipelines/incremental.bloom_prefilter_dedup — the 100-TB analog of
+    probing pcompress's global chunk index, rabin/global/index.c). The
+    Bloom has no false negatives, so is_dup is EXACT and the DuckDB twin
+    is plain text-equality EXISTS; Bloom internals (FP rate, merge) are
+    pinned by tests/test_bloom_dedup.py. The raw documents table has zero
+    exact text dups, so BOTH sides first replace doc_id % 7 < 2 texts with
+    one of 3 shared boilerplate templates (deterministic harness
+    injection, identical string on both engines) — giving the increment a
+    real mix of dups and uniques."""
+    import pyarrow.compute as pc
+
+    from pcompress_ray.pipelines.incremental import bloom_prefilter_dedup
+
+    _setup()
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def inject(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        txt = pd.Series(t["text"].to_pandas()).fillna("").to_numpy(object)
+        boiler = d % 7 < 2
+        tmpl = np.array([f"template page v{v}" for v in range(3)],
+                        dtype=object)
+        txt = np.where(boiler, tmpl[d % 3], txt)
+        return pa.table({"doc_id": pa.array(d),
+                         "text": pa.array(txt, pa.string())})
+
+    docs = docs.map_batches(inject, batch_format="pyarrow")
+
+    def parity(keep_even: bool):
+        def f(t: pa.Table) -> pa.Table:
+            t = t.replace_schema_metadata(None)
+            even = pc.equal(pc.bit_wise_and(t["doc_id"], 1), 0)
+            return t.filter(even if keep_even else pc.invert(even))
+        return f
+
+    store = docs.map_batches(parity(True), batch_format="pyarrow")
+    new = docs.map_batches(parity(False), batch_format="pyarrow")
+    out = bloom_prefilter_dedup(new, store, n_bits=1 << 20, k=7)
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                         "is_dup": t["is_dup"].cast(pa.int64())})
+
+    return out.map_batches(finish, batch_format="pyarrow").sort("doc_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q1_pricing": q_q1_pricing,
@@ -2384,6 +2437,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_rewrite": q_dedup_rewrite,
         "pii_redact": q_pii_redact,
         "heuristic_filter": q_heuristic_filter,
+        "bloom_dedup": q_bloom_dedup,
     }
 
 
@@ -2483,6 +2537,22 @@ def oracle_sql() -> dict[str, str]:
     return {
         "pii_redact": _pii_sql(),
         "heuristic_filter": heuristic_filter_sql(),
+        "bloom_dedup": """
+            WITH aug AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 < 2
+                            THEN 'template page v' ||
+                                 CAST(doc_id % 3 AS VARCHAR)
+                            ELSE coalesce(text, '') END AS txt
+                FROM documents
+            )
+            SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+                   CAST(CASE WHEN EXISTS (
+                        SELECT 1 FROM aug s
+                        WHERE s.doc_id % 2 = 0 AND s.txt = d.txt)
+                        THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+            FROM aug d WHERE d.doc_id % 2 = 1 ORDER BY doc_id
+        """,
         "q1_pricing": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 4) AS sum_qty,

@@ -48,7 +48,8 @@ QUERY_NAMES = ["q1_pricing", "q3_top_orders", "customer_nation", "doc_stats",
                "url_dedup", "token_doc_freq", "length_buckets",
                "shingle_novelty", "source_overlap", "corpus_fingerprint",
                "stratified_sample", "pmi_bigrams", "cms_top_tokens",
-               "dedup_rewrite", "pii_redact", "heuristic_filter"]
+               "dedup_rewrite", "pii_redact", "heuristic_filter",
+               "bloom_dedup"]
 
 
 def run_bench() -> dict:

@@ -48,6 +48,43 @@ class BloomFilter:
                                  U64(1) << (pos & U64(63)))
         return cls(bits, n_bits, k)
 
+    # -- mergeable fixed-size partial API (distributed build) ------------
+    # Per-block partial filters built inside map_batches fold on the
+    # driver at #blocks x filter-size cost (the functions/cms.py pattern);
+    # all partials must share n_bits/k, so callers pick a FIXED n_bits
+    # sized for the expected total keys, not per-block counts.
+
+    @classmethod
+    def empty(cls, n_bits: int = 1 << 23, k: int = 7) -> "BloomFilter":
+        assert n_bits & (n_bits - 1) == 0, "n_bits must be a power of two"
+        return cls(np.zeros(n_bits >> 6, dtype=U64), n_bits, k)
+
+    def add(self, keys: np.ndarray) -> "BloomFilter":
+        keys = np.asarray(keys).astype(U64, copy=False)
+        if keys.size:
+            h1 = splitmix64(keys)
+            h2 = splitmix64(keys ^ _SEED2) | U64(1)
+            mask = U64(self.n_bits - 1)
+            for i in range(self.k):
+                pos = (h1 + U64(i) * h2) & mask
+                np.bitwise_or.at(self.bits,
+                                 (pos >> U64(6)).astype(np.int64),
+                                 U64(1) << (pos & U64(63)))
+        return self
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        assert (self.n_bits, self.k) == (other.n_bits, other.k)
+        self.bits |= other.bits
+        return self
+
+    def tobytes(self) -> bytes:
+        return self.bits.tobytes()
+
+    @classmethod
+    def frombytes(cls, data: bytes, k: int) -> "BloomFilter":
+        bits = np.frombuffer(data, dtype=U64).copy()
+        return cls(bits, bits.size << 6, k)
+
     def contains(self, values: np.ndarray) -> np.ndarray:
         """Vectorized membership mask — no false negatives, ~1% false
         positives at 10 bits/key."""
