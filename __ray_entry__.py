@@ -1925,9 +1925,11 @@ def q_shingle_novelty(sf_dir: str):
     its distinct token 3-grams, and how many of those have this doc as
     their global min-doc_id first occurrence. One shingle-keyed exchange
     (each shingle wholly in one partition ⇒ its min is global) emitting
-    tiny (first_doc, count) partials, plus a shuffle-free per-doc stats
-    pass — same shape as the stop-shingle/document-frequency family."""
-    from pcompress_ray.functions.ops import grouped_partitions, hash_join
+    tiny (first_doc, count) partials; the per-doc stats rows (map-only)
+    are UNIONED into the same doc-keyed summing exchange instead of a
+    separate hash_join — one exchange total over (doc_id, two int
+    counters) after the shingle leg."""
+    from pcompress_ray.functions.ops import grouped_partitions
     from pcompress_ray.stages.textstats import (doc_shingle_rows,
                                                 doc_shingle_stats)
 
@@ -1938,33 +1940,40 @@ def q_shingle_novelty(sf_dir: str):
     def min_doc_partials(part: pd.DataFrame) -> pd.DataFrame:
         if len(part) == 0:
             return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
-                                 "novel": pd.Series(dtype=np.int64)})
+                                 "novel": pd.Series(dtype=np.int64),
+                                 "n_sh": pd.Series(dtype=np.int64)})
         m = part.groupby("sh", sort=False)["doc_id"].min()
         vc = m.value_counts()
         return pd.DataFrame({"doc_id": vc.index.to_numpy(np.int64),
-                             "novel": vc.to_numpy(np.int64)})
+                             "novel": vc.to_numpy(np.int64),
+                             "n_sh": np.zeros(len(vc), np.int64)})
 
     partials = grouped_partitions(exploded, ["sh"], min_doc_partials)
 
+    def stats_rows(t: pa.Table) -> pa.Table:
+        s = doc_shingle_stats(t)
+        return pa.table({"doc_id": s["doc_id"],
+                         "novel": pa.array(np.zeros(len(s), np.int64)),
+                         "n_sh": s["n_shingles"]})
+
+    stats = ds.map_batches(stats_rows, batch_format="pyarrow")
+
     def sum_part(p: pd.DataFrame) -> pd.DataFrame:
-        g = p.groupby("doc_id", as_index=False)["novel"].sum()
+        g = p.groupby("doc_id", as_index=False)[["novel", "n_sh"]].sum()
         return pd.DataFrame({"doc_id": g["doc_id"].to_numpy(np.int64),
+                             "n_shingles": g["n_sh"].to_numpy(np.int64),
                              "n_novel": g["novel"].to_numpy(np.int64)})
 
-    novel = grouped_partitions(partials, ["doc_id"], sum_part, n_parts=16)
-    stats = ds.map_batches(doc_shingle_stats, batch_format="pyarrow")
-    joined = hash_join(stats, novel, left_on="doc_id", right_on="doc_id",
-                       how="left")
+    out = grouped_partitions(partials.union(stats), ["doc_id"], sum_part,
+                             n_parts=16)
 
     def rn(t: pa.Table) -> pa.Table:
         t = t.replace_schema_metadata(None)
-        nov = t["n_novel"].to_numpy(zero_copy_only=False)
-        nov = np.where(pd.isna(nov), 0, nov).astype(np.int64)
         return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
                          "n_shingles": t["n_shingles"].cast(pa.int64()),
-                         "n_novel": pa.array(nov)})
+                         "n_novel": t["n_novel"].cast(pa.int64())})
 
-    return joined.map_batches(rn, batch_format="pyarrow").sort("doc_id")
+    return out.map_batches(rn, batch_format="pyarrow").sort("doc_id")
 
 
 def q_source_overlap(sf_dir: str):
