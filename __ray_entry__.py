@@ -2372,6 +2372,21 @@ def q_bloom_dedup(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow").sort("doc_id")
 
 
+def q_kmeans_clusters(sf_dir: str):
+    """Distributed Lloyd k-means over the embeddings table
+    (stages/kmeans.py): deterministic rank-invariant init, per-iteration
+    fixed-size partial sums folded on the driver (#blocks x k x dim — no
+    shuffle at any corpus size), final stateless argmin assignment.
+    Iterative => no SQL twin (rows-only for the driver); pinned exactly
+    against a same-update-rule numpy oracle in tests/test_kmeans.py."""
+    from pcompress_ray.stages.kmeans import kmeans_assign, kmeans_fit
+
+    _setup()
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cents = kmeans_fit(emb, k=8, n_iter=5)
+    return kmeans_assign(emb, cents).sort("vec_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q1_pricing": q_q1_pricing,
@@ -2447,6 +2462,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": q_pii_redact,
         "heuristic_filter": q_heuristic_filter,
         "bloom_dedup": q_bloom_dedup,
+        "kmeans_clusters": q_kmeans_clusters,
     }
 
 
