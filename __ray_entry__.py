@@ -2387,6 +2387,65 @@ def q_kmeans_clusters(sf_dir: str):
     return kmeans_assign(emb, cents).sort("vec_id")
 
 
+def q_semdedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023) semantic dedup over the embeddings
+    table (stages/semdedup.py): no-shuffle distributed k-means, then ONE
+    cluster-keyed map_groups exchange applying the deterministic
+    farthest-from-centroid-first greedy cosine scan (eps=0.97). The
+    embedding-space analog of pcompress's sketch->bucket->verify similarity
+    index (rabin/rabin_dedup.c:1606-1617). Iterative k-means => no SQL twin
+    (rows-only for the driver); pinned exactly against a same-rules numpy
+    oracle in tests/test_semdedup.py."""
+    from pcompress_ray.stages.semdedup import semdedup
+
+    _setup()
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return semdedup(emb, k=8, eps=0.97, n_iter=5).sort("vec_id")
+
+
+def q_weighted_sample(sf_dir: str):
+    """Deterministic weight-proportional Poisson sampling (inclusion
+    probability ~ n_chars — the 'sample long documents more' mixture
+    primitive): doc kept iff H * W < T * w * 2^60 where H = first 60 bits
+    of md5(text), w = max(n_chars,1), W = corpus-wide sum(w), T = 64
+    expected picks. ALL-INTEGER math (Python bigint / DuckDB HUGEINT), so
+    the oracle selects the exact same rows — no float thresholds, no RNG.
+    Scale shape: pass 1 is a fixed-size per-block partial sum folded to one
+    scalar (map-side combiner, no shuffle), pass 2 a stateless broadcast
+    filter; the corpus never shuffles and never leaves the workers."""
+    import hashlib
+
+    _setup()
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+    def partial_w(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        w = np.maximum(t["n_chars"].to_numpy(zero_copy_only=False), 1)
+        return pa.table({"w": pa.array([int(w.sum())], pa.int64())})
+
+    total_w = int(ds.map_batches(partial_w, batch_format="pyarrow")
+                  .sum("w"))
+    target = 64
+
+    def pick(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        texts = t["text"].to_pylist()
+        w = np.maximum(t["n_chars"].to_numpy(zero_copy_only=False),
+                       1).tolist()
+        keep = []
+        for x, wi in zip(texts, w):
+            h = int(hashlib.md5((x or "").encode("utf-8"))
+                    .hexdigest()[:15], 16)
+            keep.append(h * total_w < (target * int(wi)) << 60)
+        m = pa.array(keep, pa.bool_())
+        return pa.table({
+            "doc_id": t["doc_id"].cast(pa.int64()).filter(m),
+            "n_chars": t["n_chars"].cast(pa.int64()).filter(m),
+        })
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q1_pricing": q_q1_pricing,
@@ -2463,6 +2522,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heuristic_filter": q_heuristic_filter,
         "bloom_dedup": q_bloom_dedup,
         "kmeans_clusters": q_kmeans_clusters,
+        "semdedup": q_semdedup,
+        "weighted_sample": q_weighted_sample,
     }
 
 
@@ -2562,6 +2623,23 @@ def oracle_sql() -> dict[str, str]:
     return {
         "pii_redact": _pii_sql(),
         "heuristic_filter": heuristic_filter_sql(),
+        # weight-proportional Poisson sample: H*W < T*w*2^60, all exact
+        # integers (HUGEINT); H = first 15 hex chars (60 bits, fits signed
+        # BIGINT) of md5(text) — identical expression to the engine's
+        "weighted_sample": """
+            WITH tot AS (
+                SELECT CAST(SUM(GREATEST(n_chars, 1)) AS HUGEINT) AS w
+                FROM documents
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(n_chars AS BIGINT) AS n_chars
+            FROM documents, tot
+            WHERE CAST(CAST('0x' || substr(md5(coalesce(text, '')), 1, 15)
+                            AS BIGINT) AS HUGEINT) * tot.w
+                  < 64 * CAST(GREATEST(n_chars, 1) AS HUGEINT)
+                       * CAST(1152921504606846976 AS HUGEINT)
+            ORDER BY doc_id
+        """,
         "bloom_dedup": """
             WITH aug AS (
                 SELECT doc_id,
