@@ -1071,6 +1071,37 @@ def q_substring_spans(sf_dir: str):
     return spans.map_batches(rn, batch_format="pyarrow")
 
 
+def q_substring_excise(sf_dir: str):
+    """Span-excision REWRITE (Lee et al. 2022 exact-substring dedup as an
+    ACTION, not just a signal): cut every shared span >= the floor from the
+    later doc, keep-first — the corpus analog of pcompress emitting only
+    the residue behind a backward reference (rabin/rabin_dedup.c:1426-1448).
+    Same planted-span corpus + edge plumbing as substring_spans; emits
+    (rank, cut_spans, cut_bytes, text_sha256). Rows-only for the driver
+    (suffix/LCS spans are not SQL-expressible); pinned byte-exactly against
+    a pure-Python splice oracle in tests/test_excise.py."""
+    import ray.data as rd
+
+    from pcompress_ray.config import PipelineConfig
+    from pcompress_ray.pipelines.dedup import build_signatures, union_edges
+    from pcompress_ray.sources.corpus import make_corpus
+    from pcompress_ray.stages.exact import chunk_exact_edges, doc_exact_edges
+    from pcompress_ray.stages.suffix import substring_excise, substring_verify
+
+    _setup()
+    cfg = PipelineConfig()
+    pages, _, _ = make_corpus(150, 42, with_oracle=False)
+    pages = pages.append_column(
+        "rank", pa.array(np.arange(len(pages["url"]), dtype=np.int64)))
+    ds = rd.from_arrow(pages).repartition(4)
+    sig = build_signatures(ds, cfg).materialize()
+    edges = union_edges(doc_exact_edges(sig), chunk_exact_edges(sig, cfg),
+                        cfg=cfg)
+    spans = substring_verify(edges, ds, cfg)
+    return (substring_excise(spans, ds, min_len=cfg.substring_min_bytes)
+            .sort("rank"))
+
+
 def q_asof_purchase(sf_dir: str):
     """As-of join: each 'click' event matched to the user's most recent
     'purchase' at-or-before it (inclusive; -1 if none). The asof operator
@@ -2524,6 +2555,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": q_kmeans_clusters,
         "semdedup": q_semdedup,
         "weighted_sample": q_weighted_sample,
+        "substring_excise": q_substring_excise,
     }
 
 

@@ -302,3 +302,144 @@ def substring_verify(edges_ds, pages_ds, cfg: PipelineConfig):
                              for k, v in cols.items()})
 
     return j2.map_batches(score, batch_format="pandas")
+
+
+def merge_intervals(starts: np.ndarray, ends: np.ndarray):
+    """Union of half-open [start, end) intervals → (starts, ends) sorted,
+    non-overlapping. Vectorized: sort by start, an interval opens a new run
+    iff its start exceeds the running max of prior ends."""
+    o = np.argsort(starts, kind="stable")
+    s, e = starts[o], ends[o]
+    cm = np.maximum.accumulate(e)
+    new = np.ones(s.size, dtype=bool)
+    if s.size > 1:
+        new[1:] = s[1:] > cm[:-1]
+    idx = np.flatnonzero(new)
+    ms = s[idx]
+    last = np.append(idx[1:], s.size) - 1  # each run's last row
+    me = cm[last]  # run end = running max of ends at the run's last row
+    return ms, me
+
+
+def substring_excise(spans_ds, pages_ds, min_len: int = 0,
+                     join_buckets: int = 32):
+    """Span-excision REWRITE — the action half of the substring stage
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better": cut exact duplicated spans, keep the first occurrence). The
+    corpus analog of pcompress replacing a matched run with a backward
+    reference and emitting only the residue (rabin/rabin_dedup.c:1426-1448):
+    here the earlier document (a = lower rank) KEEPS its bytes, and every
+    shared span of length >= min_len is cut from the later one (b).
+
+    spans_ds: substring_verify output (a, b, a_off, b_off, span_len, ...).
+    pages_ds: must carry (rank, text_norm or text).
+    Returns one row per INPUT doc: (rank, cut_spans, cut_bytes,
+    text_sha256) — sha256 hex of the rewritten utf-8 bytes (byte splicing;
+    unaffected docs hash their original bytes), so callers compare full
+    content without shipping it.
+
+    Shape: one b-keyed exchange merges per-doc intervals (vectorized union,
+    overlaps from multiple source docs coalesced) into a cuts table of
+    (rank, "s-e;s-e") rows — AFFECTED docs only, ≪ corpus (substring pairs
+    are a small fraction). That table is pulled once to the driver and
+    broadcast (ray.put) both as the splice lookup and the exact
+    anti-filter, so the corpus body streams through exactly one
+    map_batches pass with NO join shuffle. If cuts ever rivaled the corpus,
+    swap broadcast_join for the partitioned functions/ops.hash_join.
+    """
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    from pcompress_ray.functions.ops import (broadcast_join,
+                                             grouped_partitions,
+                                             semi_join_filter)
+
+    text_col = "text_norm" if "text_norm" in pages_ds.schema().names \
+        else "text"
+    texts = pages_ds.select_columns(["rank", text_col])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        keep = pc.greater_equal(t["span_len"], min_len)
+        t = t.filter(keep)
+        return pa.table({"rank": t["b"].cast(pa.int64()),
+                         "s": t["b_off"].cast(pa.int64()),
+                         "e": pc.add(t["b_off"].cast(pa.int64()),
+                                     t["span_len"].cast(pa.int64()))})
+
+    raw = spans_ds.map_batches(prep, batch_format="pyarrow")
+
+    # intervals travel as a flat "s-e;s-e" string column: list<int64>
+    # columns do not survive the union+groupby concat (null-padded list
+    # field-name unification), and the payload is tiny (affected docs only)
+    def fold(df: pd.DataFrame) -> pa.Table:
+        rows = {"rank": [], "cuts": []}
+        if len(df):
+            r = df["rank"].to_numpy(dtype=np.int64)
+            s = df["s"].to_numpy(dtype=np.int64)
+            e = df["e"].to_numpy(dtype=np.int64)
+            o = np.argsort(r, kind="stable")
+            r, s, e = r[o], s[o], e[o]
+            bounds = np.flatnonzero(np.diff(r)) + 1
+            for lo, hi in zip(np.append(0, bounds), np.append(bounds, r.size)):
+                ms, me = merge_intervals(s[lo:hi], e[lo:hi])
+                rows["rank"].append(int(r[lo]))
+                rows["cuts"].append(";".join(
+                    f"{a}-{b}" for a, b in zip(ms.tolist(), me.tolist())))
+        # explicit Arrow schema: an empty pandas block would degrade the
+        # string column to Arrow null type and poison the join's schema
+        # unification (map_groups can emit empty groups)
+        return pa.table({"rank": pa.array(rows["rank"], pa.int64()),
+                         "cuts": pa.array(rows["cuts"], pa.string())})
+
+    cuts_df = (grouped_partitions(raw, ["rank"], fold,
+                                  n_parts=join_buckets).to_pandas())
+    if len(cuts_df) == 0 or "rank" not in cuts_df.columns:
+        cuts_df = pd.DataFrame({"rank": pd.Series([], dtype=np.int64),
+                                "cuts": pd.Series([], dtype=str)})
+    cuts_df = cuts_df.astype({"rank": np.int64, "cuts": str})
+    cut_ranks = np.sort(cuts_df["rank"].to_numpy(dtype=np.int64))
+
+    def splice(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        ranks = t["rank"].to_pylist()
+        txts = t[text_col].to_pylist()
+        cuts = t["cuts"].to_pylist()
+        n_cut, b_cut, shas = [], [], []
+        for txt, cv in zip(txts, cuts):
+            ivs = [tuple(map(int, p.split("-"))) for p in cv.split(";")] \
+                if cv else []
+            raw_b = (txt or "").encode("utf-8")
+            pieces, pos = [], 0
+            for s_, e_ in ivs:
+                pieces.append(raw_b[pos:s_])
+                pos = e_
+            pieces.append(raw_b[pos:])
+            out = b"".join(pieces)
+            n_cut.append(len(ivs))
+            b_cut.append(len(raw_b) - len(out))
+            shas.append(hashlib.sha256(out).hexdigest())
+        return pa.table({"rank": pa.array(ranks, pa.int64()),
+                         "cut_spans": pa.array(n_cut, pa.int64()),
+                         "cut_bytes": pa.array(b_cut, pa.int64()),
+                         "text_sha256": pa.array(shas, pa.string())})
+
+    joined = broadcast_join(texts, cuts_df[["rank", "cuts"]],
+                            big_on="rank", small_on="rank")
+    rewritten = joined.map_batches(splice, batch_format="pyarrow")
+
+    untouched = semi_join_filter(texts, cut_ranks, on="rank", negate=True)
+
+    def passthrough(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        shas = [hashlib.sha256((x or "").encode("utf-8")).hexdigest()
+                for x in t[text_col].to_pylist()]
+        z = np.zeros(len(shas), dtype=np.int64)
+        return pa.table({"rank": t["rank"].cast(pa.int64()),
+                         "cut_spans": pa.array(z),
+                         "cut_bytes": pa.array(z),
+                         "text_sha256": pa.array(shas, pa.string())})
+
+    return rewritten.union(untouched.map_batches(passthrough,
+                                                 batch_format="pyarrow"))
