@@ -1631,6 +1631,46 @@ def q_decontaminate(sf_dir: str):
     return ds.map_batches(score, batch_format="pyarrow").sort("doc_id")
 
 
+def q_fuzzy_decontaminate(sf_dir: str):
+    """Fuzzy benchmark decontamination (the near-dup complement of the
+    exact-13-gram decontaminate): per corpus doc (doc_id >= 20), the EXACT
+    max token-5-gram-set Jaccard vs every benchmark doc (doc_id < 20),
+    winner + flag (J >= 1/5) decided by integer cross-multiplication so
+    the DuckDB twin agrees bit-exactly. One streaming pass vs a broadcast
+    (vocab, membership-matrix) index — no shuffle; at web scale with a
+    huge benchmark, shard the index by gram hash and turn the pass into a
+    gram-keyed semi-join + per-doc partial-sum exchange."""
+    import ray
+
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from pcompress_ray.stages.textstats import (bench_gram_index,
+                                                bench_jaccard_batch)
+
+    _setup()
+    bench_rows = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filter=(pads.field("doc_id") < 20)).take_all()
+    bench_rows.sort(key=lambda r: r["doc_id"])
+    bench_ids = np.array([r["doc_id"] for r in bench_rows], np.int64)
+    index_ref = ray.put(bench_gram_index(
+        bench_ids, [r["text"] for r in bench_rows], n=5))
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.greater_equal(t["doc_id"], 20))
+        vocab, mat, sizes = ray.get(index_ref)
+        return bench_jaccard_batch(t, vocab, mat, sizes, bench_ids, n=5,
+                                   thr_num=1, thr_den=5)
+
+    return ds.map_batches(score, batch_format="pyarrow").sort("doc_id")
+
+
 def q_dataset_split(sf_dir: str):
     """Deterministic train/val/test split (~80/10/10) by content hash —
     the reproducible splitting primitive for training corpora: no RNG, no
@@ -2556,6 +2596,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup": q_semdedup,
         "weighted_sample": q_weighted_sample,
         "substring_excise": q_substring_excise,
+        "fuzzy_decontaminate": q_fuzzy_decontaminate,
     }
 
 
@@ -2655,6 +2696,63 @@ def oracle_sql() -> dict[str, str]:
     return {
         "pii_redact": _pii_sql(),
         "heuristic_filter": heuristic_filter_sql(),
+        # fuzzy decontamination: max 5-gram-set Jaccard per corpus doc vs
+        # the doc_id<20 benchmark; double ORDER BY is safe (union sizes
+        # ~100 => distinct-ratio spacing >= 1/u^2 >> double eps) and ties
+        # break to the smaller bench_id on both sides; jacc_e6 and the
+        # flag are exact-integer on both sides
+        "fuzzy_decontaminate": """
+            WITH corpus AS (
+                SELECT doc_id,
+                       list_filter(string_split(coalesce(text, ''), ' '),
+                                   x -> x <> '') AS tk
+                FROM documents WHERE doc_id >= 20
+            ), bench AS (
+                SELECT doc_id AS bench_id,
+                       list_filter(string_split(coalesce(text, ''), ' '),
+                                   x -> x <> '') AS tk
+                FROM documents WHERE doc_id < 20
+            ), cg AS (
+                SELECT DISTINCT doc_id,
+                       unnest(list_transform(range(0, len(tk) - 4),
+                           s -> array_to_string(tk[s+1 : s+5], ' '))) AS gram
+                FROM corpus WHERE len(tk) >= 5
+            ), bg AS (
+                SELECT DISTINCT bench_id,
+                       unnest(list_transform(range(0, len(tk) - 4),
+                           s -> array_to_string(tk[s+1 : s+5], ' '))) AS gram
+                FROM bench WHERE len(tk) >= 5
+            ), cs AS (
+                SELECT doc_id, COUNT(*) AS c FROM cg GROUP BY doc_id
+            ), bs AS (
+                SELECT bench_id, COUNT(*) AS c FROM bg GROUP BY bench_id
+            ), iv AS (
+                SELECT cg.doc_id, bg.bench_id, COUNT(*) AS i
+                FROM cg JOIN bg USING (gram) GROUP BY 1, 2
+            ), sc AS (
+                SELECT iv.doc_id, iv.bench_id, iv.i,
+                       cs.c + bs.c - iv.i AS u,
+                       row_number() OVER (PARTITION BY iv.doc_id
+                           ORDER BY CAST(iv.i AS DOUBLE)
+                                    / (cs.c + bs.c - iv.i) DESC,
+                                    iv.bench_id) AS rn
+                FROM iv
+                JOIN cs ON iv.doc_id = cs.doc_id
+                JOIN bs ON iv.bench_id = bs.bench_id
+            )
+            SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+                   CAST(coalesce(sc.bench_id, -1) AS BIGINT) AS bench_id,
+                   CAST(coalesce(sc.i, 0) AS BIGINT) AS n_inter,
+                   CAST(coalesce(sc.u, 0) AS BIGINT) AS n_union,
+                   CAST(coalesce(CAST(sc.i AS HUGEINT) * 1000000 // sc.u,
+                                 0) AS BIGINT) AS jacc_e6,
+                   CAST(CASE WHEN sc.i * 5 >= sc.u THEN 1 ELSE 0 END
+                        AS BIGINT) AS is_contaminated
+            FROM documents d
+            LEFT JOIN (SELECT * FROM sc WHERE rn = 1) sc
+                   ON d.doc_id = sc.doc_id
+            WHERE d.doc_id >= 20 ORDER BY doc_id
+        """,
         # weight-proportional Poisson sample: H*W < T*w*2^60, all exact
         # integers (HUGEINT); H = first 15 hex chars (60 bits, fits signed
         # BIGINT) of md5(text) — identical expression to the engine's

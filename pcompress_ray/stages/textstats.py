@@ -419,6 +419,92 @@ def contamination_batch(t: pa.Table, bench_grams, n: int = 13,
     })
 
 
+def bench_gram_index(bench_ids: np.ndarray, bench_texts: list,
+                     n: int = 5):
+    """Broadcastable benchmark index for fuzzy decontamination: sorted
+    unique gram vocabulary + a (|vocab| x n_bench) 0/1 membership matrix +
+    per-bench unique-gram-set sizes. bench_ids must be ascending (the
+    tie-break order of bench_jaccard_batch)."""
+    bt = pa.table({"doc_id": pa.array(bench_ids, pa.int64()),
+                   "text": pa.array(bench_texts, pa.string())})
+    doc, words = _split_tokens(bt, "text")
+    gdoc, grams = ngram_strings(doc, words, n)
+    if grams.size == 0:
+        return (np.empty(0, dtype=object), np.zeros((0, len(bench_ids)),
+                np.int64), np.zeros(len(bench_ids), np.int64))
+    o = np.lexsort((grams, gdoc))
+    gd, gr = gdoc[o], grams[o]
+    first = np.ones(gd.size, dtype=bool)
+    first[1:] = (gd[1:] != gd[:-1]) | (gr[1:] != gr[:-1])
+    gd, gr = gd[first], gr[first]
+    sizes = np.bincount(gd, minlength=len(bench_ids)).astype(np.int64)
+    vocab, inv = np.unique(gr, return_inverse=True)
+    mat = np.zeros((vocab.size, len(bench_ids)), dtype=np.int64)
+    mat[inv, gd] = 1
+    return vocab, mat, sizes
+
+
+def bench_jaccard_batch(t: pa.Table, vocab: np.ndarray, mat: np.ndarray,
+                        bench_sizes: np.ndarray, bench_ids: np.ndarray,
+                        n: int = 5, thr_num: int = 1, thr_den: int = 5,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> pa.Table:
+    """Fuzzy benchmark decontamination: per corpus doc, the EXACT maximum
+    token-n-gram-set Jaccard against every benchmark doc (the near-dup
+    complement of the exact-13-gram contamination_batch). All comparisons
+    are integer cross-multiplications, so the winner (ties -> smallest
+    bench id) and the flag (jaccard >= thr_num/thr_den) match the DuckDB
+    twin bit-exactly; jacc_e6 is floor(i*1e6/u) integer division. Docs with
+    zero overlap emit (bench_id=-1, 0, 0, 0, 0)."""
+    t = t.replace_schema_metadata(None)
+    ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    nrows = len(t)
+    n_bench = bench_ids.size
+    doc, words = _split_tokens(t, text_col)
+    gdoc, grams = ngram_strings(doc, words, n)
+
+    size_d = np.zeros(nrows, np.int64)
+    inter = np.zeros((nrows, n_bench), np.int64)
+    if grams.size:
+        o = np.lexsort((grams, gdoc))
+        gd, gr = gdoc[o], grams[o]
+        first = np.ones(gd.size, dtype=bool)
+        first[1:] = (gd[1:] != gd[:-1]) | (gr[1:] != gr[:-1])
+        gd, gr = gd[first], gr[first]
+        size_d = np.bincount(gd, minlength=nrows).astype(np.int64)
+        if vocab.size:
+            idx = np.searchsorted(vocab, gr)
+            idxc = np.minimum(idx, vocab.size - 1)
+            valid = vocab[idxc] == gr
+            contrib = mat[idxc] * valid[:, None]
+            np.add.at(inter, gd, contrib)
+
+    best_i = np.zeros(nrows, np.int64)
+    best_u = np.ones(nrows, np.int64)
+    best_b = np.full(nrows, -1, np.int64)
+    for b in range(n_bench):  # ascending bench id == tie-break order
+        i_b = inter[:, b]
+        u_b = size_d + bench_sizes[b] - i_b
+        better = i_b * best_u > best_i * u_b  # exact; strict keeps earlier
+        best_i = np.where(better, i_b, best_i)
+        best_u = np.where(better, u_b, best_u)
+        best_b = np.where(better, bench_ids[b], best_b)
+
+    hit = best_b >= 0
+    n_union = np.where(hit, best_u, 0)
+    jacc_e6 = np.where(hit, best_i * 1_000_000 // np.maximum(best_u, 1), 0)
+    contaminated = (hit & (best_i * thr_den >= best_u * thr_num)) \
+        .astype(np.int64)
+    return pa.table({
+        "doc_id": pa.array(ids),
+        "bench_id": pa.array(best_b),
+        "n_inter": pa.array(best_i),
+        "n_union": pa.array(n_union),
+        "jacc_e6": pa.array(jacc_e6),
+        "is_contaminated": pa.array(contaminated),
+    })
+
+
 def intradoc_repetition(t: pa.Table, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3) -> pa.Table:
     """Gopher-style intra-document repetition signal (Rae et al. 2021
