@@ -1631,6 +1631,60 @@ def q_decontaminate(sf_dir: str):
     return ds.map_batches(score, batch_format="pyarrow").sort("doc_id")
 
 
+def q_length_hist_quantiles(sf_dir: str):
+    """Per-language APPROXIMATE p50/p90 of n_chars via a fixed-width
+    histogram sketch — the scale path lang_length_quantiles' docstring
+    promises (exact quantiles need the group co-located; a histogram's
+    counts are additive, so partials are fixed-size and merge in any
+    order/layout). Bucket = min(n_chars // 16, 2047); the reported
+    quantile is the bucket lower bound (error <= 16 chars). Every step is
+    integer-exact, so the DuckDB twin reproduces the SKETCH itself, not
+    just a tolerance band. Exchange volume: <= #blocks x #langs x 2048
+    pre-aggregated rows — no corpus shuffle at any scale."""
+    from pcompress_ray.functions.ops import grouped_partitions
+
+    _setup()
+    W, B = 16, 2048
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        df = pd.DataFrame({
+            "lang": t["lang"].to_numpy(zero_copy_only=False),
+            "b": np.minimum(t["n_chars"].to_numpy(zero_copy_only=False)
+                            // W, B - 1).astype(np.int64)})
+        g = df.groupby(["lang", "b"], sort=False).size().reset_index(name="c")
+        return pa.table({"lang": pa.array(g["lang"], pa.string()),
+                         "b": pa.array(g["b"].to_numpy(np.int64)),
+                         "c": pa.array(g["c"].to_numpy(np.int64))})
+
+    def extract(part: pd.DataFrame) -> pa.Table:
+        rows = {"lang": [], "n_docs": [], "p50_approx": [], "p90_approx": []}
+        if len(part):
+            g = (part.groupby(["lang", "b"])["c"].sum().reset_index()
+                 .sort_values(["lang", "b"]))
+            for lang, sub in g.groupby("lang", sort=True):
+                cc = sub["c"].to_numpy(np.int64).cumsum()
+                n = int(cc[-1])
+                bs = sub["b"].to_numpy(np.int64)
+                rows["lang"].append(lang)
+                rows["n_docs"].append(n)
+                rows["p50_approx"].append(
+                    int(bs[np.searchsorted(cc, (n + 1) // 2)]) * W)
+                rows["p90_approx"].append(
+                    int(bs[np.searchsorted(cc, (9 * n + 9) // 10)]) * W)
+        # explicit Arrow schema (empty groups must not degrade to null type)
+        return pa.table({"lang": pa.array(rows["lang"], pa.string()),
+                         "n_docs": pa.array(rows["n_docs"], pa.int64()),
+                         "p50_approx": pa.array(rows["p50_approx"],
+                                                pa.int64()),
+                         "p90_approx": pa.array(rows["p90_approx"],
+                                                pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return grouped_partitions(parts, ["lang"], extract, n_parts=16)
+
+
 def q_fuzzy_decontaminate(sf_dir: str):
     """Fuzzy benchmark decontamination (the near-dup complement of the
     exact-13-gram decontaminate): per corpus doc (doc_id >= 20), the EXACT
@@ -2597,6 +2651,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": q_weighted_sample,
         "substring_excise": q_substring_excise,
         "fuzzy_decontaminate": q_fuzzy_decontaminate,
+        "length_hist_quantiles": q_length_hist_quantiles,
     }
 
 
@@ -2696,6 +2751,28 @@ def oracle_sql() -> dict[str, str]:
     return {
         "pii_redact": _pii_sql(),
         "heuristic_filter": heuristic_filter_sql(),
+        # histogram-sketch quantiles: the twin reproduces the SKETCH
+        # (bucket = min(n_chars // 16, 2047), rank = ceil(q*n) in exact
+        # ints, quantile = bucket lower bound), not a tolerance band
+        "length_hist_quantiles": """
+            WITH h AS (
+                SELECT lang, LEAST(n_chars // 16, 2047) AS b,
+                       COUNT(*) AS c
+                FROM documents GROUP BY 1, 2
+            ), cum AS (
+                SELECT lang, b,
+                       SUM(c) OVER (PARTITION BY lang ORDER BY b) AS cc,
+                       SUM(c) OVER (PARTITION BY lang) AS n
+                FROM h
+            )
+            SELECT lang,
+                   CAST(MAX(n) AS BIGINT) AS n_docs,
+                   CAST(MIN(CASE WHEN cc >= (n + 1) // 2 THEN b END) * 16
+                        AS BIGINT) AS p50_approx,
+                   CAST(MIN(CASE WHEN cc >= (9 * n + 9) // 10 THEN b END)
+                        * 16 AS BIGINT) AS p90_approx
+            FROM cum GROUP BY lang ORDER BY lang
+        """,
         # fuzzy decontamination: max 5-gram-set Jaccard per corpus doc vs
         # the doc_id<20 benchmark; double ORDER BY is safe (union sizes
         # ~100 => distinct-ratio spacing >= 1/u^2 >> double eps) and ties

@@ -282,3 +282,41 @@ def test_intradoc_repetition_planted():
     assert out["n_grams"].to_pylist() == [6, 2, 0, 0]
     assert out["n_dup_grams"].to_pylist() == [3, 0, 0, 0]
     assert out["dup_ratio_e6"].to_pylist() == [500000, 0, 0, 0]
+
+
+def test_bench_jaccard_planted():
+    """bench_jaccard_batch: identical doc -> J=1 flag, disjoint/short/null
+    docs -> bench_id=-1; tie goes to the smaller bench id."""
+    from pcompress_ray.stages.textstats import (bench_gram_index,
+                                                bench_jaccard_batch)
+
+    bench_ids = np.array([0, 1], dtype=np.int64)
+    b0 = "alpha beta gamma delta epsilon zeta"         # 2 5-grams
+    b1 = "one two three four five six seven"           # 3 5-grams
+    vocab, mat, sizes = bench_gram_index(bench_ids, [b0, b1], n=5)
+    assert sizes.tolist() == [2, 3]
+
+    t = pa.table({
+        "doc_id": pa.array([10, 11, 12, 13, 14], pa.int64()),
+        "text": pa.array([
+            b0,                      # identical to bench 0 -> J = 1
+            "totally disjoint words here with no overlap at all",
+            "short doc",             # < 5 tokens -> no grams
+            None,                    # null text
+            # shares its single 5-gram with BOTH benches? impossible here —
+            # instead: shares 1 of bench1's grams -> J = 1/(1+3-1) = 1/3
+            "one two three four five",
+        ], pa.string()),
+    })
+    out = bench_jaccard_batch(t, vocab, mat, sizes, bench_ids, n=5,
+                              thr_num=1, thr_den=5).to_pandas()
+    r = out.set_index("doc_id")
+    assert (r.loc[10, "bench_id"], r.loc[10, "n_inter"],
+            r.loc[10, "n_union"], r.loc[10, "jacc_e6"],
+            r.loc[10, "is_contaminated"]) == (0, 2, 2, 1_000_000, 1)
+    for d in (11, 12, 13):
+        assert (r.loc[d, "bench_id"], r.loc[d, "is_contaminated"]) == (-1, 0)
+    assert (r.loc[14, "bench_id"], r.loc[14, "n_inter"],
+            r.loc[14, "n_union"]) == (1, 1, 3)
+    assert r.loc[14, "jacc_e6"] == 333_333
+    assert r.loc[14, "is_contaminated"] == 1  # 1/3 >= 1/5
