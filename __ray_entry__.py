@@ -1631,6 +1631,80 @@ def q_decontaminate(sf_dir: str):
     return ds.map_batches(score, batch_format="pyarrow").sort("doc_id")
 
 
+def q_snapshot_diff(sf_dir: str):
+    """Cross-snapshot corpus diff — the incremental-crawl primitive
+    (pipelines/incremental.py folds new docs in; this op REPORTS what
+    changed between two crawls): per doc, added / deleted / changed /
+    unchanged. Snapshot B is derived deterministically from the documents
+    table (doc_id%11==0 deleted, doc_id%7==0 text appended, doc_id%13==0
+    cloned as a new id), the same both-engines-apply-the-rule pattern as
+    bloom_dedup. ONE doc_id-keyed exchange of tagged rows, status decided
+    per partition fully vectorized; at web scale ship (id, sha) not text."""
+    import pyarrow.compute as pc
+
+    from pcompress_ray.functions.ops import grouped_partitions
+
+    _setup()
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tag_a(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                         "side": pa.array(np.zeros(len(t), np.int64)),
+                         "text": pc.fill_null(t["text"].cast(pa.string()),
+                                              "")})
+
+    def tag_b(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        txt = np.array([x or "" for x in t["text"].to_pylist()],
+                       dtype=object)
+        keep = ids % 11 != 0
+        mod = ids % 7 == 0
+        txt = np.where(mod, txt + " updated", txt)
+        new_mask = ids % 13 == 0
+        out_ids = np.concatenate([ids[keep], ids[new_mask] + 1_000_000])
+        out_txt = np.concatenate([
+            txt[keep],
+            np.array(["new page " + str(i) for i in ids[new_mask]],
+                     dtype=object)])
+        return pa.table({"doc_id": pa.array(out_ids),
+                         "side": pa.array(np.ones(out_ids.size, np.int64)),
+                         "text": pa.array(out_txt.tolist(), pa.string())})
+
+    tagged = ds.map_batches(tag_a, batch_format="pyarrow").union(
+        ds.map_batches(tag_b, batch_format="pyarrow"))
+
+    def diff(part: pd.DataFrame) -> pa.Table:
+        rows_id, rows_st = [], []
+        if len(part):
+            ids = part["doc_id"].to_numpy(np.int64)
+            side = part["side"].to_numpy(np.int64)
+            txt = part["text"].to_numpy()
+            o = np.lexsort((side, ids))
+            ids, side, txt = ids[o], side[o], txt[o]
+            first = np.ones(ids.size, dtype=bool)
+            first[1:] = ids[1:] != ids[:-1]
+            starts = np.flatnonzero(first)
+            sizes = np.diff(np.append(starts, ids.size))
+            # size 1: side 0 -> deleted, side 1 -> added
+            # size 2: rows sorted (side0, side1) -> compare texts
+            one = sizes == 1
+            s1 = starts[one]
+            rows_id.extend(ids[s1].tolist())
+            rows_st.extend(np.where(side[s1] == 0, "deleted",
+                                    "added").tolist())
+            two = sizes == 2
+            s2 = starts[two]
+            eq = txt[s2] == txt[s2 + 1]
+            rows_id.extend(ids[s2].tolist())
+            rows_st.extend(np.where(eq, "unchanged", "changed").tolist())
+        return pa.table({"doc_id": pa.array(rows_id, pa.int64()),
+                         "status": pa.array(rows_st, pa.string())})
+
+    return grouped_partitions(tagged, ["doc_id"], diff, n_parts=32)
+
+
 def q_length_hist_quantiles(sf_dir: str):
     """Per-language APPROXIMATE p50/p90 of n_chars via a fixed-width
     histogram sketch — the scale path lang_length_quantiles' docstring
@@ -2652,6 +2726,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_excise": q_substring_excise,
         "fuzzy_decontaminate": q_fuzzy_decontaminate,
         "length_hist_quantiles": q_length_hist_quantiles,
+        "snapshot_diff": q_snapshot_diff,
     }
 
 
@@ -2751,6 +2826,31 @@ def oracle_sql() -> dict[str, str]:
     return {
         "pii_redact": _pii_sql(),
         "heuristic_filter": heuristic_filter_sql(),
+        # snapshot diff: FULL OUTER JOIN of snapshot A vs the derived B
+        # (same deterministic derivation rule the engine applies)
+        "snapshot_diff": """
+            WITH a AS (
+                SELECT doc_id, coalesce(text, '') AS text FROM documents
+            ), b0 AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0 THEN text || ' updated'
+                            ELSE text END AS text
+                FROM a WHERE doc_id % 11 <> 0
+            ), badd AS (
+                SELECT doc_id + 1000000 AS doc_id,
+                       'new page ' || CAST(doc_id AS VARCHAR) AS text
+                FROM a WHERE doc_id % 13 = 0
+            ), b AS (
+                SELECT * FROM b0 UNION ALL SELECT * FROM badd
+            )
+            SELECT CAST(coalesce(a.doc_id, b.doc_id) AS BIGINT) AS doc_id,
+                   CASE WHEN a.doc_id IS NULL THEN 'added'
+                        WHEN b.doc_id IS NULL THEN 'deleted'
+                        WHEN a.text = b.text THEN 'unchanged'
+                        ELSE 'changed' END AS status
+            FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+            ORDER BY doc_id
+        """,
         # histogram-sketch quantiles: the twin reproduces the SKETCH
         # (bucket = min(n_chars // 16, 2047), rank = ceil(q*n) in exact
         # ints, quantile = bucket lower bound), not a tolerance band

@@ -49,7 +49,9 @@ QUERY_NAMES = ["q1_pricing", "q3_top_orders", "customer_nation", "doc_stats",
                "shingle_novelty", "source_overlap", "corpus_fingerprint",
                "stratified_sample", "pmi_bigrams", "cms_top_tokens",
                "dedup_rewrite", "pii_redact", "heuristic_filter",
-               "bloom_dedup", "kmeans_clusters"]
+               "bloom_dedup", "kmeans_clusters", "semdedup",
+               "weighted_sample", "substring_excise", "fuzzy_decontaminate",
+               "length_hist_quantiles", "snapshot_diff"]
 
 
 def run_bench() -> dict:
