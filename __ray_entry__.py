@@ -1631,6 +1631,23 @@ def q_decontaminate(sf_dir: str):
     return ds.map_batches(score, batch_format="pyarrow").sort("doc_id")
 
 
+def q_dup_span_coverage(sf_dir: str):
+    """Corpus-wide duplicate-span coverage — the suffix-array substring
+    stage (north-star item) at corpus scope rather than per candidate
+    pair: per doc, how many positions start a corpus-duplicated 16-gram,
+    how many maximal merged spans they form (the reference's run merging,
+    rabin/rabin_dedup.c:1426-1448), and the union char length covered.
+    One distinct-gram discovery exchange (batch-local combiner first),
+    then broadcast marking — zero further shuffles at this dup-set size;
+    the positional semi-join fallback covers corpora whose duplicated
+    vocabulary outgrows the broadcast budget (tested equal)."""
+    from pcompress_ray.stages.dupspans import dup_span_stats
+
+    _setup()
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dup_span_stats(ds, L=16).sort("doc_id")
+
+
 def q_snapshot_diff(sf_dir: str):
     """Cross-snapshot corpus diff — the incremental-crawl primitive
     (pipelines/incremental.py folds new docs in; this op REPORTS what
@@ -2727,6 +2744,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_decontaminate": q_fuzzy_decontaminate,
         "length_hist_quantiles": q_length_hist_quantiles,
         "snapshot_diff": q_snapshot_diff,
+        "dup_span_coverage": q_dup_span_coverage,
     }
 
 
@@ -2826,6 +2844,42 @@ def oracle_sql() -> dict[str, str]:
     return {
         "pii_redact": _pii_sql(),
         "heuristic_filter": heuristic_filter_sql(),
+        # duplicate-span coverage: every position whose 16-gram (chars)
+        # recurs anywhere in the corpus; gap<=16 islands merge into spans.
+        # Literal-substring grouping — the engine's 128-bit rolling-hash
+        # twin must agree exactly.
+        "dup_span_coverage": """
+            WITH g AS (
+              SELECT doc_id, off, substr(t, off, 16) AS gram
+              FROM (
+                SELECT doc_id, t,
+                       unnest([i FOR i IN generate_series(1, length(t) - 15)]) AS off
+                FROM (SELECT doc_id, text AS t FROM documents)
+              )
+            ),
+            dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+            m AS (SELECT doc_id, off FROM g WHERE gram IN (SELECT gram FROM dup)),
+            isl AS (
+              SELECT doc_id, off,
+                     CASE WHEN off - lag(off) OVER (PARTITION BY doc_id ORDER BY off) <= 16
+                          THEN 0 ELSE 1 END AS brk
+              FROM m
+            ),
+            grp AS (
+              SELECT doc_id, off,
+                     SUM(brk) OVER (PARTITION BY doc_id ORDER BY off) AS gid
+              FROM isl
+            ),
+            spans AS (
+              SELECT doc_id, gid, count(*) AS c, min(off) AS mn, max(off) AS mx
+              FROM grp GROUP BY doc_id, gid
+            )
+            SELECT doc_id,
+                   CAST(SUM(c) AS BIGINT) AS dup_starts,
+                   CAST(COUNT(*) AS BIGINT) AS n_spans,
+                   CAST(SUM(mx - mn + 16) AS BIGINT) AS dup_chars
+            FROM spans GROUP BY doc_id ORDER BY doc_id
+        """,
         # snapshot diff: FULL OUTER JOIN of snapshot A vs the derived B
         # (same deterministic derivation rule the engine applies)
         "snapshot_diff": """

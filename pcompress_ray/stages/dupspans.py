@@ -1,0 +1,321 @@
+"""Corpus-wide duplicate-span detection — the suffix-array substring stage
+at corpus scope.
+
+Reference parity: pcompress proves exact long repeated spans through global
+chunk identity plus run merging (rabin/rabin_dedup.c:830-873 block-index
+probe, rabin/rabin_dedup.c:1426-1448 run coalescing) — but only at
+content-defined chunk granularity and only against the blocks a dedup
+context has indexed.  The north-star's "suffix-array substring stage"
+generalizes this corpus-wide: a position whose L-gram recurs ANYWHERE in
+the corpus (another doc, or another offset of the same doc) lies inside a
+duplicated span, and maximal runs of such positions are exactly the
+long-span duplicates a suffix array's repeated-substring scan reports for
+fixed L (Lee et al. 2022, "Deduplicating Training Data Makes Language
+Models Better").  Rolling polynomial k-gram hashes over hash-partitioned
+exchanges yield the same duplicated-gram set without materializing any
+global sorted structure.
+
+Shape (three stages, all streaming):
+
+1. **discovery** — per-batch partial counts of 128-bit gram keys (two
+   independent 64-bit polynomial rolling hashes; a batch-local
+   lexsort+boundary count first, so the exchange carries one row per
+   DISTINCT gram per batch, not one per corpus position), then ONE
+   hash-partitioned exchange sums counts and keeps keys seen >= 2 times.
+2. **marking** — if the duplicated-key set fits the broadcast budget it is
+   ``ray.put`` once and every batch marks its own grams locally (zero
+   further shuffles; this is the common case — duplicated-gram vocabulary
+   grows with the *duplicated* fraction, not the corpus).  Otherwise
+   positions make one hash-partitioned semi-join exchange against the
+   duplicated keys — the honest O(corpus positions) suffix-array cost —
+   and a second doc_id-keyed exchange finishes coverage.
+3. **coverage** — per doc, duplicated start offsets sorted; runs with gap
+   <= L merge into islands (the reference's run merging); emit
+   ``(doc_id, dup_starts, n_spans, dup_chars)`` where ``dup_chars`` is the
+   union length of all ``[off, off+L)`` intervals.
+
+Offsets are Unicode CODE POINTS (not bytes) so the DuckDB oracle's varchar
+``substr``/``length`` semantics match exactly; the engine rolls hashes over
+utf-32 code units.  128-bit keys make a cross-gram collision ~2^-128 per
+pair; the oracle compares literal substrings, and the pytest fixture pins
+engine == brute force on planted overlaps and broadcast == shuffle paths.
+
+100-TB notes: discovery's exchange is bounded by distinct-grams-per-batch
+(far below positions for natural text); the broadcast set is the only
+driver-resident object and is guarded by ``broadcast_limit`` with the
+semi-join fallback taking over beyond it; every stage is map_batches /
+grouped_partitions with backpressure, nothing materializes the corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from pcompress_ray.functions.ops import grouped_partitions
+from pcompress_ray.hashing import splitmix64
+from pcompress_ray.stages.suffix import _inv_u64, _powers
+
+_P1 = 0x9E3779B97F4A7C15  # golden-ratio odd multiplier (suffix.py's poly)
+_P2 = 0xC2B2AE3D27D4EB4F  # xxhash64 prime2 — independent second polynomial
+
+_OUT_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()),
+    ("dup_starts", pa.int64()),
+    ("n_spans", pa.int64()),
+    ("dup_chars", pa.int64()),
+])
+
+
+def _codepoints(text: str) -> np.ndarray:
+    """Unicode code points as uint64 (utf-32-le reinterpret, zero-copy-ish)."""
+    return np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+
+
+def _poly_kgram(x: np.ndarray, k: int, p: int) -> np.ndarray:
+    """All k-gram polynomial hashes of a uint64 symbol array, O(n).
+
+    h(i) = sum_j x[i+j] * p^(k-1-j) mod 2^64, from the q-weighted prefix
+    sum (q = p^-1 mod 2^64) exactly as suffix._RollingHasher, but
+    parameterized by p so two independent polynomials give 128-bit keys.
+    """
+    n = x.size
+    if k > n:
+        return np.empty(0, dtype=np.uint64)
+    q = _inv_u64(p)
+    qpow = _powers(q, max(n - 1, 0))[:n]
+    prefix = np.zeros(n + 1, dtype=np.uint64)
+    np.cumsum(x * qpow, out=prefix[1:])
+    ppow = _powers(p, n)
+    return (prefix[k:] - prefix[:n - k + 1]) * ppow[k - 1:n]
+
+
+def _batch_grams(t: pa.Table, L: int):
+    """(h1, h2, doc_id, off) position arrays for every L-gram in the batch.
+
+    Python iterates DOCS (one rolling-hash call per doc, all inner math
+    vectorized) — never positions.
+    """
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    texts = t["text"].to_pylist()
+    h1p, h2p, idp, offp = [], [], [], []
+    for did, txt in zip(ids, texts):
+        x = _codepoints(txt or "")
+        a = _poly_kgram(x, L, _P1)
+        if a.size == 0:
+            continue
+        h1p.append(a)
+        h2p.append(_poly_kgram(x, L, _P2))
+        idp.append(np.full(a.size, did, dtype=np.int64))
+        offp.append(np.arange(a.size, dtype=np.int64))
+    if not h1p:
+        z64 = np.empty(0, np.uint64)
+        zi = np.empty(0, np.int64)
+        return z64, z64.copy(), zi, zi.copy()
+    return (np.concatenate(h1p), np.concatenate(h2p),
+            np.concatenate(idp), np.concatenate(offp))
+
+
+def partial_gram_counts(t: pa.Table, L: int) -> pa.Table:
+    """Batch-local distinct (h1,h2) counts — the combiner before the
+    discovery exchange (one row per distinct gram per batch)."""
+    h1, h2, _, _ = _batch_grams(t, L)
+    if h1.size == 0:
+        return pa.table({"h1": pa.array([], pa.uint64()),
+                         "h2": pa.array([], pa.uint64()),
+                         "cnt": pa.array([], pa.int64())})
+    order = np.lexsort((h2, h1))
+    a, b = h1[order], h2[order]
+    first = np.empty(a.size, dtype=bool)
+    first[0] = True
+    first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    starts = np.flatnonzero(first)
+    cnt = np.diff(np.append(starts, a.size)).astype(np.int64)
+    return pa.table({"h1": a[first], "h2": b[first], "cnt": cnt})
+
+
+def _reduce_dup_keys(part: pd.DataFrame) -> pd.DataFrame:
+    """Per-partition: sum partial counts, keep keys with corpus count >= 2."""
+    g = part.groupby(["h1", "h2"], sort=False)["cnt"].sum().reset_index()
+    g = g[g["cnt"] >= 2]
+    return g[["h1", "h2"]].reset_index(drop=True)
+
+
+def discover_dup_keys(docs_ds, L: int, n_parts: int = 64):
+    """Dataset of (h1,h2) gram keys occurring >= 2 times corpus-wide."""
+    partials = docs_ds.map_batches(lambda t: partial_gram_counts(t, L),
+                                   batch_format="pyarrow")
+    return grouped_partitions(partials, ["h1"], _reduce_dup_keys,
+                              n_parts=n_parts)
+
+
+def _coverage_from_offsets(offs: np.ndarray, L: int):
+    """(dup_starts, n_spans, dup_chars) from SORTED duplicated starts."""
+    starts = np.flatnonzero(np.append(True, np.diff(offs) > L))
+    ends = np.append(starts[1:], offs.size) - 1
+    dup_chars = int(np.sum(offs[ends] - offs[starts] + L))
+    return int(offs.size), int(starts.size), dup_chars
+
+
+class MarkDupGramsBroadcast:
+    """Actor-pool marking stage: the duplicated-key set rides the object
+    store once (ray.put by the driver), each actor builds its lookup
+    structures once in __init__, every batch is marked locally with zero
+    further shuffles.
+
+    Lookup: sorted mix64(h1,h2) for a vectorized searchsorted prefilter,
+    then the (h1,h2) arrays (in mix order) confirm the full 128-bit key at
+    the hit index — exact, no Python set.
+    """
+
+    def __init__(self, dup_ref, L: int):
+        import ray
+        h1, h2 = ray.get(dup_ref)
+        mix = splitmix64(h1 ^ splitmix64(h2))
+        order = np.argsort(mix, kind="stable")
+        self.mix = mix[order]
+        self.h1 = h1[order]
+        self.h2 = h2[order]
+        self.L = L
+
+    def _mask(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        if self.mix.size == 0 or h1.size == 0:
+            return np.zeros(h1.size, dtype=bool)
+        m = splitmix64(h1 ^ splitmix64(h2))
+        lo = np.searchsorted(self.mix, m, side="left")
+        hi = np.searchsorted(self.mix, m, side="right")
+        found = hi > lo
+        idx = np.minimum(lo, self.mix.size - 1)
+        ok = found & (self.h1[idx] == h1) & (self.h2[idx] == h2)
+        # mix-collision stragglers (range > 1, first slot mismatched): rare
+        # enough to probe individually without ever mattering.
+        widen = found & ~ok & (hi - lo > 1)
+        for i in np.flatnonzero(widen):
+            sl = slice(lo[i], hi[i])
+            ok[i] = bool(np.any((self.h1[sl] == h1[i]) & (self.h2[sl] == h2[i])))
+        return ok
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        out_id, out_s, out_n, out_c = [], [], [], []
+        for did, txt in zip(ids, texts):
+            x = _codepoints(txt or "")
+            a = _poly_kgram(x, self.L, _P1)
+            if a.size == 0:
+                continue
+            b = _poly_kgram(x, self.L, _P2)
+            offs = np.flatnonzero(self._mask(a, b))
+            if offs.size == 0:
+                continue
+            s, n, c = _coverage_from_offsets(offs, self.L)
+            out_id.append(int(did)); out_s.append(s)
+            out_n.append(n); out_c.append(c)
+        return pa.table({"doc_id": np.asarray(out_id, np.int64),
+                         "dup_starts": np.asarray(out_s, np.int64),
+                         "n_spans": np.asarray(out_n, np.int64),
+                         "dup_chars": np.asarray(out_c, np.int64)},
+                        schema=_OUT_SCHEMA)
+
+
+def _semi_join_positions(part: pd.DataFrame) -> pd.DataFrame:
+    """Per-partition semi-join: keep positions whose (h1,h2) appears on the
+    key side (side==0).  Both sides of any key co-locate (partitioned on
+    h1)."""
+    keys = part[part["side"] == 0]
+    pos = part[part["side"] == 1]
+    if keys.empty or pos.empty:
+        return pd.DataFrame({"doc_id": np.empty(0, np.int64),
+                             "off": np.empty(0, np.int64)})
+    hit = pos.merge(keys[["h1", "h2"]].drop_duplicates(), on=["h1", "h2"])
+    return pd.DataFrame({"doc_id": hit["doc_id"].to_numpy(np.int64),
+                         "off": hit["off"].to_numpy(np.int64)})
+
+
+def _coverage_partition(part: pd.DataFrame, L: int) -> pd.DataFrame:
+    """Per-partition (doc_id-keyed) island merge — fully vectorized across
+    the partition's docs."""
+    part = part.sort_values(["doc_id", "off"], kind="stable")
+    d = part["doc_id"].to_numpy(np.int64)
+    o = part["off"].to_numpy(np.int64)
+    n = d.size
+    if n == 0:
+        return pd.DataFrame({c: np.empty(0, np.int64) for c in
+                             ("doc_id", "dup_starts", "n_spans", "dup_chars")})
+    newdoc = np.empty(n, dtype=bool)
+    newdoc[0] = True
+    newdoc[1:] = d[1:] != d[:-1]
+    brk = newdoc.copy()
+    brk[1:] |= (o[1:] - o[:-1]) > L
+    isl_start = np.flatnonzero(brk)                    # island -> row index
+    isl_end = np.append(isl_start[1:], n) - 1
+    isl_len = o[isl_end] - o[isl_start] + L            # chars per island
+    doc_start = np.flatnonzero(newdoc)                 # doc -> row index
+    dup_starts = np.diff(np.append(doc_start, n))      # rows per doc
+    # islands are doc-contiguous: count + sum per doc via reduceat over the
+    # island axis at each doc's first island.
+    isl_doc_first = np.searchsorted(isl_start, doc_start)
+    n_spans = np.diff(np.append(isl_doc_first, isl_start.size))
+    dup_chars = np.add.reduceat(isl_len, isl_doc_first)
+    return pd.DataFrame({"doc_id": d[doc_start],
+                         "dup_starts": dup_starts.astype(np.int64),
+                         "n_spans": n_spans.astype(np.int64),
+                         "dup_chars": dup_chars.astype(np.int64)})
+
+
+def dup_span_stats(docs_ds, L: int = 16, n_parts: int = 64,
+                   broadcast_limit: int = 4_000_000, concurrency=None):
+    """Per-doc duplicated-span coverage vs the whole corpus.
+
+    Returns a Dataset of (doc_id, dup_starts, n_spans, dup_chars) for every
+    doc containing at least one corpus-duplicated L-gram (char offsets).
+    Chooses broadcast marking when the duplicated-key set is small enough,
+    else the positional semi-join exchange; both paths are tested equal.
+    """
+    import ray
+
+    dup = discover_dup_keys(docs_ds, L, n_parts=n_parts).materialize()
+    n_dup = dup.count()
+
+    if n_dup <= broadcast_limit:
+        df = dup.to_pandas()
+        ref = ray.put((df["h1"].to_numpy(np.uint64),
+                       df["h2"].to_numpy(np.uint64)))
+
+        # stateless tasks + per-worker instance cache (same rationale as
+        # dedup_pipeline's sig_fn: the lookup build is ~ms, actors pay this
+        # sandbox's cold-start; the dup array itself rides plasma once).
+        def mark(batch: pa.Table, _cache: dict = {}) -> pa.Table:
+            stage = _cache.get("stage")
+            if stage is None:
+                stage = MarkDupGramsBroadcast(ref, L)
+                _cache["stage"] = stage
+            return stage(batch)
+
+        kwargs = {"batch_format": "pyarrow"}
+        if concurrency is not None:
+            kwargs["concurrency"] = concurrency
+        return docs_ds.map_batches(mark, **kwargs)
+
+    # Scale path: positions + keys make one h1-keyed exchange (semi-join),
+    # survivors one doc_id-keyed exchange (coverage).
+    def positions(t: pa.Table) -> pa.Table:
+        h1, h2, did, off = _batch_grams(t, L)
+        return pa.table({"h1": h1, "h2": h2, "doc_id": did, "off": off,
+                         "side": np.ones(h1.size, dtype=np.int8)})
+
+    def keys_side(t: pa.Table) -> pa.Table:
+        z = len(t)
+        return pa.table({"h1": t["h1"], "h2": t["h2"],
+                         "doc_id": np.zeros(z, np.int64),
+                         "off": np.zeros(z, np.int64),
+                         "side": np.zeros(z, np.int8)})
+
+    pos = docs_ds.map_batches(positions, batch_format="pyarrow")
+    keys = dup.map_batches(keys_side, batch_format="pyarrow")
+    marked = grouped_partitions(pos.union(keys), ["h1"],
+                                _semi_join_positions, n_parts=n_parts)
+    return grouped_partitions(marked, ["doc_id"],
+                              lambda p: _coverage_partition(p, L),
+                              n_parts=n_parts)

@@ -1,0 +1,97 @@
+"""Corpus-wide duplicate-span stage == brute-force gram oracle on a
+planted corpus; broadcast marking == positional semi-join fallback."""
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from pcompress_ray.stages.dupspans import (
+    _coverage_from_offsets, dup_span_stats, partial_gram_counts)
+
+
+def _brute(docs: dict[int, str], L: int) -> pd.DataFrame:
+    cnt = Counter()
+    for t in docs.values():
+        for i in range(len(t) - L + 1):
+            cnt[t[i:i + L]] += 1
+    rows = []
+    for did in sorted(docs):
+        t = docs[did]
+        offs = [i for i in range(len(t) - L + 1) if cnt[t[i:i + L]] >= 2]
+        if not offs:
+            continue
+        spans = []
+        for o in offs:
+            if spans and o <= spans[-1][1]:     # overlap or touch
+                spans[-1][1] = o + L
+            else:
+                spans.append([o, o + L])
+        rows.append({"doc_id": did, "dup_starts": len(offs),
+                     "n_spans": len(spans),
+                     "dup_chars": sum(e - s for s, e in spans)})
+    return pd.DataFrame(rows)
+
+
+def _planted_docs() -> dict[int, str]:
+    rng = np.random.default_rng(7)
+    alpha = np.array(list("abcdefghijklmnopqrstuvwxyz "), dtype="<U1")
+
+    def rand(n):
+        return "".join(rng.choice(alpha, size=n))
+
+    shared = rand(60)                       # long shared span, 2 docs
+    boiler = rand(25)                       # boilerplate in many docs
+    docs = {
+        0: rand(40) + shared + rand(30),
+        1: rand(35) + shared + rand(20) + boiler,
+        2: boiler + rand(80),
+        3: rand(50) + boiler + rand(10) + boiler,   # intra-doc repeat
+        4: rand(120),                       # clean
+        5: "tiny",                          # shorter than L
+        6: rand(90),                        # clean
+    }
+    docs[7] = docs[0]                       # exact dup doc
+    return docs
+
+
+@pytest.mark.parametrize("L", [8, 16])
+def test_dup_spans_match_brute_force(ray_session, L):
+    import ray.data as rd
+
+    docs = _planted_docs()
+    want = _brute(docs, L)
+    ds = rd.from_pandas(pd.DataFrame(
+        {"doc_id": list(docs), "text": list(docs.values())}))
+
+    got_b = dup_span_stats(ds, L=L).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got_b, want.reset_index(drop=True), check_dtype=False)
+
+    # force the positional semi-join path; must agree exactly
+    got_s = dup_span_stats(ds, L=L, broadcast_limit=0,
+                           n_parts=5).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got_s, want.reset_index(drop=True), check_dtype=False)
+
+
+def test_partial_counts_distinct_per_batch():
+    t = pa.table({"doc_id": [1, 2], "text": ["abcabc", "abcx"]})
+    out = partial_gram_counts(t, 3)
+    # grams: abc,bca,cab,abc | abc,bcx -> abc count 3, others 1
+    cnts = sorted(out["cnt"].to_pylist())
+    assert cnts == [1, 1, 1, 3]
+
+
+def test_coverage_from_offsets_islands():
+    # offsets 0,1,2 merge (gap<=L), 30 separate, L=4
+    s, n, c = _coverage_from_offsets(np.array([0, 1, 2, 30]), 4)
+    assert (s, n, c) == (4, 2, 10)
+    # touching exactly at gap == L merges
+    s, n, c = _coverage_from_offsets(np.array([0, 4]), 4)
+    assert (s, n, c) == (2, 1, 8)
+    s, n, c = _coverage_from_offsets(np.array([0, 5]), 4)
+    assert (s, n, c) == (2, 2, 8)
