@@ -1648,6 +1648,57 @@ def q_dup_span_coverage(sf_dir: str):
     return dup_span_stats(ds, L=16).sort("doc_id")
 
 
+_BPE_MERGES = 48  # merge count for the bpe_* queries (vocab-sized work;
+# small enough that the sf tables' compact synthetic vocabulary does NOT
+# fully merge — n_bpe_tokens stays a non-degenerate per-doc signal)
+
+
+def _bpe_train(sf_dir: str):
+    """Shared trainer for the bpe_* queries: one word-count exchange, then
+    vocabulary-sized driver work (see stages/bpe.py scale notes)."""
+    from pcompress_ray.stages.bpe import train_bpe, word_vocab
+
+    _setup()
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    vocab = word_vocab(ds, max_words=50_000)
+    merges = train_bpe(vocab["word"].tolist(), vocab["cnt"].tolist(),
+                       n_merges=_BPE_MERGES)
+    return ds, merges
+
+
+def q_bpe_merges(sf_dir: str):
+    """BPE tokenizer training (Sennrich et al. 2016) — the corpus-statistics
+    analog of the reference's adaptive dictionary learning: ONE distributed
+    word-frequency exchange (batch-local Counter combiner, per-partition
+    deterministic top-k, bounded driver pull) compresses the corpus into a
+    weighted vocabulary; merges are trained on that table, corpus-size-
+    independent. Deterministic tie-breaks -> same merges at any parallelism.
+    Not SQL-expressible (iterative); pinned by the Sennrich fixed-vector +
+    determinism pytest."""
+    _, merges = _bpe_train(sf_dir)
+    return pd.DataFrame({
+        "rank": np.arange(len(merges), dtype=np.int64),
+        "left": [m[0] for m in merges],
+        "right": [m[1] for m in merges],
+        "pair_count": np.array([m[2] for m in merges], dtype=np.int64),
+    })
+
+
+def q_bpe_token_counts(sf_dir: str):
+    """Apply the trained BPE: per-doc (n_words, n_bpe_tokens) via an
+    embarrassingly parallel map_batches with per-worker word->len memoization
+    (merge ranks ride plasma once). Rows-only; pytest pins encode semantics
+    against the training fixed point (encoding a training word reproduces
+    its final training sequence)."""
+    import ray
+
+    from pcompress_ray.stages.bpe import bpe_token_counts
+
+    ds, merges = _bpe_train(sf_dir)
+    ref = ray.put([(l, r) for l, r, _ in merges])
+    return bpe_token_counts(ds, ref).sort("doc_id")
+
+
 def q_snapshot_diff(sf_dir: str):
     """Cross-snapshot corpus diff — the incremental-crawl primitive
     (pipelines/incremental.py folds new docs in; this op REPORTS what
@@ -2745,6 +2796,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_hist_quantiles": q_length_hist_quantiles,
         "snapshot_diff": q_snapshot_diff,
         "dup_span_coverage": q_dup_span_coverage,
+        "bpe_merges": q_bpe_merges,
+        "bpe_token_counts": q_bpe_token_counts,
     }
 
 

@@ -51,7 +51,8 @@ QUERY_NAMES = ["q1_pricing", "q3_top_orders", "customer_nation", "doc_stats",
                "dedup_rewrite", "pii_redact", "heuristic_filter",
                "bloom_dedup", "kmeans_clusters", "semdedup",
                "weighted_sample", "substring_excise", "fuzzy_decontaminate",
-               "length_hist_quantiles", "snapshot_diff", "dup_span_coverage"]
+               "length_hist_quantiles", "snapshot_diff", "dup_span_coverage",
+               "bpe_merges", "bpe_token_counts"]
 
 
 def run_bench() -> dict:
