@@ -104,3 +104,37 @@ def test_batch_word_counts_schema_empty():
                                       "text": pa.array([], pa.string())}))
     assert out.schema.field("cnt").type == pa.int64()
     assert len(out) == 0
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+
+@pytest.mark.skipif(not _HYP, reason="hypothesis unavailable")
+@settings(max_examples=60, deadline=None)
+@given(words=st.lists(st.text(alphabet="abc", min_size=1, max_size=10),
+                      min_size=1, max_size=12),
+       counts=st.lists(st.integers(min_value=1, max_value=9), min_size=12,
+                       max_size=12),
+       probe=st.text(alphabet="abc", min_size=0, max_size=14),
+       n_merges=st.integers(min_value=0, max_value=15))
+def test_encode_equals_replay_property(words, counts, probe, n_merges):
+    """encode_word (min-rank-first) == replaying merges in rank order, for
+    ARBITRARY words — the classic BPE equivalence (a pair of existing
+    tokens can never be newly created by a later merge)."""
+    merges = train_bpe(words, counts[:len(words)], n_merges)
+    ranks = {(l, r): i for i, (l, r, _) in enumerate(merges)}
+    seq = list(probe)
+    for l, r, _ in merges:
+        i = 0
+        while i < len(seq) - 1:
+            if seq[i] == l and seq[i + 1] == r:
+                seq[i:i + 2] = [l + r]
+            else:
+                i += 1
+    assert encode_word(probe, ranks) == seq

@@ -95,3 +95,59 @@ def test_coverage_from_offsets_islands():
     assert (s, n, c) == (2, 1, 8)
     s, n, c = _coverage_from_offsets(np.array([0, 5]), 4)
     assert (s, n, c) == (2, 2, 8)
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+
+@pytest.mark.skipif(not _HYP, reason="hypothesis unavailable")
+@settings(max_examples=80, deadline=None)
+@given(offs=st.lists(st.integers(min_value=0, max_value=500), min_size=1,
+                     max_size=60, unique=True),
+       L=st.integers(min_value=1, max_value=20))
+def test_coverage_property(offs, L):
+    offs = np.array(sorted(offs), dtype=np.int64)
+    s, n, c = _coverage_from_offsets(offs, L)
+    ivs = []
+    for o in offs.tolist():
+        if ivs and o <= ivs[-1][1]:
+            ivs[-1][1] = o + L
+        else:
+            ivs.append([o, o + L])
+    assert s == offs.size and n == len(ivs)
+    assert c == sum(e - b for b, e in ivs)
+
+
+@pytest.mark.skipif(not _HYP, reason="hypothesis unavailable")
+@settings(max_examples=40, deadline=None)
+@given(texts=st.lists(st.text(alphabet="abcd", min_size=0, max_size=80),
+                      min_size=1, max_size=8),
+       L=st.integers(min_value=2, max_value=6))
+def test_gram_hash_marking_matches_literal(texts, L):
+    """128-bit rolling-hash duplicated-gram marking == literal-substring
+    marking on adversarially repetitive small alphabets (no Ray; kernel
+    only)."""
+    from pcompress_ray.stages.dupspans import _P1, _P2, _codepoints, _poly_kgram
+
+    lit = Counter()
+    for t in texts:
+        for i in range(len(t) - L + 1):
+            lit[t[i:i + L]] += 1
+    hc = Counter()
+    per_doc = []
+    for t in texts:
+        x = _codepoints(t)
+        h1, h2 = _poly_kgram(x, L, _P1), _poly_kgram(x, L, _P2)
+        keys = list(zip(h1.tolist(), h2.tolist()))
+        per_doc.append((t, keys))
+        hc.update(keys)
+    for t, keys in per_doc:
+        want = [i for i in range(len(t) - L + 1) if lit[t[i:i + L]] >= 2]
+        got = [i for i, k in enumerate(keys) if hc[k] >= 2]
+        assert got == want
