@@ -1699,6 +1699,23 @@ def q_bpe_token_counts(sf_dir: str):
     return bpe_token_counts(ds, ref).sort("doc_id")
 
 
+def q_dup_span_excise(sf_dir: str):
+    """The ACTION half of dup_span_coverage — Lee-et-al exact substring
+    self-dedup as a corpus rewrite: every position whose 16-gram occurred
+    at a strictly earlier global (doc_id, off) is excised (islands merged
+    at gap<=16 == the reference's backward-reference run coalescing,
+    rabin/rabin_dedup.c:1426-1448; 'earlier occurrence wins' == its
+    backward-pointing refs), and the spliced documents are re-emitted.
+    Discovery carries (count, min packed position) per distinct gram;
+    broadcast marking, with a two-exchange fallback where doc text crosses
+    the wire exactly once (tested equal)."""
+    from pcompress_ray.stages.dupspans import dup_span_excise
+
+    _setup()
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dup_span_excise(ds, L=16).sort("doc_id")
+
+
 def q_snapshot_diff(sf_dir: str):
     """Cross-snapshot corpus diff — the incremental-crawl primitive
     (pipelines/incremental.py folds new docs in; this op REPORTS what
@@ -2796,6 +2813,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_hist_quantiles": q_length_hist_quantiles,
         "snapshot_diff": q_snapshot_diff,
         "dup_span_coverage": q_dup_span_coverage,
+        "dup_span_excise": q_dup_span_excise,
         "bpe_merges": q_bpe_merges,
         "bpe_token_counts": q_bpe_token_counts,
     }
@@ -2932,6 +2950,65 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_spans,
                    CAST(SUM(mx - mn + 16) AS BIGINT) AS dup_chars
             FROM spans GROUP BY doc_id ORDER BY doc_id
+        """,
+        # duplicate-span EXCISION: remove positions whose 16-gram occurred
+        # at a strictly earlier (doc_id*1e6+off); splice kept pieces back
+        # with string_agg. Same packing constant as the engine's
+        # dupspans._POS_BASE (both guard off < 1e6-1).
+        "dup_span_excise": """
+            WITH g AS (
+              SELECT doc_id, off, substr(t, off, 16) AS gram
+              FROM (
+                SELECT doc_id, t,
+                       unnest([i FOR i IN generate_series(1, length(t) - 15)]) AS off
+                FROM (SELECT doc_id, text AS t FROM documents)
+              )
+            ),
+            stats AS (
+              SELECT gram, count(*) AS c, min(doc_id * 1000000 + off) AS mn
+              FROM g GROUP BY gram
+            ),
+            rem AS (
+              SELECT doc_id, off FROM g JOIN stats USING (gram)
+              WHERE c >= 2 AND doc_id * 1000000 + off > mn
+            ),
+            isl AS (
+              SELECT doc_id, off,
+                     CASE WHEN off - lag(off) OVER (PARTITION BY doc_id ORDER BY off) <= 16
+                          THEN 0 ELSE 1 END AS brk
+              FROM rem
+            ),
+            grp AS (
+              SELECT doc_id, off,
+                     SUM(brk) OVER (PARTITION BY doc_id ORDER BY off) AS gid
+              FROM isl
+            ),
+            spans AS (
+              SELECT doc_id, min(off) AS s, max(off) + 16 AS e
+              FROM grp GROUP BY doc_id, gid
+            ),
+            pieces AS (
+              SELECT doc_id,
+                     coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 1) AS ks,
+                     s AS ke
+              FROM spans
+              UNION ALL
+              SELECT sp.doc_id, max(sp.e), any_value(length(d.text)) + 1
+              FROM spans sp JOIN documents d USING (doc_id) GROUP BY sp.doc_id
+            ),
+            rebuilt AS (
+              SELECT p.doc_id,
+                     string_agg(substr(d.text, p.ks, p.ke - p.ks), ''
+                                ORDER BY p.ks) AS new_text
+              FROM pieces p JOIN documents d USING (doc_id)
+              GROUP BY p.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(r.new_text, d.text) AS new_text,
+                   CAST(length(d.text) - length(coalesce(r.new_text, d.text))
+                        AS BIGINT) AS removed_chars
+            FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+            ORDER BY d.doc_id
         """,
         # snapshot diff: FULL OUTER JOIN of snapshot A vs the derived B
         # (same deterministic derivation rule the engine applies)

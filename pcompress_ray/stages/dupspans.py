@@ -319,3 +319,219 @@ def dup_span_stats(docs_ds, L: int = 16, n_parts: int = 64,
     return grouped_partitions(marked, ["doc_id"],
                               lambda p: _coverage_partition(p, L),
                               n_parts=n_parts)
+
+
+# ---------------------------------------------------------------------------
+# Excision: the action half (Lee et al. exact substring self-dedup) — remove
+# every position whose L-gram occurred at a strictly earlier corpus position
+# (lexicographic (doc_id, off); ties impossible), splice the survivors.
+# ---------------------------------------------------------------------------
+
+_POS_BASE = np.int64(1_000_000)  # packed = doc_id * 1e6 + off (off < 1e6
+# guarded) — matches the DuckDB twin's doc_id * 1000000 + off ordering
+
+
+def _packed_pos(doc_id: np.ndarray, off: np.ndarray) -> np.ndarray:
+    if off.size and int(off.max()) >= int(_POS_BASE) - 1:
+        raise ValueError("dup_span_excise packs (doc_id, off) into int64 "
+                         "with base 1e6; docs must be < 1e6-1 chars")
+    return doc_id * _POS_BASE + off
+
+
+def partial_gram_stats(t: pa.Table, L: int) -> pa.Table:
+    """Batch-local per-distinct-gram (count, min packed position) — the
+    combiner before the excision discovery exchange."""
+    h1, h2, did, off = _batch_grams(t, L)
+    if h1.size == 0:
+        return pa.table({"h1": pa.array([], pa.uint64()),
+                         "h2": pa.array([], pa.uint64()),
+                         "cnt": pa.array([], pa.int64()),
+                         "mn": pa.array([], pa.int64())})
+    packed = _packed_pos(did, off)
+    order = np.lexsort((h2, h1))
+    a, b, p = h1[order], h2[order], packed[order]
+    first = np.empty(a.size, dtype=bool)
+    first[0] = True
+    first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    starts = np.flatnonzero(first)
+    cnt = np.diff(np.append(starts, a.size)).astype(np.int64)
+    mn = np.minimum.reduceat(p, starts)
+    return pa.table({"h1": a[first], "h2": b[first], "cnt": cnt, "mn": mn})
+
+
+def _reduce_dup_stats(part: pd.DataFrame) -> pd.DataFrame:
+    g = part.groupby(["h1", "h2"], sort=False).agg(
+        cnt=("cnt", "sum"), mn=("mn", "min")).reset_index()
+    g = g[g["cnt"] >= 2]
+    return g[["h1", "h2", "mn"]].reset_index(drop=True)
+
+
+def splice_out(text: str, offs: np.ndarray, L: int) -> str:
+    """Remove merged [off, off+L) islands (code-point offsets) from text."""
+    if offs.size == 0:
+        return text
+    starts = np.flatnonzero(np.append(True, np.diff(offs) > L))
+    s = offs[starts]
+    e = np.append(offs[starts[1:] - 1], offs[-1]) + L
+    pieces, pos = [], 0
+    for a, b in zip(s.tolist(), e.tolist()):
+        pieces.append(text[pos:a])
+        pos = b
+    pieces.append(text[pos:])
+    return "".join(pieces)
+
+
+class _ExciseBroadcast:
+    """Marking + splicing against the broadcast (h1, h2, mn) table."""
+
+    def __init__(self, dup_ref, L: int):
+        import ray
+        h1, h2, mn = ray.get(dup_ref)
+        mix = splitmix64(h1 ^ splitmix64(h2))
+        order = np.argsort(mix, kind="stable")
+        self.mix, self.h1, self.h2 = mix[order], h1[order], h2[order]
+        self.mn = mn[order]
+        self.L = L
+
+    def _removable(self, h1, h2, packed):
+        if self.mix.size == 0 or h1.size == 0:
+            return np.zeros(h1.size, dtype=bool)
+        m = splitmix64(h1 ^ splitmix64(h2))
+        lo = np.searchsorted(self.mix, m, side="left")
+        hi = np.searchsorted(self.mix, m, side="right")
+        found = hi > lo
+        idx = np.minimum(lo, self.mix.size - 1)
+        ok = found & (self.h1[idx] == h1) & (self.h2[idx] == h2)
+        out = ok & (packed > self.mn[idx])
+        widen = found & ~ok & (hi - lo > 1)
+        for i in np.flatnonzero(widen):
+            sl = slice(lo[i], hi[i])
+            j = np.flatnonzero((self.h1[sl] == h1[i]) & (self.h2[sl] == h2[i]))
+            if j.size:
+                out[i] = packed[i] > self.mn[lo[i] + j[0]]
+        return out
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        out = []
+        for did, txt in zip(ids, texts):
+            txt = txt or ""
+            x = _codepoints(txt)
+            a = _poly_kgram(x, self.L, _P1)
+            if a.size:
+                b = _poly_kgram(x, self.L, _P2)
+                off = np.arange(a.size, dtype=np.int64)
+                packed = _packed_pos(np.full(a.size, did, np.int64), off)
+                offs = np.flatnonzero(self._removable(a, b, packed))
+                new = splice_out(txt, offs.astype(np.int64), self.L)
+            else:
+                new = txt
+            out.append((int(did), new, len(txt) - len(new)))
+        return pa.table({"doc_id": np.array([r[0] for r in out], np.int64),
+                         "new_text": [r[1] for r in out],
+                         "removed_chars": np.array([r[2] for r in out],
+                                                   np.int64)},
+                        schema=pa.schema([("doc_id", pa.int64()),
+                                          ("new_text", pa.string()),
+                                          ("removed_chars", pa.int64())]))
+
+
+def dup_span_excise(docs_ds, L: int = 16, n_parts: int = 64,
+                    broadcast_limit: int = 4_000_000):
+    """Corpus-wide exact-substring self-dedup rewrite: every position whose
+    L-gram occurred at a strictly earlier (doc_id, off) is excised (islands
+    merged at gap<=L, as the coverage op / the reference's run merging);
+    returns (doc_id, new_text, removed_chars) for EVERY doc.
+
+    Broadcast path when the duplicated-gram table fits the budget; else the
+    honest scale path: positions + keys make one h1-keyed exchange (filter
+    packed > mn), then survivors + doc TEXTS make one doc_id-keyed exchange
+    (text crosses the wire exactly once) where each partition splices its
+    own docs.
+    """
+    import ray
+
+    partials = docs_ds.map_batches(lambda t: partial_gram_stats(t, L),
+                                   batch_format="pyarrow")
+    dup = grouped_partitions(partials, ["h1"], _reduce_dup_stats,
+                             n_parts=n_parts).materialize()
+
+    if dup.count() <= broadcast_limit:
+        df = dup.to_pandas()
+        ref = ray.put((df["h1"].to_numpy(np.uint64),
+                       df["h2"].to_numpy(np.uint64),
+                       df["mn"].to_numpy(np.int64)))
+
+        def excise(batch: pa.Table, _cache: dict = {}) -> pa.Table:
+            stage = _cache.get("stage")
+            if stage is None:
+                stage = _ExciseBroadcast(ref, L)
+                _cache["stage"] = stage
+            return stage(batch)
+
+        return docs_ds.map_batches(excise, batch_format="pyarrow")
+
+    def positions(t: pa.Table) -> pa.Table:
+        h1, h2, did, off = _batch_grams(t, L)
+        return pa.table({"h1": h1, "h2": h2, "doc_id": did, "off": off,
+                         "mn": np.zeros(h1.size, np.int64),
+                         "side": np.ones(h1.size, np.int8)})
+
+    def keys_side(t: pa.Table) -> pa.Table:
+        z = len(t)
+        return pa.table({"h1": t["h1"], "h2": t["h2"],
+                         "doc_id": np.zeros(z, np.int64),
+                         "off": np.zeros(z, np.int64), "mn": t["mn"],
+                         "side": np.zeros(z, np.int8)})
+
+    def semi(part: pd.DataFrame) -> pd.DataFrame:
+        keys = part[part["side"] == 0]
+        pos = part[part["side"] == 1]
+        if keys.empty or pos.empty:
+            return pd.DataFrame({"doc_id": np.empty(0, np.int64),
+                                 "off": np.empty(0, np.int64)})
+        hit = pos.merge(keys[["h1", "h2", "mn"]], on=["h1", "h2"],
+                        suffixes=("", "_k"))
+        d = hit["doc_id"].to_numpy(np.int64)
+        o = hit["off"].to_numpy(np.int64)
+        keep = _packed_pos(d, o) > hit["mn_k"].to_numpy(np.int64)
+        return pd.DataFrame({"doc_id": d[keep], "off": o[keep]})
+
+    pos = docs_ds.map_batches(positions, batch_format="pyarrow")
+    keys = dup.map_batches(keys_side, batch_format="pyarrow")
+    removable = grouped_partitions(pos.union(keys), ["h1"], semi,
+                                   n_parts=n_parts)
+
+    # doc-keyed exchange: text rides once, removable offsets join it there
+    def doc_side(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                         "off": np.full(len(t), -1, np.int64),
+                         "text": t["text"].cast(pa.string())})
+
+    def rem_side(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                         "off": t["off"].cast(pa.int64()),
+                         "text": pa.array([None] * len(t), pa.string())})
+
+    def splice_part(part: pd.DataFrame) -> pd.DataFrame:
+        docs = part[part["off"] < 0]
+        rem = part[part["off"] >= 0]
+        rem = rem.sort_values(["doc_id", "off"], kind="stable")
+        by_doc = {k: v["off"].to_numpy(np.int64)
+                  for k, v in rem.groupby("doc_id", sort=False)}
+        out_id, out_t, out_r = [], [], []
+        for did, txt in zip(docs["doc_id"].to_numpy(np.int64),
+                            docs["text"].tolist()):
+            txt = txt or ""
+            new = splice_out(txt, by_doc.get(did, np.empty(0, np.int64)), L)
+            out_id.append(did)
+            out_t.append(new)
+            out_r.append(len(txt) - len(new))
+        return pd.DataFrame({"doc_id": np.array(out_id, np.int64),
+                             "new_text": out_t,
+                             "removed_chars": np.array(out_r, np.int64)})
+
+    both = docs_ds.map_batches(doc_side, batch_format="pyarrow").union(
+        removable.map_batches(rem_side, batch_format="pyarrow"))
+    return grouped_partitions(both, ["doc_id"], splice_part, n_parts=n_parts)

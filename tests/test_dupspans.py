@@ -151,3 +151,68 @@ def test_gram_hash_marking_matches_literal(texts, L):
         want = [i for i in range(len(t) - L + 1) if lit[t[i:i + L]] >= 2]
         got = [i for i, k in enumerate(keys) if hc[k] >= 2]
         assert got == want
+
+
+def _brute_excise(docs: dict[int, str], L: int) -> pd.DataFrame:
+    cnt = Counter()
+    first = {}
+    for did in sorted(docs):
+        t = docs[did]
+        for i in range(len(t) - L + 1):
+            gm = t[i:i + L]
+            cnt[gm] += 1
+            first.setdefault(gm, (did, i))
+    rows = []
+    for did in sorted(docs):
+        t = docs[did]
+        rem = [i for i in range(len(t) - L + 1)
+               if cnt[t[i:i + L]] >= 2 and first[t[i:i + L]] < (did, i)]
+        ivs = []
+        for o in rem:
+            if ivs and o <= ivs[-1][1]:
+                ivs[-1][1] = o + L
+            else:
+                ivs.append([o, o + L])
+        pieces, pos = [], 0
+        for s, e in ivs:
+            pieces.append(t[pos:s])
+            pos = e
+        pieces.append(t[pos:])
+        nt = "".join(pieces)
+        rows.append({"doc_id": did, "new_text": nt,
+                     "removed_chars": len(t) - len(nt)})
+    return pd.DataFrame(rows)
+
+
+@pytest.mark.parametrize("L", [8, 16])
+def test_dup_span_excise_matches_brute_force(ray_session, L):
+    import ray.data as rd
+
+    from pcompress_ray.stages.dupspans import dup_span_excise
+
+    docs = _planted_docs()
+    want = _brute_excise(docs, L)
+    ds = rd.from_pandas(pd.DataFrame(
+        {"doc_id": list(docs), "text": list(docs.values())}))
+
+    got_b = dup_span_excise(ds, L=L).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_b, want, check_dtype=False)
+
+    # no duplicated L-gram may survive ACROSS the kept first occurrences?
+    # (not guaranteed single-pass — Lee et al. semantics; but removal must
+    # be monotone: total chars only shrink, first doc is untouched)
+    assert (got_b["removed_chars"] >= 0).all()
+    assert got_b.loc[got_b["doc_id"] == 0, "new_text"].iloc[0] == docs[0]
+
+    got_s = dup_span_excise(ds, L=L, broadcast_limit=0,
+                            n_parts=5).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_s, want, check_dtype=False)
+
+
+def test_excise_packing_guard():
+    from pcompress_ray.stages.dupspans import _packed_pos
+
+    with pytest.raises(ValueError):
+        _packed_pos(np.array([1], np.int64), np.array([10**6], np.int64))
