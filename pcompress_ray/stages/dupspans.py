@@ -158,11 +158,22 @@ def _coverage_from_offsets(offs: np.ndarray, L: int):
     return int(offs.size), int(starts.size), dup_chars
 
 
+def _sorted_lookup(h1: np.ndarray, h2: np.ndarray, *extra: np.ndarray):
+    """Driver-side build of the broadcast lookup: (mix_sorted, h1, h2,
+    *extra) all in mix order.  Sorting ONCE on the driver before ray.put
+    means every worker maps the arrays zero-copy from plasma (one physical
+    copy per node) and does NO per-worker sort/copies — this is what lets
+    broadcast_limit reach tens of millions of keys."""
+    mix = splitmix64(h1 ^ splitmix64(h2))
+    order = np.argsort(mix, kind="stable")
+    return (mix[order], h1[order], h2[order],
+            *(a[order] for a in extra))
+
+
 class MarkDupGramsBroadcast:
-    """Actor-pool marking stage: the duplicated-key set rides the object
-    store once (ray.put by the driver), each actor builds its lookup
-    structures once in __init__, every batch is marked locally with zero
-    further shuffles.
+    """Marking stage: the duplicated-key lookup (pre-sorted by the driver,
+    see _sorted_lookup) rides the object store once; each worker reads it
+    zero-copy and marks its batches locally with zero further shuffles.
 
     Lookup: sorted mix64(h1,h2) for a vectorized searchsorted prefilter,
     then the (h1,h2) arrays (in mix order) confirm the full 128-bit key at
@@ -171,12 +182,7 @@ class MarkDupGramsBroadcast:
 
     def __init__(self, dup_ref, L: int):
         import ray
-        h1, h2 = ray.get(dup_ref)
-        mix = splitmix64(h1 ^ splitmix64(h2))
-        order = np.argsort(mix, kind="stable")
-        self.mix = mix[order]
-        self.h1 = h1[order]
-        self.h2 = h2[order]
+        self.mix, self.h1, self.h2 = ray.get(dup_ref)
         self.L = L
 
     def _mask(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
@@ -265,7 +271,7 @@ def _coverage_partition(part: pd.DataFrame, L: int) -> pd.DataFrame:
 
 
 def dup_span_stats(docs_ds, L: int = 16, n_parts: int = 64,
-                   broadcast_limit: int = 4_000_000, concurrency=None):
+                   broadcast_limit: int = 32_000_000, concurrency=None):
     """Per-doc duplicated-span coverage vs the whole corpus.
 
     Returns a Dataset of (doc_id, dup_starts, n_spans, dup_chars) for every
@@ -280,8 +286,8 @@ def dup_span_stats(docs_ds, L: int = 16, n_parts: int = 64,
 
     if n_dup <= broadcast_limit:
         df = dup.to_pandas()
-        ref = ray.put((df["h1"].to_numpy(np.uint64),
-                       df["h2"].to_numpy(np.uint64)))
+        ref = ray.put(_sorted_lookup(df["h1"].to_numpy(np.uint64),
+                                     df["h2"].to_numpy(np.uint64)))
 
         # stateless tasks + per-worker instance cache (same rationale as
         # dedup_pipeline's sig_fn: the lookup build is ~ms, actors pay this
@@ -386,11 +392,7 @@ class _ExciseBroadcast:
 
     def __init__(self, dup_ref, L: int):
         import ray
-        h1, h2, mn = ray.get(dup_ref)
-        mix = splitmix64(h1 ^ splitmix64(h2))
-        order = np.argsort(mix, kind="stable")
-        self.mix, self.h1, self.h2 = mix[order], h1[order], h2[order]
-        self.mn = mn[order]
+        self.mix, self.h1, self.h2, self.mn = ray.get(dup_ref)
         self.L = L
 
     def _removable(self, h1, h2, packed):
@@ -438,7 +440,7 @@ class _ExciseBroadcast:
 
 
 def dup_span_excise(docs_ds, L: int = 16, n_parts: int = 64,
-                    broadcast_limit: int = 4_000_000):
+                    broadcast_limit: int = 32_000_000):
     """Corpus-wide exact-substring self-dedup rewrite: every position whose
     L-gram occurred at a strictly earlier (doc_id, off) is excised (islands
     merged at gap<=L, as the coverage op / the reference's run merging);
@@ -459,9 +461,9 @@ def dup_span_excise(docs_ds, L: int = 16, n_parts: int = 64,
 
     if dup.count() <= broadcast_limit:
         df = dup.to_pandas()
-        ref = ray.put((df["h1"].to_numpy(np.uint64),
-                       df["h2"].to_numpy(np.uint64),
-                       df["mn"].to_numpy(np.int64)))
+        ref = ray.put(_sorted_lookup(df["h1"].to_numpy(np.uint64),
+                                     df["h2"].to_numpy(np.uint64),
+                                     df["mn"].to_numpy(np.int64)))
 
         def excise(batch: pa.Table, _cache: dict = {}) -> pa.Table:
             stage = _cache.get("stage")
