@@ -135,11 +135,32 @@ def partial_gram_counts(t: pa.Table, L: int) -> pa.Table:
     return pa.table({"h1": a[first], "h2": b[first], "cnt": cnt})
 
 
+def _pair_boundaries(h1: np.ndarray, h2: np.ndarray):
+    """(order, starts) of the lexsorted (h1,h2) pair groups — numpy only.
+    A pandas two-uint64-column groupby over multi-million-row partitions is
+    ~5x slower than lexsort + boundary reduceat (measured on the 40k L=50
+    discovery); every reducer here uses this instead."""
+    order = np.lexsort((h2, h1))
+    a, b = h1[order], h2[order]
+    first = np.empty(a.size, dtype=bool)
+    first[0] = True
+    first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    return order, np.flatnonzero(first)
+
+
 def _reduce_dup_keys(part: pd.DataFrame) -> pd.DataFrame:
     """Per-partition: sum partial counts, keep keys with corpus count >= 2."""
-    g = part.groupby(["h1", "h2"], sort=False)["cnt"].sum().reset_index()
-    g = g[g["cnt"] >= 2]
-    return g[["h1", "h2"]].reset_index(drop=True)
+    h1 = part["h1"].to_numpy(np.uint64)
+    h2 = part["h2"].to_numpy(np.uint64)
+    if h1.size == 0:
+        return pd.DataFrame({"h1": np.empty(0, np.uint64),
+                             "h2": np.empty(0, np.uint64)})
+    cnt = part["cnt"].to_numpy(np.int64)
+    order, starts = _pair_boundaries(h1, h2)
+    tot = np.add.reduceat(cnt[order], starts)
+    keep = tot >= 2
+    return pd.DataFrame({"h1": h1[order][starts][keep],
+                         "h2": h2[order][starts][keep]})
 
 
 def discover_dup_keys(docs_ds, L: int, n_parts: int = 64):
@@ -366,10 +387,21 @@ def partial_gram_stats(t: pa.Table, L: int) -> pa.Table:
 
 
 def _reduce_dup_stats(part: pd.DataFrame) -> pd.DataFrame:
-    g = part.groupby(["h1", "h2"], sort=False).agg(
-        cnt=("cnt", "sum"), mn=("mn", "min")).reset_index()
-    g = g[g["cnt"] >= 2]
-    return g[["h1", "h2", "mn"]].reset_index(drop=True)
+    h1 = part["h1"].to_numpy(np.uint64)
+    h2 = part["h2"].to_numpy(np.uint64)
+    if h1.size == 0:
+        return pd.DataFrame({"h1": np.empty(0, np.uint64),
+                             "h2": np.empty(0, np.uint64),
+                             "mn": np.empty(0, np.int64)})
+    cnt = part["cnt"].to_numpy(np.int64)
+    mn = part["mn"].to_numpy(np.int64)
+    order, starts = _pair_boundaries(h1, h2)
+    tot = np.add.reduceat(cnt[order], starts)
+    mns = np.minimum.reduceat(mn[order], starts)
+    keep = tot >= 2
+    return pd.DataFrame({"h1": h1[order][starts][keep],
+                         "h2": h2[order][starts][keep],
+                         "mn": mns[keep]})
 
 
 def splice_out(text: str, offs: np.ndarray, L: int) -> str:
