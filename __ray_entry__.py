@@ -1716,6 +1716,22 @@ def q_dup_span_excise(sf_dir: str):
     return dup_span_excise(ds, L=16).sort("doc_id")
 
 
+def q_dup_span_anchors(sf_dir: str):
+    """Winnowed (minimizer-sampled) duplicate-anchor scan — the
+    sub-O(positions) scale path for the suffix-array substring stage
+    (Schleimer et al. 2003 robust winnowing): discovery carries ~2/(w+1)
+    of the exact mode's rows, and any shared span of length >= w+L-1 is
+    GUARANTEED to raise n_dup_anchors on both copies (pytest-pinned).
+    Rows-only: the minimizer selection runs on engine polynomial hashes,
+    which SQL cannot reproduce; the exact-mode twin (dup_span_coverage)
+    carries the oracle burden for this family."""
+    from pcompress_ray.stages.dupspans import dup_span_anchors
+
+    _setup()
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dup_span_anchors(ds, L=16, w=4).sort("doc_id")
+
+
 def q_snapshot_diff(sf_dir: str):
     """Cross-snapshot corpus diff — the incremental-crawl primitive
     (pipelines/incremental.py folds new docs in; this op REPORTS what
@@ -2814,6 +2830,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff": q_snapshot_diff,
         "dup_span_coverage": q_dup_span_coverage,
         "dup_span_excise": q_dup_span_excise,
+        "dup_span_anchors": q_dup_span_anchors,
         "bpe_merges": q_bpe_merges,
         "bpe_token_counts": q_bpe_token_counts,
     }

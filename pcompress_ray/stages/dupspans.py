@@ -569,3 +569,122 @@ def dup_span_excise(docs_ds, L: int = 16, n_parts: int = 64,
     both = docs_ds.map_batches(doc_side, batch_format="pyarrow").union(
         removable.map_batches(rem_side, batch_format="pyarrow"))
     return grouped_partitions(both, ["doc_id"], splice_part, n_parts=n_parts)
+
+
+# ---------------------------------------------------------------------------
+# Winnowed (minimizer-sampled) discovery — the sub-O(positions) scale path.
+# Robust winnowing (Schleimer, Wilkerson, Aiken 2003, "Winnowing: Local
+# Algorithms for Document Fingerprinting"): select, in every window of w
+# consecutive L-gram hashes, the minimal hash; any two occurrences of a
+# shared substring of length >= w + L - 1 are GUARANTEED to share at least
+# one selected fingerprint, while only ~2/(w+1) of positions are selected —
+# the discovery exchange shrinks by that factor.  Output is a candidate/
+# coverage SIGNAL (anchor granularity), not the exact-span accounting of
+# dup_span_stats; route anchored pairs to suffix.substring_verify for exact
+# offsets, or run exact mode when the corpus affords it.
+# ---------------------------------------------------------------------------
+
+
+def _winnow_select(h: np.ndarray, w: int) -> np.ndarray:
+    """Indices of window-minimum L-gram hashes (one doc, vectorized).
+
+    Selection depends only on the hash values inside each window, so two
+    copies of the same substring select the same relative positions — the
+    winnowing guarantee.  Consecutive windows sharing their minimum dedupe
+    to one anchor.
+    """
+    n = h.size
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    if n <= w:
+        return np.array([int(h.argmin())], dtype=np.int64)
+    win = np.lib.stride_tricks.sliding_window_view(h, w)
+    idx = win.argmin(axis=1) + np.arange(n - w + 1, dtype=np.int64)
+    return np.unique(idx)
+
+
+def _batch_anchor_grams(t: pa.Table, L: int, w: int):
+    """(h1, h2, doc_id, off, n_anchors_per_doc) for winnowed anchors only."""
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    texts = t["text"].to_pylist()
+    h1p, h2p, idp, offp = [], [], [], []
+    per_doc = np.zeros(len(ids), dtype=np.int64)
+    for j, (did, txt) in enumerate(zip(ids, texts)):
+        x = _codepoints(txt or "")
+        a = _poly_kgram(x, L, _P1)
+        if a.size == 0:
+            continue
+        sel = _winnow_select(a, w)
+        per_doc[j] = sel.size
+        h1p.append(a[sel])
+        h2p.append(_poly_kgram(x, L, _P2)[sel])
+        idp.append(np.full(sel.size, did, dtype=np.int64))
+        offp.append(sel)
+    if not h1p:
+        z64 = np.empty(0, np.uint64)
+        zi = np.empty(0, np.int64)
+        return z64, z64.copy(), zi, zi.copy(), per_doc
+    return (np.concatenate(h1p), np.concatenate(h2p),
+            np.concatenate(idp), np.concatenate(offp), per_doc)
+
+
+def dup_span_anchors(docs_ds, L: int = 50, w: int = 8, n_parts: int = 64,
+                     broadcast_limit: int = 32_000_000):
+    """Winnowed duplicate-anchor scan: per doc, how many minimizer anchors
+    it has and how many of them recur elsewhere in the corpus.
+
+    Returns (doc_id, n_anchors, n_dup_anchors, first_dup_off) for every doc
+    with at least one anchor.  Any shared span of length >= w + L - 1 is
+    guaranteed to raise n_dup_anchors >= 1 on BOTH copies; the discovery
+    exchange carries ~2/(w+1) of the exact mode's rows.
+    """
+    import ray
+
+    def partial(t: pa.Table) -> pa.Table:
+        h1, h2, _, _, _ = _batch_anchor_grams(t, L, w)
+        if h1.size == 0:
+            return pa.table({"h1": pa.array([], pa.uint64()),
+                             "h2": pa.array([], pa.uint64()),
+                             "cnt": pa.array([], pa.int64())})
+        order, starts = _pair_boundaries(h1, h2)
+        cnt = np.diff(np.append(starts, h1.size)).astype(np.int64)
+        return pa.table({"h1": h1[order][starts], "h2": h2[order][starts],
+                         "cnt": cnt})
+
+    partials = docs_ds.map_batches(partial, batch_format="pyarrow")
+    dup = grouped_partitions(partials, ["h1"], _reduce_dup_keys,
+                             n_parts=n_parts).materialize()
+    if dup.count() > broadcast_limit:
+        raise ValueError("winnowed dup-anchor set exceeds broadcast budget; "
+                         "raise broadcast_limit or increase w")
+    df = dup.to_pandas()
+    ref = ray.put(_sorted_lookup(df["h1"].to_numpy(np.uint64),
+                                 df["h2"].to_numpy(np.uint64)))
+
+    def mark(t: pa.Table, _cache: dict = {}) -> pa.Table:
+        stage = _cache.get("stage")
+        if stage is None:
+            stage = MarkDupGramsBroadcast(ref, L)
+            _cache["stage"] = stage
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        out_id, out_a, out_d, out_f = [], [], [], []
+        for did, txt in zip(ids, texts):
+            x = _codepoints(txt or "")
+            a = _poly_kgram(x, L, _P1)
+            if a.size == 0:
+                continue
+            sel = _winnow_select(a, w)
+            b = _poly_kgram(x, L, _P2)
+            m = stage._mask(a[sel], b[sel])
+            hits = sel[m]
+            out_id.append(int(did))
+            out_a.append(int(sel.size))
+            out_d.append(int(hits.size))
+            out_f.append(int(hits[0]) if hits.size else -1)
+        return pa.table({"doc_id": np.asarray(out_id, np.int64),
+                         "n_anchors": np.asarray(out_a, np.int64),
+                         "n_dup_anchors": np.asarray(out_d, np.int64),
+                         "first_dup_off": np.asarray(out_f, np.int64)})
+
+    return docs_ds.map_batches(mark, batch_format="pyarrow")

@@ -216,3 +216,49 @@ def test_excise_packing_guard():
 
     with pytest.raises(ValueError):
         _packed_pos(np.array([1], np.int64), np.array([10**6], np.int64))
+
+
+def test_winnow_select_density_and_determinism():
+    from pcompress_ray.stages.dupspans import _winnow_select
+
+    rng = np.random.default_rng(11)
+    h = rng.integers(0, 2**63, 5000, dtype=np.int64).astype(np.uint64)
+    for w in (4, 8, 16):
+        sel = _winnow_select(h, w)
+        assert np.array_equal(sel, _winnow_select(h, w))
+        assert np.all(np.diff(sel) > 0)
+        # expected density 2/(w+1); allow generous slack
+        frac = sel.size / h.size
+        assert 0.5 * 2 / (w + 1) < frac < 2.5 * 2 / (w + 1), (w, frac)
+    # shorter than one window -> single global min anchor
+    assert _winnow_select(h[:3], 8).tolist() == [int(h[:3].argmin())]
+
+
+@pytest.mark.parametrize("w", [4, 8])
+def test_winnow_guarantee_on_planted_spans(ray_session, w):
+    """Any shared span of length >= w + L - 1 must raise n_dup_anchors >= 1
+    on BOTH copies — the winnowing detection guarantee."""
+    import ray.data as rd
+
+    from pcompress_ray.stages.dupspans import dup_span_anchors
+
+    L = 8
+    rng = np.random.default_rng(23)
+    alpha = np.array(list("abcdefghijklmnopqrstuvwxyz"), dtype="<U1")
+
+    def rand(n):
+        return "".join(rng.choice(alpha, size=n))
+
+    shared = rand(w + L - 1)          # exactly the guarantee threshold
+    docs = {0: rand(60) + shared + rand(40),
+            1: rand(25) + shared + rand(70),
+            2: rand(120)}
+    ds = rd.from_pandas(pd.DataFrame(
+        {"doc_id": list(docs), "text": list(docs.values())}))
+    got = dup_span_anchors(ds, L=L, w=w).to_pandas().set_index("doc_id")
+    assert got.loc[0, "n_dup_anchors"] >= 1
+    assert got.loc[1, "n_dup_anchors"] >= 1
+    # determinism across parallelism
+    got2 = dup_span_anchors(ds.repartition(3), L=L,
+                            w=w).to_pandas().set_index("doc_id")
+    pd.testing.assert_frame_equal(got.sort_index(), got2.sort_index())
