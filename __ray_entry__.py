@@ -1732,6 +1732,32 @@ def q_dup_span_anchors(sf_dir: str):
     return dup_span_anchors(ds, L=16, w=4).sort("doc_id")
 
 
+def q_cross_span_excise(sf_dir: str):
+    """Cross-corpus span excision — the Lee-et-al DECONTAMINATION action
+    at span granularity (decontaminate/fuzzy_decontaminate SCORE docs;
+    this one REWRITES them): positions of corpus A (doc_id%7!=0) whose
+    16-gram occurs anywhere in corpus B (doc_id%7==0, the 'benchmark'
+    side) are excised and the documents re-spliced. Same both-engines-
+    apply-the-rule split as snapshot_diff; exact string_agg splice
+    oracle."""
+    from pcompress_ray.stages.dupspans import cross_span_excise
+
+    _setup()
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def a_side(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 7 != 0))
+
+    def b_side(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 7 == 0))
+
+    a = docs.map_batches(a_side, batch_format="pyarrow")
+    b = docs.map_batches(b_side, batch_format="pyarrow")
+    return cross_span_excise(a, b, L=16).sort("doc_id")
+
+
 def q_snapshot_diff(sf_dir: str):
     """Cross-snapshot corpus diff — the incremental-crawl primitive
     (pipelines/incremental.py folds new docs in; this op REPORTS what
@@ -2831,6 +2857,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_coverage": q_dup_span_coverage,
         "dup_span_excise": q_dup_span_excise,
         "dup_span_anchors": q_dup_span_anchors,
+        "cross_span_excise": q_cross_span_excise,
         "bpe_merges": q_bpe_merges,
         "bpe_token_counts": q_bpe_token_counts,
     }
@@ -3025,6 +3052,64 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(d.text) - length(coalesce(r.new_text, d.text))
                         AS BIGINT) AS removed_chars
             FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+            ORDER BY d.doc_id
+        """,
+        # cross-corpus span excision: A = doc_id%7!=0, B ('benchmark') =
+        # doc_id%7==0; A positions whose 16-gram occurs anywhere in B are
+        # removed (gap<=16 islands) and docs re-spliced via string_agg.
+        "cross_span_excise": """
+            WITH a AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+            bg AS (
+              SELECT DISTINCT substr(t, off, 16) AS gram
+              FROM (
+                SELECT t, unnest([i FOR i IN generate_series(1, length(t) - 15)]) AS off
+                FROM (SELECT text AS t FROM documents WHERE doc_id % 7 = 0)
+              )
+            ),
+            ag AS (
+              SELECT doc_id, off, substr(t, off, 16) AS gram
+              FROM (
+                SELECT doc_id, t,
+                       unnest([i FOR i IN generate_series(1, length(t) - 15)]) AS off
+                FROM (SELECT doc_id, text AS t FROM a)
+              )
+            ),
+            rem AS (SELECT doc_id, off FROM ag WHERE gram IN (SELECT gram FROM bg)),
+            isl AS (
+              SELECT doc_id, off,
+                     CASE WHEN off - lag(off) OVER (PARTITION BY doc_id ORDER BY off) <= 16
+                          THEN 0 ELSE 1 END AS brk
+              FROM rem
+            ),
+            grp AS (
+              SELECT doc_id, off,
+                     SUM(brk) OVER (PARTITION BY doc_id ORDER BY off) AS gid
+              FROM isl
+            ),
+            spans AS (
+              SELECT doc_id, min(off) AS s, max(off) + 16 AS e
+              FROM grp GROUP BY doc_id, gid
+            ),
+            pieces AS (
+              SELECT doc_id,
+                     coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 1) AS ks,
+                     s AS ke
+              FROM spans
+              UNION ALL
+              SELECT sp.doc_id, max(sp.e), any_value(length(d.text)) + 1
+              FROM spans sp JOIN a d USING (doc_id) GROUP BY sp.doc_id
+            ),
+            rebuilt AS (
+              SELECT p.doc_id,
+                     string_agg(substr(d.text, p.ks, p.ke - p.ks), ''
+                                ORDER BY p.ks) AS new_text
+              FROM pieces p JOIN a d USING (doc_id) GROUP BY p.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(r.new_text, d.text) AS new_text,
+                   CAST(length(d.text) - length(coalesce(r.new_text, d.text))
+                        AS BIGINT) AS removed_chars
+            FROM a d LEFT JOIN rebuilt r USING (doc_id)
             ORDER BY d.doc_id
         """,
         # snapshot diff: FULL OUTER JOIN of snapshot A vs the derived B

@@ -688,3 +688,119 @@ def dup_span_anchors(docs_ds, L: int = 50, w: int = 8, n_parts: int = 64,
                          "first_dup_off": np.asarray(out_f, np.int64)})
 
     return docs_ds.map_batches(mark, batch_format="pyarrow")
+
+
+def _reduce_distinct_keys(part: pd.DataFrame) -> pd.DataFrame:
+    """Per-partition distinct (h1,h2) — cross-corpus discovery keeps EVERY
+    reference-corpus gram (count >= 1), not just repeated ones."""
+    h1 = part["h1"].to_numpy(np.uint64)
+    h2 = part["h2"].to_numpy(np.uint64)
+    if h1.size == 0:
+        return pd.DataFrame({"h1": np.empty(0, np.uint64),
+                             "h2": np.empty(0, np.uint64)})
+    order, starts = _pair_boundaries(h1, h2)
+    return pd.DataFrame({"h1": h1[order][starts], "h2": h2[order][starts]})
+
+
+def cross_span_excise(a_ds, b_ds, L: int = 16, n_parts: int = 64,
+                      broadcast_limit: int = 32_000_000):
+    """Cross-corpus span excision — the Lee-et-al DECONTAMINATION action:
+    every position of corpus A whose L-gram occurs ANYWHERE in corpus B is
+    excised (islands merged at gap<=L) and A's documents re-spliced.
+
+    Same machinery as dup_span_excise with two differences: discovery runs
+    over B keeping every distinct gram (count >= 1), and marking needs no
+    earlier-position logic — membership alone removes.  Broadcast path
+    when B's gram table fits the budget, else the positional semi-join +
+    doc-keyed splice exchanges (A's text crosses the wire exactly once).
+    Returns (doc_id, new_text, removed_chars) for EVERY A doc.
+    """
+    import ray
+
+    partials = b_ds.map_batches(lambda t: partial_gram_counts(t, L),
+                                batch_format="pyarrow")
+    keys_ds = grouped_partitions(partials, ["h1"], _reduce_distinct_keys,
+                                 n_parts=n_parts).materialize()
+
+    if keys_ds.count() <= broadcast_limit:
+        df = keys_ds.to_pandas()
+        ref = ray.put(_sorted_lookup(df["h1"].to_numpy(np.uint64),
+                                     df["h2"].to_numpy(np.uint64)))
+
+        def excise(batch: pa.Table, _cache: dict = {}) -> pa.Table:
+            stage = _cache.get("stage")
+            if stage is None:
+                stage = MarkDupGramsBroadcast(ref, L)
+                _cache["stage"] = stage
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            texts = batch["text"].to_pylist()
+            out = []
+            for did, txt in zip(ids, texts):
+                txt = txt or ""
+                x = _codepoints(txt)
+                a = _poly_kgram(x, L, _P1)
+                if a.size:
+                    b = _poly_kgram(x, L, _P2)
+                    offs = np.flatnonzero(stage._mask(a, b)).astype(np.int64)
+                    new = splice_out(txt, offs, L)
+                else:
+                    new = txt
+                out.append((int(did), new, len(txt) - len(new)))
+            return pa.table(
+                {"doc_id": np.array([r[0] for r in out], np.int64),
+                 "new_text": [r[1] for r in out],
+                 "removed_chars": np.array([r[2] for r in out], np.int64)},
+                schema=pa.schema([("doc_id", pa.int64()),
+                                  ("new_text", pa.string()),
+                                  ("removed_chars", pa.int64())]))
+
+        return a_ds.map_batches(excise, batch_format="pyarrow")
+
+    def positions(t: pa.Table) -> pa.Table:
+        h1, h2, did, off = _batch_grams(t, L)
+        return pa.table({"h1": h1, "h2": h2, "doc_id": did, "off": off,
+                         "side": np.ones(h1.size, np.int8)})
+
+    def keys_side(t: pa.Table) -> pa.Table:
+        z = len(t)
+        return pa.table({"h1": t["h1"], "h2": t["h2"],
+                         "doc_id": np.zeros(z, np.int64),
+                         "off": np.zeros(z, np.int64),
+                         "side": np.zeros(z, np.int8)})
+
+    pos = a_ds.map_batches(positions, batch_format="pyarrow")
+    keys = keys_ds.map_batches(keys_side, batch_format="pyarrow")
+    removable = grouped_partitions(pos.union(keys), ["h1"],
+                                   _semi_join_positions, n_parts=n_parts)
+
+    def doc_side(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                         "off": np.full(len(t), -1, np.int64),
+                         "text": t["text"].cast(pa.string())})
+
+    def rem_side(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                         "off": t["off"].cast(pa.int64()),
+                         "text": pa.array([None] * len(t), pa.string())})
+
+    def splice_part(part: pd.DataFrame) -> pd.DataFrame:
+        docs = part[part["off"] < 0]
+        rem = part[part["off"] >= 0].sort_values(["doc_id", "off"],
+                                                 kind="stable")
+        by_doc = {k: v["off"].to_numpy(np.int64)
+                  for k, v in rem.groupby("doc_id", sort=False)}
+        out_id, out_t, out_r = [], [], []
+        for did, txt in zip(docs["doc_id"].to_numpy(np.int64),
+                            docs["text"].tolist()):
+            txt = txt or ""
+            new = splice_out(txt, by_doc.get(did, np.empty(0, np.int64)), L)
+            out_id.append(did)
+            out_t.append(new)
+            out_r.append(len(txt) - len(new))
+        return pd.DataFrame({"doc_id": np.array(out_id, np.int64),
+                             "new_text": out_t,
+                             "removed_chars": np.array(out_r, np.int64)})
+
+    both = a_ds.map_batches(doc_side, batch_format="pyarrow").union(
+        removable.map_batches(rem_side, batch_format="pyarrow"))
+    return grouped_partitions(both, ["doc_id"], splice_part, n_parts=n_parts)

@@ -262,3 +262,64 @@ def test_winnow_guarantee_on_planted_spans(ray_session, w):
     got2 = dup_span_anchors(ds.repartition(3), L=L,
                             w=w).to_pandas().set_index("doc_id")
     pd.testing.assert_frame_equal(got.sort_index(), got2.sort_index())
+
+
+def _brute_cross_excise(a: dict[int, str], b_texts: list[str], L: int):
+    bg = set()
+    for t in b_texts:
+        for i in range(len(t) - L + 1):
+            bg.add(t[i:i + L])
+    rows = []
+    for did in sorted(a):
+        t = a[did]
+        rem = [i for i in range(len(t) - L + 1) if t[i:i + L] in bg]
+        ivs = []
+        for o in rem:
+            if ivs and o <= ivs[-1][1]:
+                ivs[-1][1] = o + L
+            else:
+                ivs.append([o, o + L])
+        pieces, pos = [], 0
+        for s, e in ivs:
+            pieces.append(t[pos:s])
+            pos = e
+        pieces.append(t[pos:])
+        nt = "".join(pieces)
+        rows.append({"doc_id": did, "new_text": nt,
+                     "removed_chars": len(t) - len(nt)})
+    return pd.DataFrame(rows)
+
+
+@pytest.mark.parametrize("L", [6, 12])
+def test_cross_span_excise_matches_brute_force(ray_session, L):
+    import ray.data as rd
+
+    from pcompress_ray.stages.dupspans import cross_span_excise
+
+    rng = np.random.default_rng(31)
+    alpha = np.array(list("abcdefghijklmnop "), dtype="<U1")
+
+    def rand(n):
+        return "".join(rng.choice(alpha, size=n))
+
+    bench = rand(40)                       # the "benchmark" passage
+    b_texts = [bench, rand(50)]
+    a = {0: rand(30) + bench + rand(20),   # contains the full passage
+         1: rand(25) + bench[5:5 + L] + rand(40),  # one gram only
+         2: rand(80),                      # clean
+         3: "tiny"}                        # shorter than L
+    want = _brute_cross_excise(a, b_texts, L)
+
+    a_ds = rd.from_pandas(pd.DataFrame(
+        {"doc_id": list(a), "text": list(a.values())}))
+    b_ds = rd.from_pandas(pd.DataFrame(
+        {"doc_id": [100, 101], "text": b_texts}))
+
+    got = cross_span_excise(a_ds, b_ds, L=L).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    got_s = cross_span_excise(a_ds, b_ds, L=L, broadcast_limit=0,
+                              n_parts=3).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_s, want, check_dtype=False)
