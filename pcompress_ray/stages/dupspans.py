@@ -125,14 +125,10 @@ def partial_gram_counts(t: pa.Table, L: int) -> pa.Table:
         return pa.table({"h1": pa.array([], pa.uint64()),
                          "h2": pa.array([], pa.uint64()),
                          "cnt": pa.array([], pa.int64())})
-    order = np.lexsort((h2, h1))
+    order, starts = _pair_boundaries(h1, h2)
+    cnt = np.diff(np.append(starts, h1.size)).astype(np.int64)
     a, b = h1[order], h2[order]
-    first = np.empty(a.size, dtype=bool)
-    first[0] = True
-    first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
-    starts = np.flatnonzero(first)
-    cnt = np.diff(np.append(starts, a.size)).astype(np.int64)
-    return pa.table({"h1": a[first], "h2": b[first], "cnt": cnt})
+    return pa.table({"h1": a[starts], "h2": b[starts], "cnt": cnt})
 
 
 def _pair_boundaries(h1: np.ndarray, h2: np.ndarray):
@@ -191,6 +187,35 @@ def _sorted_lookup(h1: np.ndarray, h2: np.ndarray, *extra: np.ndarray):
             *(a[order] for a in extra))
 
 
+def _lookup_hits(mix: np.ndarray, H1: np.ndarray, H2: np.ndarray,
+                 h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+    """Index into the mix-sorted lookup for each query key, -1 for misses.
+
+    Vectorized searchsorted on mix64(h1,h2) prefilters; the (h1,h2) arrays
+    confirm the full 128-bit key at the hit index — exact, no Python set.
+    Mix-collision stragglers (range > 1, first slot mismatched) are probed
+    individually; rare enough to never matter.  Shared by every broadcast
+    marking stage so the tricky widen logic lives in ONE place.
+    """
+    out = np.full(h1.size, -1, dtype=np.int64)
+    if mix.size == 0 or h1.size == 0:
+        return out
+    m = splitmix64(h1 ^ splitmix64(h2))
+    lo = np.searchsorted(mix, m, side="left")
+    hi = np.searchsorted(mix, m, side="right")
+    found = hi > lo
+    idx = np.minimum(lo, mix.size - 1)
+    ok = found & (H1[idx] == h1) & (H2[idx] == h2)
+    out[ok] = idx[ok]
+    widen = found & ~ok & (hi - lo > 1)
+    for i in np.flatnonzero(widen):
+        sl = slice(lo[i], hi[i])
+        j = np.flatnonzero((H1[sl] == h1[i]) & (H2[sl] == h2[i]))
+        if j.size:
+            out[i] = lo[i] + j[0]
+    return out
+
+
 class MarkDupGramsBroadcast:
     """Marking stage: the duplicated-key lookup (pre-sorted by the driver,
     see _sorted_lookup) rides the object store once; each worker reads it
@@ -207,21 +232,7 @@ class MarkDupGramsBroadcast:
         self.L = L
 
     def _mask(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
-        if self.mix.size == 0 or h1.size == 0:
-            return np.zeros(h1.size, dtype=bool)
-        m = splitmix64(h1 ^ splitmix64(h2))
-        lo = np.searchsorted(self.mix, m, side="left")
-        hi = np.searchsorted(self.mix, m, side="right")
-        found = hi > lo
-        idx = np.minimum(lo, self.mix.size - 1)
-        ok = found & (self.h1[idx] == h1) & (self.h2[idx] == h2)
-        # mix-collision stragglers (range > 1, first slot mismatched): rare
-        # enough to probe individually without ever mattering.
-        widen = found & ~ok & (hi - lo > 1)
-        for i in np.flatnonzero(widen):
-            sl = slice(lo[i], hi[i])
-            ok[i] = bool(np.any((self.h1[sl] == h1[i]) & (self.h2[sl] == h2[i])))
-        return ok
+        return _lookup_hits(self.mix, self.h1, self.h2, h1, h2) >= 0
 
     def __call__(self, t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
@@ -299,6 +310,8 @@ def dup_span_stats(docs_ds, L: int = 16, n_parts: int = 64,
     doc containing at least one corpus-duplicated L-gram (char offsets).
     Chooses broadcast marking when the duplicated-key set is small enough,
     else the positional semi-join exchange; both paths are tested equal.
+    ``concurrency`` bounds ONLY the broadcast marking stage; the semi-join
+    fallback runs its exchanges at the executor's default parallelism.
     """
     import ray
 
@@ -359,9 +372,11 @@ _POS_BASE = np.int64(1_000_000)  # packed = doc_id * 1e6 + off (off < 1e6
 
 
 def _packed_pos(doc_id: np.ndarray, off: np.ndarray) -> np.ndarray:
-    if off.size and int(off.max()) >= int(_POS_BASE) - 1:
-        raise ValueError("dup_span_excise packs (doc_id, off) into int64 "
-                         "with base 1e6; docs must be < 1e6-1 chars")
+    if off.size and int(off.max()) >= int(_POS_BASE):
+        raise ValueError(
+            "dup_span_excise packs (doc_id, off) into int64 with base 1e6 "
+            "(matching the DuckDB twin's doc_id*1000000+off); split or "
+            "truncate documents of >= 1e6+L-1 chars before this stage")
     return doc_id * _POS_BASE + off
 
 
@@ -375,15 +390,11 @@ def partial_gram_stats(t: pa.Table, L: int) -> pa.Table:
                          "cnt": pa.array([], pa.int64()),
                          "mn": pa.array([], pa.int64())})
     packed = _packed_pos(did, off)
-    order = np.lexsort((h2, h1))
+    order, starts = _pair_boundaries(h1, h2)
     a, b, p = h1[order], h2[order], packed[order]
-    first = np.empty(a.size, dtype=bool)
-    first[0] = True
-    first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
-    starts = np.flatnonzero(first)
     cnt = np.diff(np.append(starts, a.size)).astype(np.int64)
     mn = np.minimum.reduceat(p, starts)
-    return pa.table({"h1": a[first], "h2": b[first], "cnt": cnt, "mn": mn})
+    return pa.table({"h1": a[starts], "h2": b[starts], "cnt": cnt, "mn": mn})
 
 
 def _reduce_dup_stats(part: pd.DataFrame) -> pd.DataFrame:
@@ -428,22 +439,8 @@ class _ExciseBroadcast:
         self.L = L
 
     def _removable(self, h1, h2, packed):
-        if self.mix.size == 0 or h1.size == 0:
-            return np.zeros(h1.size, dtype=bool)
-        m = splitmix64(h1 ^ splitmix64(h2))
-        lo = np.searchsorted(self.mix, m, side="left")
-        hi = np.searchsorted(self.mix, m, side="right")
-        found = hi > lo
-        idx = np.minimum(lo, self.mix.size - 1)
-        ok = found & (self.h1[idx] == h1) & (self.h2[idx] == h2)
-        out = ok & (packed > self.mn[idx])
-        widen = found & ~ok & (hi - lo > 1)
-        for i in np.flatnonzero(widen):
-            sl = slice(lo[i], hi[i])
-            j = np.flatnonzero((self.h1[sl] == h1[i]) & (self.h2[sl] == h2[i]))
-            if j.size:
-                out[i] = packed[i] > self.mn[lo[i] + j[0]]
-        return out
+        hits = _lookup_hits(self.mix, self.h1, self.h2, h1, h2)
+        return (hits >= 0) & (packed > self.mn[np.maximum(hits, 0)])
 
     def __call__(self, t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
@@ -509,14 +506,15 @@ def dup_span_excise(docs_ds, L: int = 16, n_parts: int = 64,
     def positions(t: pa.Table) -> pa.Table:
         h1, h2, did, off = _batch_grams(t, L)
         return pa.table({"h1": h1, "h2": h2, "doc_id": did, "off": off,
-                         "mn": np.zeros(h1.size, np.int64),
                          "side": np.ones(h1.size, np.int8)})
 
+    # the key side reuses the (otherwise zero) "off" column to carry mn, so
+    # the O(corpus positions) side of the union pays NO extra padding column
     def keys_side(t: pa.Table) -> pa.Table:
         z = len(t)
         return pa.table({"h1": t["h1"], "h2": t["h2"],
                          "doc_id": np.zeros(z, np.int64),
-                         "off": np.zeros(z, np.int64), "mn": t["mn"],
+                         "off": t["mn"].cast(pa.int64()),
                          "side": np.zeros(z, np.int8)})
 
     def semi(part: pd.DataFrame) -> pd.DataFrame:
@@ -525,19 +523,26 @@ def dup_span_excise(docs_ds, L: int = 16, n_parts: int = 64,
         if keys.empty or pos.empty:
             return pd.DataFrame({"doc_id": np.empty(0, np.int64),
                                  "off": np.empty(0, np.int64)})
-        hit = pos.merge(keys[["h1", "h2", "mn"]], on=["h1", "h2"],
-                        suffixes=("", "_k"))
+        keys = keys.rename(columns={"off": "mn"})
+        hit = pos.merge(keys[["h1", "h2", "mn"]], on=["h1", "h2"])
         d = hit["doc_id"].to_numpy(np.int64)
         o = hit["off"].to_numpy(np.int64)
-        keep = _packed_pos(d, o) > hit["mn_k"].to_numpy(np.int64)
+        keep = _packed_pos(d, o) > hit["mn"].to_numpy(np.int64)
         return pd.DataFrame({"doc_id": d[keep], "off": o[keep]})
 
     pos = docs_ds.map_batches(positions, batch_format="pyarrow")
     keys = dup.map_batches(keys_side, batch_format="pyarrow")
     removable = grouped_partitions(pos.union(keys), ["h1"], semi,
                                    n_parts=n_parts)
+    return _splice_exchange(docs_ds, removable, L, n_parts)
 
-    # doc-keyed exchange: text rides once, removable offsets join it there
+
+def _splice_exchange(docs_ds, removable_ds, L: int, n_parts: int):
+    """Doc-keyed exchange finishing any excision: text rides the wire once,
+    removable offsets join it in-partition, each partition splices its own
+    docs.  Shared by dup_span_excise and cross_span_excise so the splice
+    semantics (island merge at gap<=L) live in ONE place."""
+
     def doc_side(t: pa.Table) -> pa.Table:
         return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
                          "off": np.full(len(t), -1, np.int64),
@@ -567,7 +572,7 @@ def dup_span_excise(docs_ds, L: int = 16, n_parts: int = 64,
                              "removed_chars": np.array(out_r, np.int64)})
 
     both = docs_ds.map_batches(doc_side, batch_format="pyarrow").union(
-        removable.map_batches(rem_side, batch_format="pyarrow"))
+        removable_ds.map_batches(rem_side, batch_format="pyarrow"))
     return grouped_partitions(both, ["doc_id"], splice_part, n_parts=n_parts)
 
 
@@ -604,28 +609,21 @@ def _winnow_select(h: np.ndarray, w: int) -> np.ndarray:
 
 
 def _batch_anchor_grams(t: pa.Table, L: int, w: int):
-    """(h1, h2, doc_id, off, n_anchors_per_doc) for winnowed anchors only."""
-    ids = t["doc_id"].to_numpy(zero_copy_only=False)
-    texts = t["text"].to_pylist()
-    h1p, h2p, idp, offp = [], [], [], []
-    per_doc = np.zeros(len(ids), dtype=np.int64)
-    for j, (did, txt) in enumerate(zip(ids, texts)):
+    """(h1, h2) 128-bit keys of the batch's winnowed anchors only — the
+    discovery hot path carries nothing it does not ship."""
+    h1p, h2p = [], []
+    for txt in t["text"].to_pylist():
         x = _codepoints(txt or "")
         a = _poly_kgram(x, L, _P1)
         if a.size == 0:
             continue
         sel = _winnow_select(a, w)
-        per_doc[j] = sel.size
         h1p.append(a[sel])
         h2p.append(_poly_kgram(x, L, _P2)[sel])
-        idp.append(np.full(sel.size, did, dtype=np.int64))
-        offp.append(sel)
     if not h1p:
         z64 = np.empty(0, np.uint64)
-        zi = np.empty(0, np.int64)
-        return z64, z64.copy(), zi, zi.copy(), per_doc
-    return (np.concatenate(h1p), np.concatenate(h2p),
-            np.concatenate(idp), np.concatenate(offp), per_doc)
+        return z64, z64.copy()
+    return np.concatenate(h1p), np.concatenate(h2p)
 
 
 def dup_span_anchors(docs_ds, L: int = 50, w: int = 8, n_parts: int = 64,
@@ -641,7 +639,7 @@ def dup_span_anchors(docs_ds, L: int = 50, w: int = 8, n_parts: int = 64,
     import ray
 
     def partial(t: pa.Table) -> pa.Table:
-        h1, h2, _, _, _ = _batch_anchor_grams(t, L, w)
+        h1, h2 = _batch_anchor_grams(t, L, w)
         if h1.size == 0:
             return pa.table({"h1": pa.array([], pa.uint64()),
                              "h2": pa.array([], pa.uint64()),
@@ -772,35 +770,4 @@ def cross_span_excise(a_ds, b_ds, L: int = 16, n_parts: int = 64,
     keys = keys_ds.map_batches(keys_side, batch_format="pyarrow")
     removable = grouped_partitions(pos.union(keys), ["h1"],
                                    _semi_join_positions, n_parts=n_parts)
-
-    def doc_side(t: pa.Table) -> pa.Table:
-        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
-                         "off": np.full(len(t), -1, np.int64),
-                         "text": t["text"].cast(pa.string())})
-
-    def rem_side(t: pa.Table) -> pa.Table:
-        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
-                         "off": t["off"].cast(pa.int64()),
-                         "text": pa.array([None] * len(t), pa.string())})
-
-    def splice_part(part: pd.DataFrame) -> pd.DataFrame:
-        docs = part[part["off"] < 0]
-        rem = part[part["off"] >= 0].sort_values(["doc_id", "off"],
-                                                 kind="stable")
-        by_doc = {k: v["off"].to_numpy(np.int64)
-                  for k, v in rem.groupby("doc_id", sort=False)}
-        out_id, out_t, out_r = [], [], []
-        for did, txt in zip(docs["doc_id"].to_numpy(np.int64),
-                            docs["text"].tolist()):
-            txt = txt or ""
-            new = splice_out(txt, by_doc.get(did, np.empty(0, np.int64)), L)
-            out_id.append(did)
-            out_t.append(new)
-            out_r.append(len(txt) - len(new))
-        return pd.DataFrame({"doc_id": np.array(out_id, np.int64),
-                             "new_text": out_t,
-                             "removed_chars": np.array(out_r, np.int64)})
-
-    both = a_ds.map_batches(doc_side, batch_format="pyarrow").union(
-        removable.map_batches(rem_side, batch_format="pyarrow"))
-    return grouped_partitions(both, ["doc_id"], splice_part, n_parts=n_parts)
+    return _splice_exchange(a_ds, removable, L, n_parts)
