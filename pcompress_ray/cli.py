@@ -117,6 +117,45 @@ def cmd_archive(args) -> int:
     return 0
 
 
+def cmd_spans(args) -> int:
+    """Corpus-wide duplicate-span ops (the suffix-array substring stage):
+    report coverage, excise duplicated spans (self or vs --against corpus),
+    or run the winnowed anchor scan."""
+    import ray.data as rd
+
+    from pcompress_ray.stages.dupspans import (
+        cross_span_excise, dup_span_anchors, dup_span_excise, dup_span_stats)
+
+    _init_ray(args.num_cpus)
+    ds = rd.read_parquet(args.input)
+    if "doc_id" not in ds.schema().names:
+        import numpy as np
+        import pyarrow as pa
+
+        from pcompress_ray.functions.ops import zip_with_rank
+
+        ds = zip_with_rank(ds, "url").map_batches(
+            lambda t: t.append_column(
+                "doc_id", t["rank"].cast(pa.int64())),
+            batch_format="pyarrow")
+
+    if args.mode == "coverage":
+        out = dup_span_stats(ds, L=args.length)
+    elif args.mode == "excise":
+        if args.against:
+            out = cross_span_excise(ds, rd.read_parquet(args.against),
+                                    L=args.length)
+        else:
+            out = dup_span_excise(ds, L=args.length)
+    else:  # anchors
+        out = dup_span_anchors(ds, L=args.length, w=args.window)
+    out.write_parquet(args.output)
+    n = rd.read_parquet(args.output).count()
+    print(json.dumps({"output": args.output, "mode": args.mode,
+                      "L": args.length, "n_rows": int(n)}))
+    return 0
+
+
 def cmd_restore(args) -> int:
     """Restore documents byte-identically from an archive directory."""
     from pcompress_ray.config import PipelineConfig
@@ -179,6 +218,22 @@ def main(argv=None) -> int:
                          "at --output (only absent chunks are stored)")
     ar.add_argument("--num-cpus", type=int, default=None)
     ar.set_defaults(fn=cmd_archive)
+
+    sp = sub.add_parser("spans", help="corpus-wide duplicate-span "
+                                      "coverage/excision/anchor scan")
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--mode", choices=["coverage", "excise", "anchors"],
+                    default="coverage")
+    sp.add_argument("--length", type=int, default=50,
+                    help="duplicated-span gram length L (chars)")
+    sp.add_argument("--window", type=int, default=8,
+                    help="winnowing window w (anchors mode)")
+    sp.add_argument("--against", default=None,
+                    help="excise mode: remove spans occurring in THIS "
+                         "corpus (decontamination) instead of self-dedup")
+    sp.add_argument("--num-cpus", type=int, default=None)
+    sp.set_defaults(fn=cmd_spans)
 
     rs = sub.add_parser("restore", help="byte-identical archive restore")
     rs.add_argument("--input", required=True, help="archive dir (store/+manifest/)")

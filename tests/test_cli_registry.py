@@ -116,3 +116,34 @@ def test_cli_archive_restore_append(ray_session, tmp_path, capsys):
     assert rc == 0
     line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert line["n_docs"] == 90 and line["n_sha_ok"] == 90
+
+
+def test_cli_spans_modes(ray_session, tmp_path, capsys):
+    """CLI spans command: coverage / excise / anchors over a pages parquet
+    without doc_id (derived from url rank); excise output splices text."""
+    import pandas as pd
+
+    import pcompress_ray
+
+    pcompress_ray.register_for_ray()
+    from pcompress_ray.cli import cmd_spans
+    from pcompress_ray.sources.corpus import make_corpus
+
+    pages, _, _ = make_corpus(40, 7, with_oracle=False)
+    inp = str(tmp_path / "pages.parquet")
+    pq.write_table(pages.select(["url", "text"]), inp)
+
+    for mode in ("coverage", "excise", "anchors"):
+        out = str(tmp_path / mode)
+        rc = cmd_spans(argparse.Namespace(
+            input=inp, output=out, mode=mode, length=16, window=4,
+            against=None, num_cpus=None))
+        assert rc == 0
+        line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert line["mode"] == mode and line["n_rows"] >= 1
+
+    ex = pd.read_parquet(str(tmp_path / "excise"))
+    assert set(ex.columns) == {"doc_id", "new_text", "removed_chars"}
+    assert len(ex) == 40 and (ex["removed_chars"] >= 0).all()
+    # the planted-duplicate corpus must lose SOMETHING to self-excision
+    assert ex["removed_chars"].sum() > 0
