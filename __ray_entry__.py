@@ -1758,6 +1758,26 @@ def q_cross_span_excise(sf_dir: str):
     return cross_span_excise(a, b, L=16).sort("doc_id")
 
 
+def q_corpus_grep(sf_dir: str):
+    """Distributed literal grep — the corpus-tooling primitive every
+    engine ships (the reference greps its own streams for magic markers,
+    e.g. the DICOM/text scanners in utils/utils.c type detection): one
+    zero-copy Arrow pass with pc.count_substring, no shuffle. Pattern
+    'batch' is self-overlap-free so engine occurrence counts equal the
+    oracle's replace-length arithmetic exactly."""
+    _setup()
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def scan(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        n = pc.count_substring(t["text"], "batch")
+        out = pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                        "n_hits": n.cast(pa.int64())})
+        return out.filter(pc.greater(out["n_hits"], 0))
+
+    return ds.map_batches(scan, batch_format="pyarrow").sort("doc_id")
+
+
 def q_snapshot_diff(sf_dir: str):
     """Cross-snapshot corpus diff — the incremental-crawl primitive
     (pipelines/incremental.py folds new docs in; this op REPORTS what
@@ -2858,6 +2878,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_excise": q_dup_span_excise,
         "dup_span_anchors": q_dup_span_anchors,
         "cross_span_excise": q_cross_span_excise,
+        "corpus_grep": q_corpus_grep,
         "bpe_merges": q_bpe_merges,
         "bpe_token_counts": q_bpe_token_counts,
     }
@@ -3053,6 +3074,16 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS removed_chars
             FROM documents d LEFT JOIN rebuilt r USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        # distributed grep: non-self-overlapping literal, so the
+        # replace-length occurrence count is exact
+        "corpus_grep": """
+            SELECT doc_id,
+                   CAST((length(text) - length(replace(text, 'batch', '')))
+                        / 5 AS BIGINT) AS n_hits
+            FROM documents
+            WHERE text LIKE '%batch%'
+            ORDER BY doc_id
         """,
         # cross-corpus span excision: A = doc_id%7!=0, B ('benchmark') =
         # doc_id%7==0; A positions whose 16-gram occurs anywhere in B are
