@@ -1778,6 +1778,28 @@ def q_corpus_grep(sf_dir: str):
     return ds.map_batches(scan, batch_format="pyarrow").sort("doc_id")
 
 
+def q_hll_registers(sf_dir: str):
+    """HyperLogLog distinct-token sketch — 256 bytes summarize an
+    unbounded key space (the summary that sizes a similarity index at
+    10^12 keys, cf. the reference's segmented-index geometry). Per-batch
+    FIXED-size partial registers over batch-unique tokens, elementwise-max
+    merge, no vocabulary shuffle. The oracle REPRODUCES THE SKETCH (the
+    length_hist_quantiles pattern): sha256-derived hash, bucket and rank
+    are exact-integer in both engines, so the 256-row register table
+    matches bit for bit; the float cardinality estimate stays out of the
+    hash-checked output and is accuracy-gated in pytest instead."""
+    import re as _re
+
+    from pcompress_ray.functions.hll import batch_hll_partial, merge_registers
+
+    _setup()
+    ds = _read(sf_dir, "documents", ["text"])
+    tok = _re.compile(_TOKEN_SQL)
+    partials = ds.map_batches(lambda t: batch_hll_partial(t, tok),
+                              batch_format="pyarrow").to_pandas()
+    return merge_registers(partials)
+
+
 def q_snapshot_diff(sf_dir: str):
     """Cross-snapshot corpus diff — the incremental-crawl primitive
     (pipelines/incremental.py folds new docs in; this op REPORTS what
@@ -2879,6 +2901,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_anchors": q_dup_span_anchors,
         "cross_span_excise": q_cross_span_excise,
         "corpus_grep": q_corpus_grep,
+        "hll_registers": q_hll_registers,
         "bpe_merges": q_bpe_merges,
         "bpe_token_counts": q_bpe_token_counts,
     }
@@ -3074,6 +3097,32 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS removed_chars
             FROM documents d LEFT JOIN rebuilt r USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        # HLL register twin: identical sha256-derived hash/bucket/rank
+        # arithmetic (exact integers; bin() gives bit_length) over DISTINCT
+        # tokens; empty buckets filled with 0 via generate_series
+        "hll_registers": f"""
+            WITH toks AS (
+              SELECT DISTINCT unnest(regexp_extract_all(
+                         lower(coalesce(text, '')), '{_TOKEN_SQL}')) AS token
+              FROM documents
+            ),
+            hashed AS (
+              SELECT CAST('0x' || substr(sha256(token), 1, 16) AS UBIGINT) AS h
+              FROM toks
+            ),
+            ranks AS (
+              SELECT CAST(h >> 56 AS BIGINT) AS bucket,
+                     CAST(CASE WHEN (h & ((1::UBIGINT << 56) - 1)) = 0 THEN 57
+                          ELSE 56 - length(bin(h & ((1::UBIGINT << 56) - 1))) + 1
+                          END AS BIGINT) AS rank
+              FROM hashed
+            ),
+            agg AS (SELECT bucket, max(rank) AS mr FROM ranks GROUP BY bucket)
+            SELECT g.b AS bucket, CAST(coalesce(a.mr, 0) AS BIGINT) AS max_rank
+            FROM generate_series(0, 255) AS g(b)
+            LEFT JOIN agg a ON a.bucket = g.b
+            ORDER BY bucket
         """,
         # distributed grep: non-self-overlapping literal, so the
         # replace-length occurrence count is exact

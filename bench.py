@@ -53,7 +53,8 @@ QUERY_NAMES = ["q1_pricing", "q3_top_orders", "customer_nation", "doc_stats",
                "weighted_sample", "substring_excise", "fuzzy_decontaminate",
                "length_hist_quantiles", "snapshot_diff", "dup_span_coverage",
                "bpe_merges", "bpe_token_counts", "dup_span_excise",
-               "dup_span_anchors", "cross_span_excise", "corpus_grep"]
+               "dup_span_anchors", "cross_span_excise", "corpus_grep",
+               "hll_registers"]
 
 
 def run_bench() -> dict:
