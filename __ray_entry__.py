@@ -2814,6 +2814,202 @@ def q_weighted_sample(sf_dir: str):
     return ds.map_batches(pick, batch_format="pyarrow")
 
 
+def q_corpus_shuffle(sf_dir: str, n_shards: int = 16, seed: int = 42):
+    """Seeded DETERMINISTIC global shuffle — the last stage of a
+    training-data pipeline (order randomization + fixed shard assignment
+    before the shards are written as partitioned parquet). Key =
+    sha256(doc_id || '-' || seed): shard = first 8 hex digits mod
+    n_shards, in-shard position = rank of the full digest. Reproducible
+    across runs AND cluster sizes by construction (a pure function of
+    doc_id), unlike ds.random_shuffle() whose layout depends on block
+    boundaries. ONE shard-keyed exchange; the in-shard rank is a
+    per-partition sort (a shard never spans partitions). At 10^12 docs
+    swap the string sha for the splitmix64 path (hashing.py) — sha256 is
+    kept here so DuckDB's sha256 twins the key bit-for-bit."""
+    import hashlib
+
+    from pcompress_ray.functions.ops import group_boundaries, grouped_partitions
+
+    _setup()
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def key(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hx = [hashlib.sha256(f"{i}-{seed}".encode()).hexdigest()
+              for i in ids]
+        shard = np.fromiter((int(h[:8], 16) % n_shards for h in hx),
+                            np.int64, len(hx))
+        return pa.table({"doc_id": pa.array(ids),
+                         "shard_id": pa.array(shard),
+                         "k": pa.array(hx, pa.string())})
+
+    def rank(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["shard_id", "k", "doc_id"], kind="stable")
+        sh = part["shard_id"].to_numpy(np.int64)
+        first, gid, _ = group_boundaries(sh)
+        starts = np.flatnonzero(first)
+        pos = np.arange(len(part), dtype=np.int64) - starts[gid]
+        return pd.DataFrame({"doc_id": part["doc_id"].to_numpy(np.int64),
+                             "shard_id": sh, "pos": pos})
+
+    keyed = ds.map_batches(key, batch_format="pyarrow")
+    return grouped_partitions(keyed, ["shard_id"], rank,
+                              n_parts=n_shards).sort("doc_id")
+
+
+def q_inverted_index(sf_dir: str, top_k: int = 20):
+    """Impact-ordered inverted index with champion lists (the tiered /
+    impact-sorted postings layout of web search engines): per token, its
+    document frequency plus the top-``top_k`` posting doc_ids by
+    (tf DESC, doc_id) joined as a comma champion list — the
+    bounded-output index build a corpus engine ships alongside grep. One
+    exploded (doc, tok, tf) map-side pass (batch-local, complete), then
+    ONE token-keyed exchange; per-partition top-k is a sort + per-group
+    prefix mask and the champion strings are wrapped as a ListArray and
+    joined by a single pc.binary_join — no per-token Python. Output is
+    bounded by vocab x top_k regardless of corpus size."""
+    import pyarrow.compute as pc
+
+    from pcompress_ray.functions.ops import group_boundaries, grouped_partitions
+    from pcompress_ray.stages.textstats import doc_token_counts
+
+    _setup()
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    tokc = ds.map_batches(doc_token_counts, batch_format="pyarrow")
+
+    def build(part: pd.DataFrame) -> pd.DataFrame:
+        if not len(part):
+            return pd.DataFrame({"tok": pd.Series([], dtype=object),
+                                 "df": pd.Series([], dtype=np.int64),
+                                 "champions": pd.Series([], dtype=object)})
+        # rows are FINAL tfs already — doc_token_counts emits one row per
+        # distinct (doc, tok) and a doc never spans batches — so no
+        # re-aggregation here, just the per-token impact sort.
+        agg = part.sort_values(["tok", "c", "doc_id"],
+                               ascending=[True, False, True], kind="stable")
+        tokv = agg["tok"].to_numpy()
+        first, gid, sizes = group_boundaries(tokv)
+        starts = np.flatnonzero(first)
+        pos = np.arange(len(agg), dtype=np.int64) - starts[gid]
+        keep = pos < top_k
+        ck = np.cumsum(keep.astype(np.int64))
+        off = np.empty(starts.size + 1, dtype=np.int32)
+        off[0] = 0
+        off[1:] = ck[starts + sizes - 1]
+        champs = agg["doc_id"].to_numpy(np.int64)[keep].astype(str)
+        lst = pa.ListArray.from_arrays(pa.array(off),
+                                       pa.array(champs, pa.string()))
+        joined = pc.binary_join(lst, ",").to_pandas()
+        return pd.DataFrame({"tok": tokv[starts],
+                             "df": sizes.astype(np.int64),
+                             "champions": joined.to_numpy()})
+
+    return grouped_partitions(tokc, ["tok"], build, n_parts=32).sort("tok")
+
+
+def q_dedup_keep_best(sf_dir: str):
+    """Quality-aware canonical selection: exact URL-tier dedup where the
+    kept copy is the HIGHEST-QUALITY member of each canon_url group (tie:
+    lowest doc_id) — the policy real webtext pipelines use when the same
+    page is crawled repeatedly (keep the best extraction, not merely the
+    first), vs url_dedup/exact_dup_docs' keep-first. Composes two
+    oracle-proven kernels: urlnorm's messy-URL synthesis +
+    canonicalization and quality_batch's e6-quantized composite score.
+    ONE canon_url-keyed exchange; per-partition argmax is a vectorized
+    (key, -q, id) sort + group-start gather."""
+    from pcompress_ray.functions.ops import group_boundaries, grouped_partitions
+    from pcompress_ray.stages.textstats import quality_batch
+    from pcompress_ray.stages.urlnorm import canonicalize_urls, synthesize_messy_urls
+
+    _setup()
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def feat(df: pd.DataFrame) -> pd.DataFrame:
+        q = quality_batch(df)
+        ids = q["doc_id"].to_numpy(np.int64)
+        urls = synthesize_messy_urls(ids)
+        return pd.DataFrame({
+            "doc_id": ids,
+            "canon_url": canonicalize_urls(urls).to_numpy(),
+            "quality_score_e6": np.floor(
+                q["quality_score"].to_numpy(np.float64) * 1e6 + 0.5)
+            .astype(np.int64)})
+
+    def assign(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(
+            ["canon_url", "quality_score_e6", "doc_id"],
+            ascending=[True, False, True], kind="stable")
+        key = part["canon_url"].to_numpy()
+        ids = part["doc_id"].to_numpy(np.int64)
+        first, gid, _ = group_boundaries(key)
+        canon = ids[first][gid]
+        return pd.DataFrame({
+            "doc_id": ids, "canon_url": key,
+            "quality_score_e6": part["quality_score_e6"]
+            .to_numpy(np.int64),
+            "canonical_doc_id": canon,
+            "is_kept": (ids == canon).astype(np.int64)})
+
+    featd = ds.map_batches(feat, batch_format="pandas")
+    return grouped_partitions(featd, ["canon_url"], assign).sort("doc_id")
+
+
+def q_nb_classify(sf_dir: str):
+    """Multinomial Naive-Bayes source classifier, trained AND applied in
+    one job — the fastText-style quality/domain-classifier slot of a
+    webtext pipeline (e.g. CCNet's LM filter, GPT-3's WebText-vs-crawl
+    classifier) with the classifier reduced to exactly-reproducible
+    integer math. Pass 1 fits the model with a map-side (source, tok)
+    combiner — shuffle bounded by classes x vocabulary, NOT corpus size —
+    pulled to the driver (classes x vocab table) and broadcast via
+    ray.put. Pass 2 scores every doc in one streaming map_batches
+    (searchsorted + per-class reduceat). Every logprob is quantized to
+    floor(-ln(p)*1e6+0.5) ints BEFORE summation (the lm_quality
+    precedent: int sums, 1-ulp ln() exposure only at quantization), and
+    prediction = argmin over classes with ties to the smallest class
+    name, so the SQL twin hashes identically. At web scale (vocab >>
+    driver memory) the broadcast swaps for a token-keyed
+    grouped_partitions join, same as tfidf_top_term."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from pcompress_ray.stages.textstats import (nb_score_batch,
+                                                source_token_counts)
+
+    _setup()
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    ctc = (ds.map_batches(source_token_counts, batch_format="pyarrow")
+           .groupby(["source", "tok"]).aggregate(Sum("n", alias_name="n"))
+           .to_pandas())  # bounded by classes x vocabulary
+    nd = (_read(sf_dir, "documents", ["source"])
+          .groupby("source").count().to_pandas())  # bounded by classes
+
+    classes = np.sort(nd["source"].to_numpy())
+    ndocs = nd.set_index("source").loc[classes, "count()"] \
+        .to_numpy(np.int64)
+    vocab = np.sort(ctc["tok"].unique())
+    V = vocab.size
+    cmat = np.zeros((classes.size, V), np.int64)
+    ci = np.searchsorted(classes, ctc["source"].to_numpy())
+    ti = np.searchsorted(vocab, ctc["tok"].to_numpy())
+    cmat[ci, ti] = ctc["n"].to_numpy(np.int64)
+    tot = cmat.sum(axis=1)
+    # same IEEE ops as the twin: int+1 -> double, / (tot+V) double, -ln
+    lp = np.floor(-np.log((cmat + 1.0) / (tot[:, None] + float(V)))
+                  * 1e6 + 0.5).astype(np.int64)
+    prior = np.floor(-np.log(ndocs / float(ndocs.sum())) * 1e6 + 0.5) \
+        .astype(np.int64)
+    vr, lr, pr, cr = (ray.put(vocab), ray.put(lp), ray.put(prior),
+                      ray.put(classes))
+
+    def score(t: pa.Table) -> pa.Table:
+        return nb_score_batch(t, ray.get(vr), ray.get(lr), ray.get(pr),
+                              ray.get(cr))
+
+    return ds.map_batches(score, batch_format="pyarrow").sort("doc_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q1_pricing": q_q1_pricing,
@@ -2904,6 +3100,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_registers": q_hll_registers,
         "bpe_merges": q_bpe_merges,
         "bpe_token_counts": q_bpe_token_counts,
+        "corpus_shuffle": q_corpus_shuffle,
+        "inverted_index": q_inverted_index,
+        "dedup_keep_best": q_dedup_keep_best,
+        "nb_classify": q_nb_classify,
     }
 
 
@@ -2964,6 +3164,57 @@ def _url_dedup_sql() -> str:
         SELECT CAST(doc_id AS BIGINT) AS doc_id, canon_url,
                min(doc_id) OVER (PARTITION BY canon_url) AS canonical_doc_id
         FROM c
+    """
+
+
+def _dedup_keep_best_sql() -> str:
+    """dedup_keep_best oracle: urlnorm's messy-URL synthesis +
+    canonicalization composed with the quality_scores composite (same
+    float ops in the same order, e6-floored), canonical member =
+    first_value over (quality DESC, doc_id)."""
+    from pcompress_ray.stages.urlnorm import (
+        canonicalize_sql,
+        synthesize_messy_urls_sql,
+    )
+
+    return f"""
+        WITH c AS (
+            SELECT doc_id,
+                   {canonicalize_sql(synthesize_messy_urls_sql("doc_id"))}
+                       AS canon_url
+            FROM documents
+        ), f AS (
+            SELECT doc_id,
+                CAST(length(coalesce(text, '')) AS DOUBLE) AS n_chars,
+                CAST(len(regexp_extract_all(lower(coalesce(text, '')),
+                    '[a-z0-9]+')) AS DOUBLE) AS n_tokens,
+                CAST(len(regexp_extract_all(coalesce(text, ''),
+                    '[!-/:-@\\[-`{{-~]')) AS DOUBLE) AS n_punct,
+                CAST(len(regexp_extract_all(lower(coalesce(text, '')),
+                    '\\b(the|and|of|to|in|is)\\b')) AS DOUBLE) AS n_stop
+            FROM documents
+        ), q AS (
+            SELECT doc_id,
+                CAST(floor((least(n_tokens / 100.0, 1.0) * 0.4
+                    + least(n_stop / greatest(n_tokens, 1.0) * 5.0, 1.0)
+                        * 0.3
+                    + (1.0 - least(n_punct / greatest(n_chars, 1.0) * 10.0,
+                                   1.0)) * 0.3)
+                    * 1000000.0 + 0.5) AS BIGINT) AS quality_score_e6
+            FROM f
+        )
+        SELECT CAST(c.doc_id AS BIGINT) AS doc_id, c.canon_url,
+               q.quality_score_e6,
+               first_value(c.doc_id) OVER (
+                   PARTITION BY c.canon_url
+                   ORDER BY q.quality_score_e6 DESC, c.doc_id)
+                   AS canonical_doc_id,
+               CAST(CASE WHEN c.doc_id = first_value(c.doc_id) OVER (
+                        PARTITION BY c.canon_url
+                        ORDER BY q.quality_score_e6 DESC, c.doc_id)
+                    THEN 1 ELSE 0 END AS BIGINT) AS is_kept
+        FROM c JOIN q ON c.doc_id = q.doc_id
+        ORDER BY doc_id
     """
 
 
@@ -4134,5 +4385,109 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(new_text) AS BIGINT) AS new_n_chars,
                    sha256(new_text) AS new_sha
             FROM re ORDER BY doc_id
+        """,
+        "corpus_shuffle": """
+            WITH s AS (
+                SELECT doc_id,
+                       sha256(CAST(doc_id AS VARCHAR) || '-42') AS h
+                FROM documents
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(('0x' || substr(h, 1, 8)) AS BIGINT) % 16
+                       AS shard_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY CAST(('0x' || substr(h, 1, 8))
+                                         AS BIGINT) % 16
+                       ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+            FROM s ORDER BY doc_id
+        """,
+        # champion lists: space-split tokenization shared with
+        # doc_token_counts (string_split + empty filter)
+        "inverted_index": """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split(coalesce(text, ''),
+                                                       ' '),
+                                          x -> x <> '')) AS tok
+                FROM documents
+            ), tf AS (
+                SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS c
+                FROM tok GROUP BY tok, doc_id
+            ), r AS (
+                SELECT tok, doc_id,
+                       row_number() OVER (PARTITION BY tok
+                                          ORDER BY c DESC, doc_id) AS rn,
+                       count(*) OVER (PARTITION BY tok) AS df
+                FROM tf
+            )
+            SELECT tok, CAST(df AS BIGINT) AS df,
+                   string_agg(CAST(doc_id AS VARCHAR), ','
+                              ORDER BY rn) AS champions
+            FROM r WHERE rn <= 20 GROUP BY tok, df ORDER BY tok
+        """,
+        "dedup_keep_best": _dedup_keep_best_sql(),
+        # NB twin: identical model arithmetic (int -> double divisions,
+        # -ln, e6 floor) and int sums; outer sums CAST to BIGINT (DuckDB
+        # SUM(BIGINT) is HUGEINT -- the dtype-hash bug class)
+        "nb_classify": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split(coalesce(text, ''),
+                                                       ' '),
+                                          x -> x <> '')) AS tok
+                FROM documents
+            ), docsrc AS (
+                SELECT doc_id, source FROM documents
+            ), cls AS (
+                SELECT source AS cls, CAST(count(*) AS BIGINT) AS n_docs
+                FROM documents GROUP BY source
+            ), tot_docs AS (
+                SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+            ), ctc AS (
+                SELECT d.source AS cls, t.tok,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM toks t JOIN docsrc d USING (doc_id)
+                GROUP BY d.source, t.tok
+            ), ctot AS (
+                SELECT cls, CAST(sum(c) AS BIGINT) AS tot
+                FROM ctc GROUP BY cls
+            ), vocab AS (
+                SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM toks
+            ), lp AS (
+                SELECT g.cls, g.tok,
+                       CAST(floor(-ln((coalesce(ctc.c, 0) + 1)
+                                      / CAST(ctot.tot + vocab.v AS DOUBLE))
+                                  * 1000000.0 + 0.5) AS BIGINT) AS lp_e6
+                FROM (SELECT c.cls, vt.tok
+                      FROM (SELECT DISTINCT tok FROM toks) vt
+                      CROSS JOIN cls c) g
+                JOIN ctot ON ctot.cls = g.cls
+                CROSS JOIN vocab
+                LEFT JOIN ctc ON ctc.cls = g.cls AND ctc.tok = g.tok
+            ), prior AS (
+                SELECT cls,
+                       CAST(floor(-ln(n_docs /
+                                      CAST((SELECT n FROM tot_docs)
+                                           AS DOUBLE))
+                                  * 1000000.0 + 0.5) AS BIGINT) AS prior_e6
+                FROM cls
+            ), score AS (
+                SELECT t.doc_id, l.cls,
+                       p.prior_e6 + CAST(sum(l.lp_e6) AS BIGINT) AS s
+                FROM toks t
+                JOIN lp l ON l.tok = t.tok
+                JOIN prior p ON p.cls = l.cls
+                GROUP BY t.doc_id, l.cls, p.prior_e6
+            ), best AS (
+                SELECT doc_id, cls AS pred_source, s AS score_e6,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY s, cls) AS rn
+                FROM score
+            )
+            SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
+                   d.source AS true_source, b.pred_source,
+                   CAST(b.score_e6 AS BIGINT) AS score_e6
+            FROM best b JOIN docsrc d USING (doc_id)
+            WHERE rn = 1 ORDER BY doc_id
         """,
     }

@@ -658,3 +658,78 @@ def sha_prefix_fingerprint(t: pa.Table, text_col: str = "text",
         "n_docs": pa.array(agg["n_docs"].to_numpy(np.int64)),
         "fingerprint": pa.array(agg["fingerprint"].to_numpy(np.int64)),
     })
+
+
+def source_token_counts(t: pa.Table, text_col: str = "text",
+                        label_col: str = "source") -> pa.Table:
+    """(source, tok, n) partial counts per batch — the Naive-Bayes fit
+    combiner. Same space-split tokenization as the Gopher/LM kernels so
+    the SQL twin is string_split; shuffle volume bounded by
+    classes x batch vocabulary, never corpus size. One np.unique pass over
+    a packed (class_idx, token_idx) int key — no per-row Python."""
+    t = t.replace_schema_metadata(None)
+    doc, words = _split_tokens(t, text_col)
+    if doc.size == 0:
+        return pa.table({"source": pa.array([], pa.string()),
+                         "tok": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    src = t[label_col].to_numpy(zero_copy_only=False)[doc]
+    uw, wi = np.unique(words, return_inverse=True)
+    us, si = np.unique(src, return_inverse=True)
+    key = si.astype(np.int64) * np.int64(uw.size) + wi
+    uk, cnt = np.unique(key, return_counts=True)
+    return pa.table({"source": pa.array(us[uk // uw.size], pa.string()),
+                     "tok": pa.array(uw[uk % uw.size], pa.string()),
+                     "n": pa.array(cnt.astype(np.int64))})
+
+
+def nb_score_batch(t: pa.Table, vocab_toks: np.ndarray,
+                   lp_mat_e6: np.ndarray, prior_e6: np.ndarray,
+                   class_names: np.ndarray, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   label_col: str = "source") -> pa.Table:
+    """Multinomial Naive-Bayes scoring against a broadcast model — the
+    fastText-style classifier slot of a webtext quality pipeline.
+    ``lp_mat_e6``: (n_classes, V) ints floor(-ln((c+1)/(tot_c+V))*1e6+0.5)
+    over the SORTED ``vocab_toks``; ``prior_e6``: (n_classes,) ints;
+    ``class_names`` sorted, so argmin ties resolve to the
+    lexicographically smallest class on both engines. All sums are int64
+    (the lm_quality e6-quantization precedent — same accepted 1-ulp ln()
+    exposure, zero float accumulation). OOV tokens are masked OUT of the
+    sum (the SQL twin's inner join drops them; scoring the fit corpus has
+    none), and a doc with zero in-vocab tokens emits no row, exactly like
+    the twin's GROUP BY. One searchsorted + per-class reduceat per batch;
+    the only Python loop is over the (fixed, small) class count."""
+    t = t.replace_schema_metadata(None)
+    doc, words = _split_tokens(t, text_col)
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "true_source": pa.array([], pa.string()),
+                      "pred_source": pa.array([], pa.string()),
+                      "score_e6": pa.array([], pa.int64())})
+    if doc.size == 0 or vocab_toks.size == 0:
+        return empty
+    idx = np.searchsorted(vocab_toks, words)
+    idx = np.minimum(idx, vocab_toks.size - 1)
+    ok = vocab_toks[idx] == words
+    doc, idx = doc[ok], idx[ok]
+    if doc.size == 0:
+        return empty
+    dnew = np.empty(doc.size, bool)
+    dnew[0] = True
+    dnew[1:] = doc[1:] != doc[:-1]
+    starts = np.flatnonzero(dnew)
+    n_cls = lp_mat_e6.shape[0]
+    scores = np.empty((n_cls, starts.size), np.int64)
+    for c in range(n_cls):
+        scores[c] = np.add.reduceat(lp_mat_e6[c, idx], starts) + prior_e6[c]
+    pred = np.argmin(scores, axis=0)
+    best = scores[pred, np.arange(starts.size)]
+    rows = doc[starts]
+    true_src = t[label_col].combine_chunks().take(pa.array(rows))
+    return pa.table({
+        "doc_id": pa.array(ids[rows].astype(np.int64)),
+        "true_source": true_src.cast(pa.string()),
+        "pred_source": pa.array(np.asarray(class_names)[pred], pa.string()),
+        "score_e6": pa.array(best),
+    })
