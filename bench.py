@@ -54,7 +54,8 @@ QUERY_NAMES = ["q1_pricing", "q3_top_orders", "customer_nation", "doc_stats",
                "length_hist_quantiles", "snapshot_diff", "dup_span_coverage",
                "bpe_merges", "bpe_token_counts", "dup_span_excise",
                "dup_span_anchors", "cross_span_excise", "corpus_grep",
-               "hll_registers"]
+               "hll_registers", "corpus_shuffle", "inverted_index",
+               "dedup_keep_best", "nb_classify"]
 
 
 def run_bench() -> dict:
