@@ -3010,6 +3010,42 @@ def q_nb_classify(sf_dir: str):
     return ds.map_batches(score, batch_format="pyarrow").sort("doc_id")
 
 
+def q_warc_pages(sf_dir: str):
+    """WARC container ingest, oracle-checked end to end: synthesize a
+    per-record-gzipped WARC file per batch from the documents table (a
+    deterministic html template a SQL twin rebuilds char-for-char,
+    including a CRLFCRLF framing trap inside every 5th body), then parse
+    it back with the from-scratch Content-Length/gzip-member reader
+    (sources/warc.py — the Common-Crawl container slot of the reference's
+    libarchive ingest, archive/pc_archive.c extract path). The recovered
+    (url, warc_ts, html) must hash-match the independent SQL
+    reconstruction — any framing, gzip-member, HTTP-envelope or charset
+    slip breaks the sha. Parsing is file-per-task parallel; payload
+    bytes never visit the driver."""
+    import hashlib
+
+    from pcompress_ray.sources.warc import synth_warc_batch, warc_pages_batch
+
+    _setup()
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    blobs = ds.map_batches(synth_warc_batch, batch_format="pyarrow")
+    pages = blobs.map_batches(warc_pages_batch, batch_format="pyarrow")
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        htmls = t["html"].to_pylist()
+        return pa.table({
+            "url": t["url"].cast(pa.string()),
+            "ts_us": t["warc_ts"].cast(pa.int64()),
+            "n_bytes": pa.array([len(h) for h in htmls], pa.int64()),
+            "html_sha": pa.array(
+                [hashlib.sha256(h).hexdigest() for h in htmls],
+                pa.string()),
+        })
+
+    return pages.map_batches(finish, batch_format="pyarrow").sort("url")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q1_pricing": q_q1_pricing,
@@ -3104,6 +3140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": q_inverted_index,
         "dedup_keep_best": q_dedup_keep_best,
         "nb_classify": q_nb_classify,
+        "warc_pages": q_warc_pages,
     }
 
 
@@ -4489,5 +4526,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(b.score_e6 AS BIGINT) AS score_e6
             FROM best b JOIN docsrc d USING (doc_id)
             WHERE rn = 1 ORDER BY doc_id
+        """,
+        # independent reconstruction of what the WARC parse must recover
+        # (same template as sources/warc.synth_html; strlen = BYTE length,
+        # sha256 hashes the UTF-8 bytes — both match the engine's bytes)
+        "warc_pages": """
+            WITH h AS (
+                SELECT doc_id,
+                       'http://crawl.example.com/doc/'
+                           || CAST(doc_id AS VARCHAR) AS url,
+                       '<html><head><title>doc' || CAST(doc_id AS VARCHAR)
+                           || '</title></head><body>'
+                           || CASE WHEN doc_id % 5 = 0
+                              THEN chr(13) || chr(10) || chr(13) || chr(10)
+                              ELSE ' ' END
+                           || '<p>' || coalesce(text, '')
+                           || '</p></body></html>' AS html
+                FROM documents
+            )
+            SELECT url,
+                   CAST((1700000000 + doc_id) * 1000000 AS BIGINT) AS ts_us,
+                   CAST(strlen(html) AS BIGINT) AS n_bytes,
+                   sha256(html) AS html_sha
+            FROM h ORDER BY url
         """,
     }

@@ -117,6 +117,26 @@ def cmd_archive(args) -> int:
     return 0
 
 
+def cmd_ingest(args) -> int:
+    """WARC directory -> pages Parquet (url, warc_ts, html, text, rank).
+
+    The front door of the pipeline: Common-Crawl-style .warc/.warc.gz
+    files parsed file-per-task (sources/warc.py), text extracted with the
+    byte-pure extractor, dense url-ordered rank assigned — output feeds
+    `dedup` / `archive` / `spans` directly."""
+    from pcompress_ray.sources.warc import read_warc_dir
+    from pcompress_ray.stages.extract import Extractor
+
+    _init_ray(args.num_cpus)
+    pages = read_warc_dir(args.input)
+    pages = pages.map_batches(Extractor(out_col="text"),
+                              batch_format="pyarrow")
+    pages = _ensure_rank(pages)
+    pages.write_parquet(args.output)
+    print(json.dumps({"output": args.output, "n_pages": pages.count()}))
+    return 0
+
+
 def cmd_spans(args) -> int:
     """Corpus-wide duplicate-span ops (the suffix-array substring stage):
     report coverage, excise duplicated spans (self or vs --against corpus),
@@ -234,6 +254,13 @@ def main(argv=None) -> int:
                          "corpus (decontamination) instead of self-dedup")
     sp.add_argument("--num-cpus", type=int, default=None)
     sp.set_defaults(fn=cmd_spans)
+
+    ing = sub.add_parser("ingest", help="WARC dir -> pages parquet "
+                                        "(parse + extract + rank)")
+    ing.add_argument("--input", required=True, help=".warc/.warc.gz directory")
+    ing.add_argument("--output", required=True)
+    ing.add_argument("--num-cpus", type=int, default=None)
+    ing.set_defaults(fn=cmd_ingest)
 
     rs = sub.add_parser("restore", help="byte-identical archive restore")
     rs.add_argument("--input", required=True, help="archive dir (store/+manifest/)")

@@ -147,3 +147,36 @@ def test_cli_spans_modes(ray_session, tmp_path, capsys):
     assert len(ex) == 40 and (ex["removed_chars"] >= 0).all()
     # the planted-duplicate corpus must lose SOMETHING to self-excision
     assert ex["removed_chars"].sum() > 0
+
+
+def test_cli_ingest_warc_dir(ray_session, tmp_path, capsys):
+    """CLI ingest: .warc.gz directory -> pages parquet with extracted text
+    and a derived rank column, ready for `dedup`."""
+    import pcompress_ray
+
+    pcompress_ray.register_for_ray()
+    from pcompress_ray.cli import cmd_ingest
+    from pcompress_ray.sources.warc import _EPOCH_BASE, synth_html, write_warc
+
+    wd = tmp_path / "warc"
+    wd.mkdir()
+    for f in range(2):
+        recs = [(f"http://s{f}.example.com/p/{i}", _EPOCH_BASE + i,
+                 synth_html(i, f"alpha beta gamma {f} {i}"))
+                for i in range(10)]
+        (wd / f"p{f}.warc.gz").write_bytes(
+            write_warc(recs, gzip_per_record=True))
+    out = str(tmp_path / "pages")
+    rc = cmd_ingest(argparse.Namespace(input=str(wd), output=out,
+                                       num_cpus=None))
+    assert rc == 0
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["n_pages"] == 20
+    t = pq.read_table(out)
+    assert len(t) == 20
+    assert {"url", "warc_ts", "html", "text", "rank"} <= set(t.schema.names)
+    # extractor really stripped the tags
+    assert "<html>" not in t["text"][0].as_py()
+    # rank is the dense url order
+    ranks = sorted(t["rank"].to_pylist())
+    assert ranks == list(range(20))
