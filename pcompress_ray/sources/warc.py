@@ -112,8 +112,13 @@ def _gunzip_members(blob: bytes) -> bytes:
     return out.getvalue()
 
 
-def parse_warc_bytes(blob: bytes, strict: bool = True):
-    """Yield (url, ts_iso, html_bytes) for every ``response`` record.
+def parse_warc_bytes(blob: bytes, strict: bool = True,
+                     record_types: frozenset = frozenset(
+                         {"response", "conversion"})):
+    """Yield (url, ts_iso, payload_bytes) for every record whose
+    WARC-Type is in ``record_types`` — ``response`` (WARC crawls, HTTP
+    envelope stripped) and ``conversion`` (WET extracted-text files,
+    payload kept whole) by default.
 
     Content-Length framing only; other record types are skipped whole. A
     truncated trailing record raises ValueError under ``strict`` (a 100-TB
@@ -150,11 +155,13 @@ def parse_warc_bytes(blob: bytes, strict: bool = True):
             if strict:
                 raise ValueError("truncated WARC record body")
             break
-        if headers.get("warc-type") == "response":
+        if headers.get("warc-type") in record_types:
             body = view[body_start:body_end]
-            # strip the HTTP envelope at its first CRLFCRLF
+            # strip the HTTP envelope at its first CRLFCRLF — response
+            # records only (a conversion record's TEXT may start "HTTP/")
             benv = bytes(body[:8])
-            if benv.startswith(b"HTTP/"):
+            if (headers.get("warc-type") == "response"
+                    and benv.startswith(b"HTTP/")):
                 split = data.find(b"\r\n\r\n", body_start, body_end)
                 html = bytes(view[split + 4:body_end]) if split >= 0 \
                     else bytes(body)
@@ -224,3 +231,44 @@ def synth_warc_batch(t: pa.Table, gzip_per_record: bool = True) -> pa.Table:
     blob = write_warc(recs, gzip_per_record=gzip_per_record)
     return pa.table({"payload": pa.array([blob], pa.binary()),
                      "n_docs": pa.array([len(recs)], pa.int64())})
+
+
+def write_wet(records: list[tuple[str, int, str]],
+              gzip_per_record: bool = False) -> bytes:
+    """WET sibling of ``write_warc``: ``conversion`` records carrying the
+    extracted plain text (utf-8), no HTTP envelope — the format
+    Common-Crawl publishes alongside raw WARC."""
+    out = [warc_record_bytes("urn:warcinfo", _EPOCH_BASE,
+                             b"format: WET\r\n", rec_type="warcinfo",
+                             http_envelope=False)]
+    for url, ts_s, text in records:
+        out.append(warc_record_bytes(url, ts_s, text.encode("utf-8"),
+                                     rec_type="conversion",
+                                     http_envelope=False))
+    if gzip_per_record:
+        return b"".join(_gzip.compress(r, compresslevel=1) for r in out)
+    return b"".join(out)
+
+
+def wet_pages_batch(t: pa.Table, payload_col: str = "payload") -> pa.Table:
+    """WET file blobs -> (url, warc_ts, text) — the text-only ingest path
+    (skips the extractor entirely)."""
+    import datetime as _dt
+
+    t = t.replace_schema_metadata(None)
+    urls: list[str] = []
+    ts_us: list[int] = []
+    texts: list[str] = []
+    for blob in t[payload_col].to_pylist():
+        for url, ts_iso, payload in parse_warc_bytes(
+                blob or b"", record_types=frozenset({"conversion"})):
+            urls.append(url)
+            d = _dt.datetime.strptime(ts_iso, "%Y-%m-%dT%H:%M:%SZ") \
+                .replace(tzinfo=_dt.timezone.utc)
+            ts_us.append(int(d.timestamp()) * 1_000_000)
+            texts.append(payload.decode("utf-8", "replace"))
+    return pa.table({
+        "url": pa.array(urls, pa.string()),
+        "warc_ts": pa.array(ts_us, pa.timestamp("us")),
+        "text": pa.array(texts, pa.string()),
+    })

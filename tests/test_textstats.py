@@ -320,3 +320,53 @@ def test_bench_jaccard_planted():
             r.loc[14, "n_union"]) == (1, 1, 3)
     assert r.loc[14, "jacc_e6"] == 333_333
     assert r.loc[14, "is_contaminated"] == 1  # 1/3 >= 1/5
+
+
+def test_nb_classifier_separable_accuracy():
+    """nb_score_batch semantics: on a class-separable vocabulary the
+    classifier must recover every label (and the e6-int pipeline must
+    agree with a float reference argmin)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pcompress_ray.stages.textstats import nb_score_batch, source_token_counts
+
+    rng = np.random.default_rng(3)
+    cls_vocab = {"a": ["apple", "ant", "axe"],
+                 "b": ["bear", "bone", "bat"],
+                 "c": ["cat", "coal", "cup"]}
+    rows = []
+    for ci, (c, vs) in enumerate(sorted(cls_vocab.items())):
+        for d in range(30):
+            toks = list(rng.choice(vs, 20)) + ["the", "and"]  # shared noise
+            rows.append((ci * 30 + d, " ".join(toks), c))
+    t = pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "text": pa.array([r[1] for r in rows], pa.string()),
+                  "source": pa.array([r[2] for r in rows], pa.string())})
+
+    # fit exactly like q_nb_classify
+    import pandas as pd
+    ctc = source_token_counts(t).to_pandas()
+    classes = np.sort(pd.unique(ctc["source"]))
+    vocab = np.sort(pd.unique(ctc["tok"]))
+    cmat = np.zeros((classes.size, vocab.size), np.int64)
+    cmat[np.searchsorted(classes, ctc["source"]),
+         np.searchsorted(vocab, ctc["tok"])] = ctc["n"].to_numpy(np.int64)
+    tot = cmat.sum(axis=1)
+    lp = np.floor(-np.log((cmat + 1.0) / (tot[:, None] + float(vocab.size)))
+                  * 1e6 + 0.5).astype(np.int64)
+    prior = np.floor(-np.log(np.full(classes.size, 1 / classes.size))
+                     * 1e6 + 0.5).astype(np.int64)
+
+    out = nb_score_batch(t, vocab, lp, prior, classes).to_pandas()
+    assert len(out) == len(rows)
+    assert (out["pred_source"] == out["true_source"]).all()
+
+    # e6-int argmin == float argmin on this data
+    lpf = -np.log((cmat + 1.0) / (tot[:, None] + float(vocab.size)))
+    for did, txt, _ in rows[:10]:
+        toks = txt.split()
+        ix = np.searchsorted(vocab, toks)
+        want = classes[np.argmin(lpf[:, ix].sum(axis=1))]
+        got = out.loc[out.doc_id == did, "pred_source"].iloc[0]
+        assert got == want

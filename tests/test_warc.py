@@ -114,3 +114,41 @@ def test_read_warc_dir_end_to_end(ray_session, tmp_path):
     assert sorted(df["url"]) == sorted(want_urls)
     assert df["html"].map(len).min() > 0
     assert str(df["warc_ts"].dtype).startswith("datetime64")
+
+
+def test_wet_roundtrip_and_batch():
+    from pcompress_ray.sources.warc import wet_pages_batch, write_wet
+
+    recs = [("http://w/1", _EPOCH_BASE + 1, "plain text one"),
+            # a WET text that STARTS with HTTP/ must not be envelope-stripped
+            ("http://w/2", _EPOCH_BASE + 2, "HTTP/1.1 looks like\r\n\r\nan envelope"),
+            ("http://w/3", _EPOCH_BASE + 3, "unicode é中文")]
+    for gz in (False, True):
+        blob = write_wet(recs, gzip_per_record=gz)
+        t = wet_pages_batch(pa.table({"payload": pa.array([blob],
+                                                          pa.binary())}))
+        assert t["url"].to_pylist() == [u for u, _, _ in recs]
+        assert t["text"].to_pylist() == [x for _, _, x in recs]
+        assert t["warc_ts"].cast(pa.int64()).to_pylist() == [
+            ts * 1_000_000 for _, ts, _ in recs]
+
+
+def test_warc_roundtrip_property():
+    """Hypothesis: arbitrary binary payloads (including CRLF runs, fake
+    record magics, gzip magic bytes) survive write->parse bit-for-bit,
+    plain and gzipped."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    payloads = st.lists(st.binary(min_size=0, max_size=400), min_size=1,
+                        max_size=8)
+
+    @settings(max_examples=40, deadline=None)
+    @given(payloads, st.booleans())
+    def prop(ps, gz):
+        recs = [(f"http://h/{i}", _EPOCH_BASE + i, p)
+                for i, p in enumerate(ps)]
+        got = list(parse_warc_bytes(write_warc(recs, gzip_per_record=gz)))
+        assert [(u, h) for u, _, h in got] == [(u, h) for u, _, h in recs]
+
+    prop()
