@@ -3046,6 +3046,68 @@ def q_warc_pages(sf_dir: str):
     return pages.map_batches(finish, batch_format="pyarrow").sort("url")
 
 
+def q_pagerank(sf_dir: str, iters: int = 5):
+    """Distributed PageRank over a deterministic synthesized link graph —
+    the webgraph centrality signal crawl pipelines rank hosts by (and the
+    ITERATIVE bulk-synchronous dataflow pattern: per iteration ONE
+    edge-keyed groupby-sum exchange, rank state re-materialized between
+    rounds — the same shape as components.label_propagation but with
+    weighted mass). Page i links to (7i+1, 7i+2, 7i+3) mod N (outdegree
+    exactly 3; contiguous doc_ids asserted). All arithmetic is e12-scaled
+    integer (pr//3 contributions, (15*base + 85*sum)//100 damping), so the
+    SQL twin — five chained CTEs of the same floor divisions — matches
+    bit for bit; no float ever appears. Edges are a pure function of the
+    source id, so contributions are EMITTED per batch (no edge table, no
+    join); a per-node zero row keeps in-link-less nodes alive, twin of
+    the oracle's LEFT JOIN."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    _setup()
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    n = ds.count()  # parquet metadata only
+    mm = ds.aggregate(Min("doc_id"), Max("doc_id"))
+    if int(mm["min(doc_id)"]) != 0 or int(mm["max(doc_id)"]) != n - 1:
+        raise ValueError("pagerank synthesis needs contiguous doc_ids")
+    total = 10**12
+    base_pr = total // n
+    teleport = 15 * base_pr
+
+    def init(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"doc_id": pa.array(ids),
+                         "pr_e12": pa.array(np.full(ids.size, base_pr,
+                                                    np.int64))})
+
+    pr = ds.map_batches(init, batch_format="pyarrow")
+    for _ in range(iters):
+        def emit(t: pa.Table) -> pa.Table:
+            t = t.replace_schema_metadata(None)
+            ids = t["doc_id"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            c = t["pr_e12"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64) // 3
+            dst = np.concatenate([(ids * 7 + 1) % n, (ids * 7 + 2) % n,
+                                  (ids * 7 + 3) % n, ids])
+            cc = np.concatenate([c, c, c, np.zeros_like(c)])
+            return pa.table({"doc_id": pa.array(dst), "c": pa.array(cc)})
+
+        summed = (pr.map_batches(emit, batch_format="pyarrow")
+                  .groupby("doc_id").aggregate(Sum("c", alias_name="s")))
+
+        def damp(t: pa.Table) -> pa.Table:
+            t = t.replace_schema_metadata(None)
+            s = t["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "pr_e12": pa.array((teleport + 85 * s) // 100)})
+
+        # materialize: bounded state (16 B/node), resets the lazy plan so
+        # 5 rounds don't stack into one giant graph
+        pr = summed.map_batches(damp, batch_format="pyarrow").materialize()
+    return pr.sort("doc_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q1_pricing": q_q1_pricing,
@@ -3141,6 +3203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_best": q_dedup_keep_best,
         "nb_classify": q_nb_classify,
         "warc_pages": q_warc_pages,
+        "pagerank": q_pagerank,
     }
 
 
@@ -3253,6 +3316,43 @@ def _dedup_keep_best_sql() -> str:
         FROM c JOIN q ON c.doc_id = q.doc_id
         ORDER BY doc_id
     """
+
+
+def _pagerank_sql(iters: int = 5) -> str:
+    """q_pagerank's twin: the same e12 integer arithmetic as five chained
+    CTEs — floor-div contributions, LEFT JOIN keeps in-link-less nodes
+    (the engine's zero-row), (teleport + 85*sum)//100 damping."""
+    head = """
+        WITH consts AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(15 * (1000000000000 // count(*)) AS BIGINT) AS tp
+            FROM documents
+        ), base AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+        ), it0 AS (
+            SELECT doc_id,
+                   CAST(1000000000000 // (SELECT n FROM consts) AS BIGINT)
+                       AS pr
+            FROM base
+        )"""
+    step = """, it{t1} AS (
+            SELECT b.doc_id,
+                   CAST(((SELECT tp FROM consts)
+                         + 85 * coalesce(s.s, 0)) // 100 AS BIGINT) AS pr
+            FROM base b LEFT JOIN (
+                SELECT dst AS doc_id, CAST(sum(c) AS BIGINT) AS s
+                FROM (SELECT unnest([
+                              (doc_id*7+1) % (SELECT n FROM consts),
+                              (doc_id*7+2) % (SELECT n FROM consts),
+                              (doc_id*7+3) % (SELECT n FROM consts)]) AS dst,
+                             pr // 3 AS c
+                      FROM it{t0})
+                GROUP BY dst) s ON b.doc_id = s.doc_id
+        )"""
+    body = "".join(step.format(t0=t, t1=t + 1) for t in range(iters))
+    return (head + body
+            + f"\n        SELECT doc_id, pr AS pr_e12 FROM it{iters}"
+            + "\n        ORDER BY doc_id")
 
 
 def _pii_sql() -> str:
@@ -4550,4 +4650,5 @@ def oracle_sql() -> dict[str, str]:
                    sha256(html) AS html_sha
             FROM h ORDER BY url
         """,
+        "pagerank": _pagerank_sql(),
     }
