@@ -3108,6 +3108,90 @@ def q_pagerank(sf_dir: str, iters: int = 5):
     return pr.sort("doc_id")
 
 
+_BLOCKLIST = ["site3.example.com", "site11.example.com",
+              "site24.example.com", "ads.example.net"]
+_SUBS = ["", "m.", "cdn.", "shop."]
+
+
+def _host_expr_sql() -> str:
+    """SQL twin of the host synthesis in q_domain_blocklist/_stats."""
+    subs = ", ".join(f"'{s}'" for s in _SUBS)
+    return (f"[{subs}][doc_id % 4 + 1] || 'site' || "
+            "CAST(doc_id % 37 AS VARCHAR) || '.example.com'")
+
+
+def _synth_hosts(ids: np.ndarray) -> pd.Series:
+    d = pd.Series(ids.astype(np.int64))
+    subs = pd.Series(np.array(_SUBS, object)[(d % 4).to_numpy()])
+    return subs + "site" + (d % 37).astype(str) + ".example.com"
+
+
+def q_domain_blocklist(sf_dir: str):
+    """UT1-style domain blocklist filter (the RefinedWeb/CCNet URL tier):
+    a host is blocked when it EQUALS a blocklist entry or is a SUBDOMAIN
+    of one (suffix match at a label boundary) — first matching entry in
+    fixed list order wins. Hosts are synthesized deterministically from
+    doc_id with rotating subdomains (m./cdn./shop.) so the suffix rule is
+    actually exercised; the SQL twin is generated from the SAME
+    _BLOCKLIST/_SUBS constants, so the pattern set is shared by
+    construction. Stateless streaming map_batches, no shuffle; at scale
+    the blocklist (millions of entries) broadcasts once via ray.put and
+    matching flips to searchsorted over reversed-host prefixes."""
+    _setup()
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def mark(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        host = _synth_hosts(ids)
+        blocked = np.zeros(ids.size, np.int64)
+        entry = np.full(ids.size, "", object)
+        for b in _BLOCKLIST:  # fixed order; first match wins
+            hit = ((host == b) | host.str.endswith("." + b)).to_numpy()
+            new = hit & (blocked == 0)
+            blocked[new] = 1
+            entry[new] = b
+        return pd.DataFrame({"doc_id": ids, "host": host.to_numpy(),
+                             "blocked": blocked, "matched_entry": entry})
+
+    return (ds.map_batches(mark, batch_format="pandas").sort("doc_id"))
+
+
+def q_domain_stats(sf_dir: str):
+    """Per-host corpus rollup (the 'host table' crawl pipelines maintain:
+    page counts, distinct canonical pages, bytes) over the same synthetic
+    hosts + the urlnorm canonical key. One host-keyed groupby with
+    map-side combine; output bounded by distinct hosts."""
+    from ray.data.aggregate import Sum
+
+    from pcompress_ray.functions.ops import grouped_partitions
+    from pcompress_ray.stages.urlnorm import canonicalize_urls, synthesize_messy_urls
+
+    _setup()
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def feat(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "host": _synth_hosts(ids).to_numpy(),
+            "canon_url": canonicalize_urls(
+                synthesize_messy_urls(ids)).to_numpy(),
+            "n_chars": df["n_chars"].to_numpy(np.int64)})
+
+    def roll(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby("host", sort=False).agg(
+            n_docs=("canon_url", "size"),
+            n_pages=("canon_url", "nunique"),
+            total_chars=("n_chars", "sum")).reset_index()
+        return g.astype({"n_docs": np.int64, "n_pages": np.int64,
+                         "total_chars": np.int64})
+
+    featd = ds.map_batches(feat, batch_format="pandas")
+    # host-keyed partitions: all rows of a host co-locate, so per-host
+    # nunique is exact without a second exchange
+    return grouped_partitions(featd, ["host"], roll,
+                              n_parts=16).sort("host")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q1_pricing": q_q1_pricing,
@@ -3204,6 +3288,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_classify": q_nb_classify,
         "warc_pages": q_warc_pages,
         "pagerank": q_pagerank,
+        "domain_blocklist": q_domain_blocklist,
+        "domain_stats": q_domain_stats,
     }
 
 
@@ -3315,6 +3401,55 @@ def _dedup_keep_best_sql() -> str:
                     THEN 1 ELSE 0 END AS BIGINT) AS is_kept
         FROM c JOIN q ON c.doc_id = q.doc_id
         ORDER BY doc_id
+    """
+
+
+def _domain_blocklist_sql() -> str:
+    """Generated from the SAME _BLOCKLIST/_SUBS constants as the Ray
+    kernel — equal-or-subdomain-suffix match, first entry wins."""
+    ms = ",\n                   ".join(
+        f"(host = '{b}' OR host LIKE '%.{b}') AS m{i}"
+        for i, b in enumerate(_BLOCKLIST))
+    any_m = " OR ".join(f"m{i}" for i in range(len(_BLOCKLIST)))
+    first = "\n                   ".join(
+        f"WHEN m{i} THEN '{b}'" for i, b in enumerate(_BLOCKLIST))
+    return f"""
+        WITH h AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   {_host_expr_sql()} AS host
+            FROM documents
+        ), m AS (
+            SELECT doc_id, host,
+                   {ms}
+            FROM h
+        )
+        SELECT doc_id, host,
+               CAST(CASE WHEN {any_m} THEN 1 ELSE 0 END AS BIGINT)
+                   AS blocked,
+               CASE {first}
+                   ELSE '' END AS matched_entry
+        FROM m ORDER BY doc_id
+    """
+
+
+def _domain_stats_sql() -> str:
+    from pcompress_ray.stages.urlnorm import (
+        canonicalize_sql,
+        synthesize_messy_urls_sql,
+    )
+
+    return f"""
+        WITH f AS (
+            SELECT {_host_expr_sql()} AS host,
+                   {canonicalize_sql(synthesize_messy_urls_sql("doc_id"))}
+                       AS canon_url,
+                   n_chars
+            FROM documents
+        )
+        SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT canon_url) AS BIGINT) AS n_pages,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM f GROUP BY host ORDER BY host
     """
 
 
@@ -4651,4 +4786,6 @@ def oracle_sql() -> dict[str, str]:
             FROM h ORDER BY url
         """,
         "pagerank": _pagerank_sql(),
+        "domain_blocklist": _domain_blocklist_sql(),
+        "domain_stats": _domain_stats_sql(),
     }

@@ -55,7 +55,8 @@ QUERY_NAMES = ["q1_pricing", "q3_top_orders", "customer_nation", "doc_stats",
                "bpe_merges", "bpe_token_counts", "dup_span_excise",
                "dup_span_anchors", "cross_span_excise", "corpus_grep",
                "hll_registers", "corpus_shuffle", "inverted_index",
-               "dedup_keep_best", "nb_classify", "warc_pages", "pagerank"]
+               "dedup_keep_best", "nb_classify", "warc_pages", "pagerank",
+               "domain_blocklist", "domain_stats"]
 
 
 def run_bench() -> dict:
