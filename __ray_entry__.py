@@ -3192,6 +3192,44 @@ def q_domain_stats(sf_dir: str):
                               n_parts=16).sort("host")
 
 
+def q_event_window_dedup(sf_dir: str, window_s: int = 600):
+    """Streaming-window dedup over the events table (the telemetry analog
+    of pcompress's stream dedup: suppress a record that repeats its key
+    within a trailing window): an event is a dup when the same
+    (user_id, event_type) occurred within the previous ``window_s``
+    seconds. ANY-prior-within-window reduces to the IMMEDIATELY-preceding
+    event in key order, so one user-keyed partition sort + a shifted
+    comparison answers it exactly — the same vectorized-partition shape
+    as sessionize, no per-key Python, and the SQL twin is a plain LAG.
+    At stream scale this runs per arriving micro-batch against a
+    per-worker (user,type)->last_ts dict, same semantics."""
+    from pcompress_ray.functions.ops import grouped_partitions
+
+    _setup()
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def mark(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["user_id", "event_type", "ts", "event_id"],
+                                kind="stable")
+        u = part["user_id"].to_numpy(np.int64)
+        et = part["event_type"].to_numpy()
+        ts = part["ts"].astype("int64").to_numpy()  # us
+        same = np.zeros(len(part), bool)
+        if len(part) > 1:
+            same[1:] = (u[1:] == u[:-1]) & (et[1:] == et[:-1])
+        gap = np.empty(len(part), np.int64)
+        gap[0] = 0
+        if len(part) > 1:
+            gap[1:] = ts[1:] - ts[:-1]
+        dup = same & (gap <= window_s * 1_000_000)
+        return pd.DataFrame({
+            "event_id": part["event_id"].to_numpy(np.int64),
+            "is_dup": dup.astype(np.int64)})
+
+    return grouped_partitions(ds, ["user_id"], mark,
+                              n_parts=32).sort("event_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q1_pricing": q_q1_pricing,
@@ -3290,6 +3328,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": q_pagerank,
         "domain_blocklist": q_domain_blocklist,
         "domain_stats": q_domain_stats,
+        "event_window_dedup": q_event_window_dedup,
     }
 
 
@@ -4788,4 +4827,18 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _pagerank_sql(),
         "domain_blocklist": _domain_blocklist_sql(),
         "domain_stats": _domain_stats_sql(),
+        # ANY-prior-within-window == immediately-preceding-within-window,
+        # so the twin is a plain LAG over the key order
+        "event_window_dedup": """
+            SELECT CAST(event_id AS BIGINT) AS event_id,
+                   CAST(CASE WHEN prev_ts IS NOT NULL
+                             AND epoch_us(ts) - prev_ts <= 600000000
+                        THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+            FROM (SELECT event_id, ts,
+                         LAG(epoch_us(ts)) OVER (
+                             PARTITION BY user_id, event_type
+                             ORDER BY ts, event_id) AS prev_ts
+                  FROM events)
+            ORDER BY event_id
+        """,
     }

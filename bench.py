@@ -56,7 +56,7 @@ QUERY_NAMES = ["q1_pricing", "q3_top_orders", "customer_nation", "doc_stats",
                "dup_span_anchors", "cross_span_excise", "corpus_grep",
                "hll_registers", "corpus_shuffle", "inverted_index",
                "dedup_keep_best", "nb_classify", "warc_pages", "pagerank",
-               "domain_blocklist", "domain_stats"]
+               "domain_blocklist", "domain_stats", "event_window_dedup"]
 
 
 def run_bench() -> dict:
