@@ -986,6 +986,32 @@ def q_ngram_jaccard(sf_dir: str):
     return out.map_batches(rn, batch_format="pyarrow")
 
 
+def q_ngram_containment(sf_dir: str):
+    """Exact token-5-gram CONTAINMENT pairs (|A∩B| / min(|A|,|B|) ≥ 0.8) —
+    the excerpt/subset metric: a short doc quoted verbatim inside a long
+    one scores ~1.0 here but near 0 on Jaccard. The asymmetric-size dup
+    detector used for benchmark decontamination and quote collapse."""
+    from pcompress_ray.stages.candidates import ngram_jaccard_pairs
+
+    _setup()
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ngram_jaccard_pairs(docs, k=5, threshold=0.8, score="containment")
+
+    def rn(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        c = t["containment"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_a": t["doc_a"].cast(pa.int64()),
+            "doc_b": t["doc_b"].cast(pa.int64()),
+            "inter": t["inter"].cast(pa.int64()),
+            "min_sz": t["min_sz"].cast(pa.int64()),
+            "containment_e6": pa.array(
+                np.floor(c * 1e6 + 0.5).astype(np.int64)),
+        })
+
+    return out.map_batches(rn, batch_format="pyarrow")
+
+
 def q_lsh_ann_pairs(sf_dir: str):
     """Hyperplane-LSH bucketed near-dup pairs (ANN scale path). (4 bits,
     16 tables) is calibrated for the low 0.35 cosine threshold:
@@ -3264,6 +3290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_ann_pairs": q_lsh_ann_pairs,
         "ivf_topk": q_ivf_topk,
         "ngram_jaccard": q_ngram_jaccard,
+        "ngram_containment": q_ngram_containment,
         "embedding_clusters": q_embedding_clusters,
         "media_features": q_media_features,
         "file_type_stats": q_file_type_stats,
@@ -4116,6 +4143,36 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sa ON sa.doc_id = p.doc_a
             JOIN sz sb ON sb.doc_id = p.doc_b
             WHERE p.inter / (sa.n + sb.n - p.inter) >= 0.5
+        """,
+        "ngram_containment": r"""
+            -- exact token-5-gram containment |A∩B|/min(|A|,|B|) >= 0.8
+            -- (excerpt/subset detection; same shingling as ngram_jaccard)
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(coalesce(text, '')),
+                                          '[a-z0-9]+') AS t
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS s
+                FROM toks, UNNEST(range(1, len(t) - 3)) AS u(i)
+                WHERE len(t) >= 5
+            ), sz AS (
+                SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       count(*) AS inter
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT p.doc_a, p.doc_b,
+                   CAST(p.inter AS BIGINT) AS inter,
+                   CAST(least(sa.n, sb.n) AS BIGINT) AS min_sz,
+                   CAST(floor(p.inter / least(sa.n, sb.n)
+                              * 1000000.0 + 0.5) AS BIGINT) AS containment_e6
+            FROM pairs p
+            JOIN sz sa ON sa.doc_id = p.doc_a
+            JOIN sz sb ON sb.doc_id = p.doc_b
+            WHERE p.inter / least(sa.n, sb.n) >= 0.8
         """,
         "quality_scores": r"""
             -- exact float twin of textstats.quality_batch (same ops, same

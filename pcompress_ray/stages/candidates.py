@@ -235,7 +235,7 @@ def simhash_candidates(sig_ds, cfg: PipelineConfig):
 
 def ngram_jaccard_pairs(docs_ds, k: int = 5, threshold: float = 0.5,
                         id_col: str = "doc_id", text_col: str = "text",
-                        n_parts: int = 64):
+                        n_parts: int = 64, score: str = "jaccard"):
     """EXACT token-n-gram Jaccard similarity for all doc pairs sharing ≥1
     shingle — the small/exact dedup tool (SQL-oracle-checkable), counterpart
     of the approximate MinHash path.
@@ -248,9 +248,15 @@ def ngram_jaccard_pairs(docs_ds, k: int = 5, threshold: float = 0.5,
     MinHash/LSH pipeline (with stop-shingles and salting) and reserve this
     operator for bounded inputs or verification.
 
-    Returns (doc_a, doc_b, inter, union_sz, jaccard) with jaccard ≥
-    threshold — inter/union_sz are exact integers, jaccard the raw float64
-    division (the SQL oracle reproduces all of them bit-for-bit).
+    ``score``: "jaccard" → inter/union (symmetric near-dup metric), or
+    "containment" → inter/min(|A|,|B|) (the excerpt/subset metric: a short
+    doc fully quoted inside a long one scores ~1.0 here but near 0 on
+    Jaccard — the decontamination-relevant direction).
+
+    Returns (doc_a, doc_b, inter, union_sz, jaccard) — or for containment
+    (doc_a, doc_b, inter, min_sz, containment) — with score ≥ threshold;
+    the counts are exact integers, the score a raw float64 division (the
+    SQL oracle reproduces all of them bit-for-bit).
     """
     import ray
 
@@ -322,27 +328,32 @@ def ngram_jaccard_pairs(docs_ds, k: int = 5, threshold: float = 0.5,
         docs.map_batches(explode, batch_format="pyarrow"), ["sh"], co_pairs,
         n_parts=n_parts)
 
+    if score not in ("jaccard", "containment"):
+        raise ValueError(f"score must be jaccard|containment, got {score!r}")
+    denom_col = "union_sz" if score == "jaccard" else "min_sz"
+    score_col = "jaccard" if score == "jaccard" else "containment"
+
     def reduce_pairs(part: pd.DataFrame) -> pd.DataFrame:
         if len(part) == 0:
             return pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
                                  "doc_b": pd.Series(dtype=np.int64),
                                  "inter": pd.Series(dtype=np.int64),
-                                 "union_sz": pd.Series(dtype=np.int64),
-                                 "jaccard": pd.Series(dtype=np.float64)})
+                                 denom_col: pd.Series(dtype=np.int64),
+                                 score_col: pd.Series(dtype=np.float64)})
         agg = part.groupby(["a", "b"], as_index=False, sort=False)["inter"].sum()
         ids_sorted, sz_sorted = ray.get(size_ref)
         sa = sz_sorted[np.searchsorted(ids_sorted, agg["a"].to_numpy())]
         sb = sz_sorted[np.searchsorted(ids_sorted, agg["b"].to_numpy())]
         inter = agg["inter"].to_numpy(dtype=np.int64)
-        union = sa + sb - inter
-        jac = inter / union
-        keep = jac >= threshold
+        denom = (sa + sb - inter) if score == "jaccard" else np.minimum(sa, sb)
+        val = inter / denom
+        keep = val >= threshold
         return pd.DataFrame({
             "doc_a": agg["a"].to_numpy(dtype=np.int64)[keep],
             "doc_b": agg["b"].to_numpy(dtype=np.int64)[keep],
             "inter": inter[keep],
-            "union_sz": union[keep].astype(np.int64),
-            "jaccard": jac[keep]})
+            denom_col: denom[keep].astype(np.int64),
+            score_col: val[keep]})
 
     return grouped_partitions(pairs, ["a", "b"], reduce_pairs, n_parts=n_parts)
 
