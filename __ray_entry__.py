@@ -2647,6 +2647,61 @@ def q_dedup_rewrite(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow").sort("doc_id")
 
 
+def q_line_dedup(sf_dir: str):
+    """CCNet/RefinedWeb-style LINE-level boilerplate scrub: every line whose
+    trimmed form occurs in >= 2 distinct documents is removed from ALL of
+    them (template/nav/footer removal — the remove-everywhere complement of
+    dedup_rewrite's keep-first passage dedup). The flat testdata docs carry
+    no newlines, so BOTH sides first reflow each doc into lines of 8 tokens
+    (deterministic, identical in Ray and SQL — same trick as the
+    segment_dedup family); zero-token docs drop out of the reflow on both
+    sides. Output: per-doc line counts + sha256 of the rewritten text."""
+    import hashlib
+
+    from pcompress_ray.stages.rewrite import line_dedup_rewrite
+    from pcompress_ray.stages.textstats import doc_segments
+
+    _setup()
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def reflow(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        seg = doc_segments(t, w=8)
+        doc = seg["doc_id"].to_numpy(zero_copy_only=False)
+        if doc.size == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "text": pa.array([], pa.string())})
+        first = np.empty(doc.size, bool)
+        first[0] = True
+        first[1:] = doc[1:] != doc[:-1]
+        starts = np.flatnonzero(first)
+        offs = np.append(starts, doc.size).astype(np.int32)
+        lst = pa.ListArray.from_arrays(
+            pa.array(offs), seg["seg"].combine_chunks()
+            if isinstance(seg["seg"], pa.ChunkedArray) else seg["seg"])
+        return pa.table({"doc_id": pa.array(doc[starts].astype(np.int64)),
+                         "text": pc.binary_join(lst, "\n")})
+
+    out = line_dedup_rewrite(ds.map_batches(reflow, batch_format="pyarrow"),
+                             min_docs=2, n_parts=32)
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        txt = t["new_text"].to_pylist()
+        return pa.table({
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "n_lines": t["n_lines"].cast(pa.int64()),
+            "n_kept": t["n_kept"].cast(pa.int64()),
+            "new_n_chars": pa.array([len(s) for s in txt], pa.int64()),
+            "new_sha": pa.array(
+                [hashlib.sha256(s.encode("utf-8")).hexdigest()
+                 for s in txt], pa.string()),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow").sort("doc_id")
+
+
 def q_pii_redact(sf_dir: str):
     """PII redaction (emails / IPv4 / phone-shaped tokens) — the fixed-order
     pattern-rewrite preprocessing pass of a webtext pipeline (reference
@@ -3329,6 +3384,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_bigrams": q_pmi_bigrams,
         "cms_top_tokens": q_cms_top_tokens,
         "dedup_rewrite": q_dedup_rewrite,
+        "line_dedup": q_line_dedup,
         "pii_redact": q_pii_redact,
         "heuristic_filter": q_heuristic_filter,
         "bloom_dedup": q_bloom_dedup,
@@ -4749,6 +4805,54 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
                    CAST(n_segs AS BIGINT) AS n_segs,
+                   n_kept,
+                   CAST(length(new_text) AS BIGINT) AS new_n_chars,
+                   sha256(new_text) AS new_sha
+            FROM re ORDER BY doc_id
+        """,
+        "line_dedup": """
+            -- reflow 8-token lines, then remove EVERY occurrence of a line
+            -- whose trimmed form appears in >= 2 distinct docs (boilerplate
+            -- scrub; blank-after-trim lines are never removed)
+            WITH toks AS (
+                SELECT doc_id, list_filter(string_split(text, ' '),
+                                           x -> x <> '') AS tk
+                FROM documents
+            ), lnl AS (
+                SELECT doc_id,
+                       list_transform(
+                           range(0, CAST(ceil(len(tk) / 8.0) AS BIGINT)),
+                           s -> array_to_string(tk[s*8+1 : s*8+8], ' '))
+                           AS lns
+                FROM toks WHERE len(tk) > 0
+            ), ex AS (
+                SELECT doc_id, unnest(lns) AS line,
+                       unnest(range(0, len(lns))) AS line_no
+                FROM lnl
+            ), keyed AS (
+                SELECT doc_id, line_no, line,
+                       trim(line, ' ' || chr(9) || chr(13) || chr(11)
+                                  || chr(12)) AS key
+                FROM ex
+            ), cnt AS (
+                SELECT key, COUNT(DISTINCT doc_id) AS nd
+                FROM keyed GROUP BY key
+            ), mk AS (
+                SELECT k.doc_id, k.line_no, k.line,
+                       (c.nd >= 2 AND c.key <> '') AS rm
+                FROM keyed k JOIN cnt c ON k.key = c.key
+            ), re AS (
+                SELECT doc_id,
+                       COUNT(*) AS n_lines,
+                       CAST(SUM(CASE WHEN rm THEN 0 ELSE 1 END) AS BIGINT)
+                           AS n_kept,
+                       COALESCE(string_agg(CASE WHEN NOT rm THEN line END,
+                                           chr(10) ORDER BY line_no), '')
+                           AS new_text
+                FROM mk GROUP BY doc_id
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(n_lines AS BIGINT) AS n_lines,
                    n_kept,
                    CAST(length(new_text) AS BIGINT) AS new_n_chars,
                    sha256(new_text) AS new_sha

@@ -112,3 +112,139 @@ def segment_dedup_rewrite(ds, w: int = 10, n_parts: int = 32):
                                 n_parts=n_parts)
     return grouped_partitions(marked, ["doc_id"], reassemble_docs,
                               n_parts=n_parts)
+
+
+# ---------------------------------------------------------------------------
+# Line-level boilerplate dedup (CCNet / RefinedWeb-style)
+# ---------------------------------------------------------------------------
+
+# exactly the chars Python would strip minus '\n' (already the separator);
+# an EXPLICIT set so the DuckDB oracle's trim(line, ...) is bit-identical
+_LINE_TRIM_CHARS = " \t\r\x0b\x0c"
+
+
+def explode_lines(t: pa.Table) -> pa.Table:
+    """documents batch -> one row per line: (doc_id, line_no, line, key).
+
+    Fully vectorized Arrow: one split_pattern over the batch, doc ids and
+    line numbers from the ListArray offsets, key = whitespace-trimmed line
+    (the dedup identity; the raw line rides along for lossless reassembly).
+    """
+    import pyarrow.compute as pc
+
+    t = t.replace_schema_metadata(None)
+    ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    txt = pc.coalesce(t["text"].combine_chunks()
+                      if isinstance(t["text"], pa.ChunkedArray) else t["text"],
+                      pa.scalar("", pa.string()))
+    lst = pc.split_pattern(txt, pattern="\n")
+    if isinstance(lst, pa.ChunkedArray):
+        lst = lst.combine_chunks()
+    off = lst.offsets.to_numpy().astype(np.int64)
+    sizes = np.diff(off)
+    doc_rep = np.repeat(ids, sizes)
+    line_no = np.arange(off[-1] - off[0], dtype=np.int64) \
+        - np.repeat(off[:-1] - off[0], sizes)
+    lines = lst.flatten()
+    key = pc.utf8_trim(lines, characters=_LINE_TRIM_CHARS)
+    return pa.table({"doc_id": pa.array(doc_rep),
+                     "line_no": pa.array(line_no),
+                     "line": lines,
+                     "key": key})
+
+
+def mark_dup_lines(min_docs: int):
+    """Per key-partition: remove EVERY occurrence of a non-blank line whose
+    trimmed form appears in >= min_docs DISTINCT documents (boilerplate —
+    nav bars / cookie banners / footers — should vanish everywhere, unlike
+    the keep-first segment rewrite above). Blank-after-trim lines are
+    structural and never removed."""
+
+    def run(part: pd.DataFrame) -> pd.DataFrame:
+        if not len(part):
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                                 "line_no": pd.Series([], dtype=np.int64),
+                                 "line": pd.Series([], dtype=object),
+                                 "keep": pd.Series([], dtype=np.int8)})
+        part = part.sort_values(["key", "doc_id"], kind="stable")
+        keyv = part["key"].to_numpy()
+        docv = part["doc_id"].to_numpy(np.int64)
+        n = len(part)
+        new_key = np.empty(n, dtype=bool)
+        new_key[0] = True
+        new_key[1:] = keyv[1:] != keyv[:-1]
+        new_pair = new_key.copy()
+        new_pair[1:] |= docv[1:] != docv[:-1]
+        # distinct-doc count per key: reduceat of pair-first flags
+        starts = np.flatnonzero(new_key)
+        n_docs = np.add.reduceat(new_pair.astype(np.int64), starts)
+        per_row = np.repeat(n_docs, np.diff(np.append(starts, n)))
+        remove = (per_row >= min_docs) & (keyv != "")
+        return pd.DataFrame({"doc_id": docv,
+                             "line_no": part["line_no"].to_numpy(np.int64),
+                             "line": part["line"].to_numpy(),
+                             "keep": (~remove).astype(np.int8)})
+
+    return run
+
+
+def reassemble_lines(part: pd.DataFrame) -> pd.DataFrame:
+    """Doc-keyed partition -> (doc_id, n_lines, n_kept, new_text), kept
+    lines re-joined with a single binary_join at per-doc ListArray
+    offsets (same vectorized shape as reassemble_docs)."""
+    import pyarrow.compute as pc
+
+    if not len(part):
+        return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                             "n_lines": pd.Series([], dtype=np.int64),
+                             "n_kept": pd.Series([], dtype=np.int64),
+                             "new_text": pd.Series([], dtype=object)})
+    part = part.sort_values(["doc_id", "line_no"], kind="stable")
+    doc = part["doc_id"].to_numpy(np.int64)
+    keep = part["keep"].to_numpy(np.int8).astype(bool)
+    first = np.empty(doc.size, dtype=bool)
+    first[0] = True
+    first[1:] = doc[1:] != doc[:-1]
+    starts = np.flatnonzero(first)
+    sizes = np.diff(np.append(starts, doc.size))
+    n_kept = np.add.reduceat(keep.astype(np.int64), starts)
+    ck = np.cumsum(keep.astype(np.int64))
+    off = np.empty(starts.size + 1, dtype=np.int32)
+    off[0] = 0
+    off[1:] = ck[starts + sizes - 1]
+    kept_lines = part["line"].to_numpy()[keep]
+    lst = pa.ListArray.from_arrays(pa.array(off),
+                                   pa.array(kept_lines, pa.string()))
+    new_text = pc.binary_join(lst, "\n").to_pandas()
+    return pd.DataFrame({"doc_id": doc[starts],
+                         "n_lines": sizes.astype(np.int64),
+                         "n_kept": n_kept,
+                         "new_text": new_text.to_numpy()})
+
+
+def line_dedup_rewrite(ds, min_docs: int = 2, n_parts: int = 32):
+    """documents Dataset -> (doc_id, n_lines, n_kept, new_text) Dataset.
+
+    CCNet/RefinedWeb-style line-level corpus cleaning: a line (trimmed of
+    horizontal whitespace) occurring in >= ``min_docs`` distinct documents
+    is boilerplate and removed from EVERY document; blank lines and unique
+    lines pass through byte-identical. Complements segment_dedup_rewrite
+    (keep-first passage dedup): this is the remove-all template scrubber.
+
+    Shape mirrors the reference's fixed-block dedup rewrite
+    (rabin/rabin_dedup.c:711-724 index probe + :1606-1617 re-emit) at line
+    granularity: two hash-partitioned exchanges, both vectorized.
+
+    100-TB note: the text crosses the exchange twice (once keyed by line to
+    co-locate duplicates, once keyed by doc to reassemble) and streams with
+    backpressure; there is no driver materialization and no broadcast set
+    (unlike a collect-dup-keys design, this stays correct when the
+    boilerplate set itself is huge).
+    """
+    from pcompress_ray.functions.ops import grouped_partitions
+
+    lines = ds.map_batches(explode_lines, batch_format="pyarrow")
+    marked = grouped_partitions(lines, ["key"], mark_dup_lines(min_docs),
+                                n_parts=n_parts)
+    return grouped_partitions(marked, ["doc_id"], reassemble_lines,
+                              n_parts=n_parts)

@@ -1,0 +1,84 @@
+"""Planted-fixture oracle for line_dedup_rewrite: boilerplate lines
+(trimmed form in >= min_docs distinct docs) vanish from EVERY doc; blank
+and unique lines pass through byte-identical (including the surrounding
+whitespace the trim key ignores)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _run(texts, ids=None, min_docs=2):
+    import ray.data as rd
+
+    from pcompress_ray.stages.rewrite import line_dedup_rewrite
+
+    docs = pa.table({
+        "doc_id": pa.array(ids or list(range(len(texts))), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    out = line_dedup_rewrite(rd.from_arrow(docs).repartition(3),
+                             min_docs=min_docs, n_parts=4).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def test_boilerplate_removed_everywhere_uniques_kept():
+    texts = [
+        "cookie banner\nunique alpha\n\nfooter text",
+        "  cookie banner \nunique beta\nfooter text",   # trim-equal banner
+        "unique gamma\nsolo line",
+    ]
+    out = _run(texts)
+    assert out["doc_id"].tolist() == [0, 1, 2]
+    # banner + footer occur in 2 docs -> removed from BOTH (trim-matched);
+    # the blank line and uniques survive byte-identical
+    assert out["new_text"].tolist() == [
+        "unique alpha\n", "unique beta", "unique gamma\nsolo line"]
+    assert out["n_lines"].tolist() == [4, 3, 2]
+    assert out["n_kept"].tolist() == [2, 1, 2]
+
+
+def test_blank_lines_never_removed_and_repeat_within_one_doc_kept():
+    # same line 3x INSIDE one doc = 1 distinct doc -> kept (cross-doc
+    # frequency, not raw frequency, drives removal)
+    texts = ["x y\nx y\nx y\n\n\n", "other stuff\n\n"]
+    out = _run(texts)
+    assert out["new_text"].tolist() == [texts[0], texts[1]]
+    assert (out["n_lines"] == out["n_kept"]).all()
+
+
+def test_min_docs_threshold():
+    texts = ["shared line\na0", "shared line\na1", "shared line\na2"]
+    kept3 = _run(texts, min_docs=4)
+    assert kept3["new_text"].tolist() == texts          # below threshold
+    gone = _run(texts, min_docs=3)
+    assert gone["new_text"].tolist() == ["a0", "a1", "a2"]
+
+
+def test_all_lines_removed_emits_empty_doc():
+    texts = ["dup one\ndup two", "dup one\ndup two", "keep me"]
+    out = _run(texts)
+    assert out["new_text"].tolist() == ["", "", "keep me"]
+    assert out["n_kept"].tolist() == [0, 0, 1]
+
+
+def test_matches_python_reference_on_random_corpus():
+    rng = np.random.default_rng(7)
+    pool = [f"line {i} tok {i*7%13}" for i in range(30)]
+    texts = ["\n".join(rng.choice(pool, size=rng.integers(1, 12)))
+             for _ in range(40)]
+    out = _run(texts)
+
+    trim = " \t\r\x0b\x0c"
+    docs_of = {}
+    for d, t in enumerate(texts):
+        for ln in set(t.split("\n")):
+            docs_of.setdefault(ln.strip(trim), set()).add(d)
+    exp = []
+    for t in texts:
+        kept = [ln for ln in t.split("\n")
+                if ln.strip(trim) == ""
+                or len(docs_of[ln.strip(trim)]) < 2]
+        exp.append("\n".join(kept))
+    assert out["new_text"].tolist() == exp
