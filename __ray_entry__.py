@@ -2702,6 +2702,58 @@ def q_line_dedup(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow").sort("doc_id")
 
 
+def q_anchor_index(sf_dir: str):
+    """Anchor-text index — the classic webgraph ranking signal: extract
+    every <a href> link with its inner text from real HTML, then aggregate
+    per target (in-link count, distinct source docs, dominant anchor
+    string). The flat testdata has no HTML, so BOTH sides first wrap each
+    doc in a deterministic 3-link HTML page whose hrefs/anchors derive from
+    (doc_id, tokens) — the pii_redact trick — and BOTH sides then parse
+    that HTML with the same RE2-compatible regex (DuckDB regexp_extract_all
+    runs the identical pattern, so the parse itself is oracle-checked).
+    Zero-token docs drop out on both sides."""
+    from pcompress_ray.stages.extract import anchor_index, extract_links_batch
+
+    _setup()
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def wrap(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = t["text"].to_pylist()
+        out_id, out_html = [], []
+        for d, txt in zip(ids, texts):
+            tk = [w for w in (txt or "").split(" ") if w]
+            n = len(tk)
+            if n == 0:
+                continue
+            parts = ["<html><body>"]
+            for i in range(3):
+                href = f"http://h{(d * 7 + i) % 200}.example/p{(d * 13 + 5 * i) % 50}"
+                a1 = tk[(3 * i) % n]
+                a2 = tk[(3 * i + 1) % n]
+                parts.append(f'<a class="l{i}" href="{href}">'
+                             f"{a1} <b>{a2}</b></a>")
+            parts.append("</body></html>")
+            out_id.append(int(d))
+            out_html.append("".join(parts))
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "html": pa.array(out_html, pa.string())})
+
+    links = ds.map_batches(wrap, batch_format="pyarrow") \
+        .map_batches(extract_links_batch, batch_format="pyarrow")
+    out = anchor_index(links, n_parts=32)
+
+    def rn(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        return pa.table({"href": t["href"].cast(pa.string()),
+                         "n_links": t["n_links"].cast(pa.int64()),
+                         "n_src_docs": t["n_src_docs"].cast(pa.int64()),
+                         "top_anchor": t["top_anchor"].cast(pa.string())})
+
+    return out.map_batches(rn, batch_format="pyarrow")
+
+
 def q_pii_redact(sf_dir: str):
     """PII redaction (emails / IPv4 / phone-shaped tokens) — the fixed-order
     pattern-rewrite preprocessing pass of a webtext pipeline (reference
@@ -3385,6 +3437,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_top_tokens": q_cms_top_tokens,
         "dedup_rewrite": q_dedup_rewrite,
         "line_dedup": q_line_dedup,
+        "anchor_index": q_anchor_index,
         "pii_redact": q_pii_redact,
         "heuristic_filter": q_heuristic_filter,
         "bloom_dedup": q_bloom_dedup,
@@ -4857,6 +4910,63 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(new_text) AS BIGINT) AS new_n_chars,
                    sha256(new_text) AS new_sha
             FROM re ORDER BY doc_id
+        """,
+        "anchor_index": """
+            -- build the same deterministic 3-link HTML wrapper, parse it
+            -- with the same regex the engine uses, aggregate per target
+            WITH toks AS (
+                SELECT doc_id, list_filter(string_split(text, ' '),
+                                           x -> x <> '') AS tk
+                FROM documents
+            ), h AS (
+                SELECT doc_id,
+                       '<html><body>'
+                       || '<a class="l0" href="http://h'
+                       || (doc_id * 7 + 0) % 200 || '.example/p'
+                       || (doc_id * 13 + 0) % 50 || '">'
+                       || tk[(0 % len(tk)) + 1] || ' <b>'
+                       || tk[(1 % len(tk)) + 1] || '</b></a>'
+                       || '<a class="l1" href="http://h'
+                       || (doc_id * 7 + 1) % 200 || '.example/p'
+                       || (doc_id * 13 + 5) % 50 || '">'
+                       || tk[(3 % len(tk)) + 1] || ' <b>'
+                       || tk[(4 % len(tk)) + 1] || '</b></a>'
+                       || '<a class="l2" href="http://h'
+                       || (doc_id * 7 + 2) % 200 || '.example/p'
+                       || (doc_id * 13 + 10) % 50 || '">'
+                       || tk[(6 % len(tk)) + 1] || ' <b>'
+                       || tk[(7 % len(tk)) + 1] || '</b></a>'
+                       || '</body></html>' AS html
+                FROM toks WHERE len(tk) > 0
+            ), ex AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(html,
+                           '<a\\s[^>]*href="([^"]*)"[^>]*>(.*?)</a\\s*>',
+                           1, 'is')) AS href,
+                       unnest(regexp_extract_all(html,
+                           '<a\\s[^>]*href="([^"]*)"[^>]*>(.*?)</a\\s*>',
+                           2, 'is')) AS raw
+                FROM h
+            ), an AS (
+                SELECT doc_id, href,
+                       trim(regexp_replace(regexp_replace(lower(raw),
+                           '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')) AS anchor
+                FROM ex WHERE href <> ''
+            ), cnt AS (
+                SELECT href, anchor, COUNT(*) AS c
+                FROM an GROUP BY href, anchor
+            ), top AS (
+                SELECT href, anchor,
+                       row_number() OVER (PARTITION BY href
+                                          ORDER BY c DESC, anchor) AS rn
+                FROM cnt
+            )
+            SELECT a.href,
+                   COUNT(*) AS n_links,
+                   CAST(COUNT(DISTINCT a.doc_id) AS BIGINT) AS n_src_docs,
+                   any_value(t.anchor) AS top_anchor
+            FROM an a JOIN top t ON t.href = a.href AND t.rn = 1
+            GROUP BY a.href
         """,
         "corpus_shuffle": """
             WITH s AS (

@@ -73,3 +73,85 @@ class Extractor:
             texts = batch[self.text_col].to_pylist()
             out = [normalize_text(t) for t in texts]
         return batch.append_column(self.out_col, pa.array(out, type=pa.string()))
+
+
+# ---------------------------------------------------------------------------
+# Link / anchor-text extraction (webgraph signal)
+# ---------------------------------------------------------------------------
+
+# <a ...href="...".../a> with the inner markup captured; non-greedy + DOTALL
+# so nested inline tags inside the anchor stay in group 2 (RE2-compatible —
+# the DuckDB oracle runs the same pattern)
+_A_RE = re.compile(r'<a\s[^>]*href="([^"]*)"[^>]*>(.*?)</a\s*>', re.S | re.I)
+_INNER_TAG = re.compile(r"<[^>]*>")
+
+
+def extract_links_batch(t: pa.Table, html_col: str = "html",
+                        id_col: str = "doc_id") -> pa.Table:
+    """One row per <a href> link: (doc_id, link_no, href, anchor).
+
+    ``anchor`` is the tag's inner text with nested markup stripped and
+    whitespace-normalized (lowercased) — the form an anchor-text index
+    aggregates. Links with an empty href are dropped (same rule as a crawl
+    frontier). html may be binary (utf-8, replacement-decoded) or string.
+    """
+    t = t.replace_schema_metadata(None)
+    ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    col = t[html_col]
+    vals = col.to_pylist()
+    out_id, out_no, out_href, out_anchor = [], [], [], []
+    for i, h in enumerate(vals):
+        if h is None:
+            continue
+        s = h.decode("utf-8", "replace") if isinstance(h, (bytes, bytearray)) else h
+        no = 0
+        for m in _A_RE.finditer(s):
+            href = m.group(1)
+            if not href:
+                continue
+            anchor = normalize_text(_INNER_TAG.sub(" ", m.group(2)))
+            out_id.append(ids[i])
+            out_no.append(no)
+            out_href.append(href)
+            out_anchor.append(anchor)
+            no += 1
+    return pa.table({
+        "doc_id": pa.array(np.asarray(out_id, dtype=np.int64)),
+        "link_no": pa.array(np.asarray(out_no, dtype=np.int64)),
+        "href": pa.array(out_href, pa.string()),
+        "anchor": pa.array(out_anchor, pa.string()),
+    })
+
+
+def anchor_index(links_ds, n_parts: int = 32):
+    """Exploded links Dataset -> per-target anchor-text index:
+    (href, n_links, n_src_docs, top_anchor) where top_anchor is the most
+    frequent anchor string for that target (ties -> lexicographically
+    smallest) — the classic search-engine anchor signal, aggregated with
+    one href-keyed hash-partitioned exchange (vectorized per partition;
+    no driver materialization, scales to any link count)."""
+    import pandas as pd
+
+    from pcompress_ray.functions.ops import grouped_partitions
+
+    def agg(part: pd.DataFrame) -> pd.DataFrame:
+        if not len(part):
+            return pd.DataFrame({"href": pd.Series([], dtype=object),
+                                 "n_links": pd.Series([], dtype=np.int64),
+                                 "n_src_docs": pd.Series([], dtype=np.int64),
+                                 "top_anchor": pd.Series([], dtype=object)})
+        g = part.groupby("href", sort=False)
+        n_links = g.size().rename("n_links")
+        n_src = g["doc_id"].nunique().rename("n_src_docs")
+        cnt = (part.groupby(["href", "anchor"], sort=False).size()
+               .reset_index(name="c")
+               .sort_values(["href", "c", "anchor"],
+                            ascending=[True, False, True], kind="stable"))
+        top = cnt.drop_duplicates("href").set_index("href")["anchor"] \
+            .rename("top_anchor")
+        out = pd.concat([n_links, n_src, top], axis=1).reset_index()
+        out["n_links"] = out["n_links"].astype(np.int64)
+        out["n_src_docs"] = out["n_src_docs"].astype(np.int64)
+        return out
+
+    return grouped_partitions(links_ds, ["href"], agg, n_parts=n_parts)
