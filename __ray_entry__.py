@@ -2754,6 +2754,29 @@ def q_anchor_index(sf_dir: str):
     return out.map_batches(rn, batch_format="pyarrow")
 
 
+def q_ctph_neardup(sf_dir: str):
+    """ssdeep-style CTPH fuzzy-match pairs over documents (no SQL oracle —
+    rolling-trigger piecewise digests + edit-distance scoring are not
+    SQL-expressible; the kernels are pinned byte-for-byte against a pure-
+    Python reference in tests/test_ctph.py). Exact-dup docs score 100;
+    locally-edited near-dups land in (60, 100)."""
+    from pcompress_ray.stages.ctph import ctph_candidate_pairs, ctph_digest_batch
+
+    _setup()
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    sigs = docs.map_batches(ctph_digest_batch, batch_format="pyarrow")
+    out = ctph_candidate_pairs(sigs, min_score=60, n_parts=32)
+
+    def rn(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        return pa.table({"doc_a": t["doc_a"].cast(pa.int64()),
+                         "doc_b": t["doc_b"].cast(pa.int64()),
+                         "blocksize": t["blocksize"].cast(pa.int64()),
+                         "score": t["score"].cast(pa.int64())})
+
+    return out.map_batches(rn, batch_format="pyarrow")
+
+
 def q_pii_redact(sf_dir: str):
     """PII redaction (emails / IPv4 / phone-shaped tokens) — the fixed-order
     pattern-rewrite preprocessing pass of a webtext pipeline (reference
@@ -3438,6 +3461,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_rewrite": q_dedup_rewrite,
         "line_dedup": q_line_dedup,
         "anchor_index": q_anchor_index,
+        "ctph_neardup": q_ctph_neardup,
         "pii_redact": q_pii_redact,
         "heuristic_filter": q_heuristic_filter,
         "bloom_dedup": q_bloom_dedup,
