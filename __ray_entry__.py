@@ -244,6 +244,28 @@ def q_customers_without_orders(sf_dir: str):
     return out.map_batches(rn, batch_format="pyarrow")
 
 
+def q_key_skew(sf_dir: str):
+    """Pre-shuffle skew diagnostic over events.user_id: per hash-bucket
+    (user_id % 64) row count, distinct-key count, hottest key and its row
+    count — the report you read BEFORE committing a 100-TB groupby to
+    decide whether salting/combining is needed (functions/ops.skew_report;
+    the engine acts on the same signal in stages/candidates.py salted
+    windows)."""
+    from pcompress_ray.functions.ops import skew_report
+
+    _setup()
+    ev = _read(sf_dir, "events", ["user_id"])
+    out = skew_report(ev, "user_id", n_buckets=64, n_parts=32)
+
+    def rn(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        return pa.table({c: t[c].cast(pa.int64())
+                         for c in ["bucket", "n_rows", "n_keys",
+                                   "max_key_rows", "top_key"]})
+
+    return out.map_batches(rn, batch_format="pyarrow")
+
+
 def q_hourly_active_users(sf_dir: str):
     """Distinct users per hour: per-batch (hour, user) dedup (map-side
     combine), then vectorized distinct-count per hash partition."""
@@ -3462,6 +3484,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup": q_line_dedup,
         "anchor_index": q_anchor_index,
         "ctph_neardup": q_ctph_neardup,
+        "key_skew": q_key_skew,
         "pii_redact": q_pii_redact,
         "heuristic_filter": q_heuristic_filter,
         "bloom_dedup": q_bloom_dedup,
@@ -4934,6 +4957,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(new_text) AS BIGINT) AS new_n_chars,
                    sha256(new_text) AS new_sha
             FROM re ORDER BY doc_id
+        """,
+        "key_skew": """
+            WITH per_key AS (
+                SELECT user_id % 64 AS bucket, user_id AS key,
+                       COUNT(*) AS c
+                FROM events GROUP BY 1, 2
+            ), mx AS (
+                SELECT bucket, MAX(c) AS max_key_rows FROM per_key
+                GROUP BY bucket
+            )
+            SELECT p.bucket,
+                   CAST(SUM(p.c) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) AS BIGINT) AS n_keys,
+                   CAST(m.max_key_rows AS BIGINT) AS max_key_rows,
+                   CAST(MIN(CASE WHEN p.c = m.max_key_rows THEN p.key END)
+                        AS BIGINT) AS top_key
+            FROM per_key p JOIN mx m ON m.bucket = p.bucket
+            GROUP BY p.bucket, m.max_key_rows
         """,
         "anchor_index": """
             -- build the same deterministic 3-link HTML wrapper, parse it

@@ -491,3 +491,77 @@ def zip_with_rank(ds, sort_key: str, rank_col: str = "rank"):
     offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]) if counts else []
     new_blocks = [add_rank.remote(r, int(o)) for r, o in zip(block_refs, offsets)]
     return rd.from_arrow_refs(new_blocks)
+
+
+def skew_report(ds, key_col: str, n_buckets: int = 64, n_parts: int = 32):
+    """Pre-shuffle skew diagnostic: per hash-bucket row/key statistics.
+
+    Before committing a 100-TB groupby/exchange on ``key_col``, run this to
+    see how the keys would land across ``n_buckets`` reducers: per bucket
+    (= key % n_buckets for integer keys) it reports total rows, distinct
+    keys, the hottest key and its row count. max(n_rows)/mean(n_rows) >> 1
+    means a salted-window or combiner strategy is needed (the same signal
+    stages/candidates.py acts on with salted buckets).
+
+    One bucket-keyed exchange; per-partition stats are sort+reduceat
+    vectorized (no per-key Python). Output: (bucket, n_rows, n_keys,
+    max_key_rows, top_key) — top_key is the smallest key among the
+    hottest (deterministic tie-break).
+    """
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "bucket": pa.array((k % n_buckets).astype(np.int64)),
+            "key": pa.array(k),
+        })
+
+    def stats(part: pd.DataFrame) -> pd.DataFrame:
+        if not len(part):
+            return pd.DataFrame({
+                "bucket": pd.Series([], dtype=np.int64),
+                "n_rows": pd.Series([], dtype=np.int64),
+                "n_keys": pd.Series([], dtype=np.int64),
+                "max_key_rows": pd.Series([], dtype=np.int64),
+                "top_key": pd.Series([], dtype=np.int64)})
+        b = part["bucket"].to_numpy(np.int64)
+        k = part["key"].to_numpy(np.int64)
+        order = np.lexsort((k, b))
+        b, k = b[order], k[order]
+        n = b.size
+        new_b = np.empty(n, bool)
+        new_b[0] = True
+        new_b[1:] = b[1:] != b[:-1]
+        new_pair = new_b.copy()
+        new_pair[1:] |= k[1:] != k[:-1]
+        pair_starts = np.flatnonzero(new_pair)
+        pair_rows = np.diff(np.append(pair_starts, n))
+        pair_bucket = b[pair_starts]
+        pair_key = k[pair_starts]
+        # per-bucket over the (already bucket-sorted) pair table
+        pb_first = np.empty(pair_starts.size, bool)
+        pb_first[0] = True
+        pb_first[1:] = pair_bucket[1:] != pair_bucket[:-1]
+        bstarts = np.flatnonzero(pb_first)
+        n_keys = np.diff(np.append(bstarts, pair_starts.size))
+        n_rows = np.add.reduceat(pair_rows, bstarts)
+        max_rows = np.maximum.reduceat(pair_rows, bstarts)
+        # smallest key among the hottest: keys are sorted within bucket,
+        # so the FIRST pair hitting the bucket max wins
+        seg_id = np.cumsum(pb_first) - 1
+        is_max = pair_rows == max_rows[seg_id]
+        idx = np.arange(pair_starts.size)
+        cand = np.where(is_max, idx, np.iinfo(np.int64).max)
+        first_max_idx = np.minimum.reduceat(cand, bstarts)
+        top_key = pair_key[first_max_idx]
+        return pd.DataFrame({
+            "bucket": pair_bucket[bstarts],
+            "n_rows": n_rows.astype(np.int64),
+            "n_keys": n_keys.astype(np.int64),
+            "max_key_rows": max_rows.astype(np.int64),
+            "top_key": top_key.astype(np.int64)})
+
+    return grouped_partitions(ds.map_batches(add_bucket,
+                                             batch_format="pyarrow"),
+                              ["bucket"], stats, n_parts=n_parts)
