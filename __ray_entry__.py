@@ -3036,6 +3036,93 @@ def q_corpus_shuffle(sf_dir: str, n_shards: int = 16, seed: int = 42):
                               n_parts=n_shards).sort("doc_id")
 
 
+_BM25_TERMS = ("hash", "merge", "scan", "table")
+
+
+def q_bm25_topk(sf_dir: str, k: int = 20):
+    """BM25 top-k full-text search (k1=1.5, b=0.75 — exactly-representable
+    constants) for a fixed 4-term query over documents. Shape: one
+    streaming map_batches emits (doc, term, tf, dl) rows for query terms
+    only (dl from the same batch — a doc never spans batches); tiny df/N/
+    total aggregates; per-row contribution in ONE broadcast-consts map;
+    per-doc integer sum via a doc-keyed exchange. Every contribution is
+    floor(x*1e6+0.5)-quantized BEFORE summing so the per-doc total is
+    order-free integer math — the SQL twin (same IEEE op order inside each
+    contribution) hashes identically. Top-k by (score DESC, doc_id)."""
+    from ray.data.aggregate import Count, Sum
+
+    from pcompress_ray.functions.ops import grouped_partitions
+    from pcompress_ray.stages.textstats import doc_token_counts
+
+    _setup()
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    terms = np.array(sorted(_BM25_TERMS), dtype=object)
+
+    def term_rows(t: pa.Table) -> pa.Table:
+        tc = doc_token_counts(t)          # (doc_id, tok, c), doc-contiguous
+        doc = tc["doc_id"].to_numpy(zero_copy_only=False)
+        c = tc["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tok = tc["tok"].to_numpy(zero_copy_only=False)
+        if doc.size == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "tok": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64()),
+                             "dl": pa.array([], pa.int64())})
+        first = np.empty(doc.size, bool)
+        first[0] = True
+        first[1:] = doc[1:] != doc[:-1]
+        starts = np.flatnonzero(first)
+        dl = np.add.reduceat(c, starts)
+        dl_row = np.repeat(dl, np.diff(np.append(starts, doc.size)))
+        mask = np.isin(tok, terms)
+        return pa.table({"doc_id": pa.array(doc[mask].astype(np.int64)),
+                         "tok": pa.array(tok[mask], pa.string()),
+                         "c": pa.array(c[mask]),
+                         "dl": pa.array(dl_row[mask])})
+
+    def batch_token_total(t: pa.Table) -> pa.Table:
+        tc = doc_token_counts(t)
+        tot = int(np.sum(tc["c"].to_numpy(zero_copy_only=False))) \
+            if len(tc) else 0
+        return pa.table({"tot": pa.array([tot], pa.int64())})
+
+    rows = ds.map_batches(term_rows, batch_format="pyarrow").materialize()
+    n_docs = ds.count()
+    total_tokens = int(ds.map_batches(batch_token_total,
+                                      batch_format="pyarrow")
+                       .aggregate(Sum("tot"))["sum(tot)"])
+    df_tbl = rows.groupby("tok").aggregate(Count()).to_pandas()
+    df_map = dict(zip(df_tbl["tok"], df_tbl["count()"].astype(int)))
+    avgdl = total_tokens / n_docs
+    idf = {t: float(np.log(1.0 + ((n_docs - df_map[t]) + 0.5)
+                           / (df_map[t] + 0.5)))
+           for t in df_map}
+
+    def contrib(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        tok = t["tok"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dl = t["dl"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idfs = np.array([idf[x] for x in tok], np.float64)
+        val = idfs * ((c * 2.5) / (c + 1.5 * (0.25 + 0.75 * (dl / avgdl))))
+        return pa.table({
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "e6": pa.array(np.floor(val * 1e6 + 0.5).astype(np.int64))})
+
+    def per_doc(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby("doc_id", as_index=False, sort=False) \
+            .agg(n_terms=("e6", "size"), score_e6=("e6", "sum"))
+        g["n_terms"] = g["n_terms"].astype(np.int64)
+        g["score_e6"] = g["score_e6"].astype(np.int64)
+        return g
+
+    scored = grouped_partitions(
+        rows.map_batches(contrib, batch_format="pyarrow"),
+        ["doc_id"], per_doc, n_parts=16)
+    return scored.sort(["score_e6", "doc_id"],
+                       descending=[True, False]).limit(k)
+
+
 def q_inverted_index(sf_dir: str, top_k: int = 20):
     """Impact-ordered inverted index with champion lists (the tiered /
     impact-sorted postings layout of web search engines): per token, its
@@ -3485,6 +3572,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_index": q_anchor_index,
         "ctph_neardup": q_ctph_neardup,
         "key_skew": q_key_skew,
+        "bm25_topk": q_bm25_topk,
         "pii_redact": q_pii_redact,
         "heuristic_filter": q_heuristic_filter,
         "bloom_dedup": q_bloom_dedup,
@@ -4957,6 +5045,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(new_text) AS BIGINT) AS new_n_chars,
                    sha256(new_text) AS new_sha
             FROM re ORDER BY doc_id
+        """,
+        "bm25_topk": """
+            -- BM25 (k1=1.5, b=0.75) over the fixed 4-term query; each
+            -- term contribution quantized to e6 BEFORE the per-doc sum so
+            -- float addition order cannot matter; IEEE op order inside a
+            -- contribution mirrors the engine exactly
+            WITH toks AS (
+                SELECT doc_id, list_filter(string_split(text, ' '),
+                                           x -> x <> '') AS tk
+                FROM documents
+            ), ex AS (
+                SELECT doc_id, unnest(tk) AS tok FROM toks
+            ), tf AS (
+                SELECT doc_id, tok, COUNT(*) AS c FROM ex
+                WHERE tok IN ('hash', 'merge', 'scan', 'table')
+                GROUP BY doc_id, tok
+            ), dl AS (
+                SELECT doc_id, COUNT(*) AS dl FROM ex GROUP BY doc_id
+            ), stats AS (
+                SELECT (SELECT COUNT(*) FROM documents) AS n,
+                       (SELECT COUNT(*) FROM ex) AS tot
+            ), df AS (
+                SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+            ), sc AS (
+                SELECT tf.doc_id,
+                       CAST(floor(
+                           ln(1.0 + ((s.n - df.df) + 0.5) / (df.df + 0.5))
+                           * ((tf.c * 2.5) /
+                              (tf.c + 1.5 * (0.25 + 0.75 *
+                                  (dl.dl / (s.tot / CAST(s.n AS DOUBLE))))))
+                           * 1000000.0 + 0.5) AS BIGINT) AS e6
+                FROM tf
+                JOIN dl ON dl.doc_id = tf.doc_id
+                JOIN df ON df.tok = tf.tok
+                CROSS JOIN stats s
+            )
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_terms,
+                   CAST(SUM(e6) AS BIGINT) AS score_e6
+            FROM sc GROUP BY doc_id
+            ORDER BY score_e6 DESC, doc_id
+            LIMIT 20
         """,
         "key_skew": """
             WITH per_key AS (
