@@ -2443,6 +2443,60 @@ def q_source_overlap(sf_dir: str):
               .sort(["source_a", "source_b"])
 
 
+def q_corpus_merkle(sf_dir: str):
+    """Order-SENSITIVE Merkle integrity manifest: 64 hash-bucket rows,
+    each sha256 over the doc_id-ordered concatenation of per-doc sha256
+    leaves (hex). Complements corpus_fingerprint's commutative XOR — the
+    Merkle form also catches reordering/duplication inside a bucket, and a
+    resumable 100-TB job re-verifies one bucket at a time (the reference's
+    decoded-payload SHA gate, test/backward_compat/, at manifest
+    granularity). One bucket-keyed exchange; leaves hashed where the data
+    lives, only 64 digests leave the workers."""
+    import hashlib
+
+    from pcompress_ray.functions.ops import grouped_partitions
+
+    _setup()
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def add_leaf(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        leaves = [hashlib.sha256((x or "").encode("utf-8")).hexdigest()
+                  for x in t["text"].to_pylist()]
+        return pa.table({"bucket": pa.array(ids % 64),
+                         "doc_id": pa.array(ids),
+                         "leaf": pa.array(leaves, pa.string())})
+
+    def roll(part: pd.DataFrame) -> pd.DataFrame:
+        if not len(part):
+            return pd.DataFrame({"bucket": pd.Series([], dtype=np.int64),
+                                 "n_docs": pd.Series([], dtype=np.int64),
+                                 "bucket_sha": pd.Series([], dtype=object)})
+        part = part.sort_values(["bucket", "doc_id"], kind="stable")
+        out_b, out_n, out_s = [], [], []
+        for bkt, g in part.groupby("bucket", sort=True):
+            out_b.append(int(bkt))
+            out_n.append(len(g))
+            out_s.append(hashlib.sha256(
+                "".join(g["leaf"]).encode("ascii")).hexdigest())
+        return pd.DataFrame({"bucket": np.asarray(out_b, np.int64),
+                             "n_docs": np.asarray(out_n, np.int64),
+                             "bucket_sha": out_s})
+
+    out = grouped_partitions(ds.map_batches(add_leaf,
+                                            batch_format="pyarrow"),
+                             ["bucket"], roll, n_parts=16)
+
+    def rn(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        return pa.table({"bucket": t["bucket"].cast(pa.int64()),
+                         "n_docs": t["n_docs"].cast(pa.int64()),
+                         "bucket_sha": t["bucket_sha"].cast(pa.string())})
+
+    return out.map_batches(rn, batch_format="pyarrow").sort("bucket")
+
+
 def q_corpus_fingerprint(sf_dir: str):
     """Order-invariant per-lang corpus fingerprint: XOR of each doc's
     first-60-bit SHA-256 prefix + doc count — the dataset-versioning /
@@ -3573,6 +3627,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ctph_neardup": q_ctph_neardup,
         "key_skew": q_key_skew,
         "bm25_topk": q_bm25_topk,
+        "corpus_merkle": q_corpus_merkle,
         "pii_redact": q_pii_redact,
         "heuristic_filter": q_heuristic_filter,
         "bloom_dedup": q_bloom_dedup,
@@ -5045,6 +5100,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(new_text) AS BIGINT) AS new_n_chars,
                    sha256(new_text) AS new_sha
             FROM re ORDER BY doc_id
+        """,
+        "corpus_merkle": """
+            SELECT doc_id % 64 AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   sha256(string_agg(sha256(coalesce(text, '')), ''
+                                     ORDER BY doc_id)) AS bucket_sha
+            FROM documents
+            GROUP BY doc_id % 64
+            ORDER BY bucket
         """,
         "bm25_topk": """
             -- BM25 (k1=1.5, b=0.75) over the fixed 4-term query; each
