@@ -3511,6 +3511,35 @@ def q_domain_stats(sf_dir: str):
                               n_parts=16).sort("host")
 
 
+def q_crawl_schedule(sf_dir: str):
+    """Crawl-frontier politeness schedule: at most 4 fetches per host per
+    round, per-host FIFO by doc_id — the deterministic frontier assignment
+    a recrawl pipeline materializes before dispatch (stages/crawl.py; one
+    host-keyed exchange, rank via sort + run-boundary subtraction). Hosts
+    are the same synthetic ones the domain tier uses."""
+    from pcompress_ray.stages.crawl import crawl_schedule
+
+    _setup()
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def feat(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        return pd.DataFrame({"doc_id": ids,
+                             "host": _synth_hosts(ids).to_numpy()})
+
+    out = crawl_schedule(ds.map_batches(feat, batch_format="pandas"),
+                         per_round=4, n_parts=16)
+
+    def rn(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                         "host": t["host"].cast(pa.string()),
+                         "fetch_round": t["fetch_round"].cast(pa.int64()),
+                         "slot": t["slot"].cast(pa.int64())})
+
+    return out.map_batches(rn, batch_format="pyarrow")
+
+
 def q_event_window_dedup(sf_dir: str, window_s: int = 600):
     """Streaming-window dedup over the events table (the telemetry analog
     of pcompress's stream dedup: suppress a record that repeats its key
@@ -3628,6 +3657,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "key_skew": q_key_skew,
         "bm25_topk": q_bm25_topk,
         "corpus_merkle": q_corpus_merkle,
+        "crawl_schedule": q_crawl_schedule,
         "pii_redact": q_pii_redact,
         "heuristic_filter": q_heuristic_filter,
         "bloom_dedup": q_bloom_dedup,
@@ -5357,6 +5387,20 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _pagerank_sql(),
         "domain_blocklist": _domain_blocklist_sql(),
         "domain_stats": _domain_stats_sql(),
+        "crawl_schedule": f"""
+            WITH f AS (
+                SELECT doc_id, {_host_expr_sql()} AS host FROM documents
+            ), r AS (
+                SELECT doc_id, host,
+                       row_number() OVER (PARTITION BY host
+                                          ORDER BY doc_id) - 1 AS rk
+                FROM f
+            )
+            SELECT doc_id, host,
+                   CAST(rk // 4 AS BIGINT) AS fetch_round,
+                   CAST(rk % 4 AS BIGINT) AS slot
+            FROM r
+        """,
         # ANY-prior-within-window == immediately-preceding-within-window,
         # so the twin is a plain LAG over the key order
         "event_window_dedup": """

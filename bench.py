@@ -56,7 +56,9 @@ QUERY_NAMES = ["q1_pricing", "q3_top_orders", "customer_nation", "doc_stats",
                "dup_span_anchors", "cross_span_excise", "corpus_grep",
                "hll_registers", "corpus_shuffle", "inverted_index",
                "dedup_keep_best", "nb_classify", "warc_pages", "pagerank",
-               "domain_blocklist", "domain_stats", "event_window_dedup"]
+               "domain_blocklist", "domain_stats", "event_window_dedup",
+               "ngram_containment", "line_dedup", "anchor_index",
+               "ctph_neardup", "key_skew", "bm25_topk", "corpus_merkle"]
 
 
 def run_bench() -> dict:
