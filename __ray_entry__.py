@@ -3427,6 +3427,145 @@ def q_pagerank(sf_dir: str, iters: int = 5):
     return pr.sort("doc_id")
 
 
+def q_hits(sf_dir: str, iters: int = 3):
+    """HITS hubs/authorities over the same deterministic link graph as
+    q_pagerank (i -> (7i+1, 7i+2, 7i+3) mod N) — the OTHER classic
+    webgraph signal, and a second exercise of the iterative BSP shape
+    with a different normalization: after each half-step the scores are
+    rescaled to max = 10^6 by integer floor division, so all arithmetic
+    stays exact int64 and the SQL twin (chained CTEs with the same
+    floor-divs) matches bit for bit. Authority step pushes hub mass down
+    OUT-edges (pure-function emit, no edge table); hub step pushes
+    authority mass UP in-edges via the modular inverse of 7 (engine-side
+    only — the oracle uses an explicit edge CTE instead). Per-node
+    keep-alive zero rows preserve nodes the other side never reaches.
+    Requires gcd(7, N) == 1 (holds for every sf table; asserted)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from pcompress_ray.functions.ops import hash_join
+
+    _setup()
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    n = ds.count()
+    mm = ds.aggregate(Min("doc_id"), Max("doc_id"))
+    if int(mm["min(doc_id)"]) != 0 or int(mm["max(doc_id)"]) != n - 1:
+        raise ValueError("hits synthesis needs contiguous doc_ids")
+    scale = 10**6
+    try:
+        inv7 = pow(7, -1, n)
+    except ValueError as exc:
+        raise ValueError("hits needs gcd(7, N) == 1 for the modular-"
+                         "inverse transpose; other N would need an "
+                         "explicit edge join") from exc
+
+    def init(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"node": pa.array(ids),
+                         "v": pa.array(np.full(ids.size, scale, np.int64))})
+
+    def emit_out(t: pa.Table) -> pa.Table:
+        # node i sends its value to out-neighbors (7i+k) % n
+        t = t.replace_schema_metadata(None)
+        ids = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = np.concatenate([(ids * 7 + 1) % n, (ids * 7 + 2) % n,
+                              (ids * 7 + 3) % n, ids])
+        vv = np.concatenate([v, v, v, np.zeros_like(v)])
+        return pa.table({"node": pa.array(dst), "c": pa.array(vv)})
+
+    def emit_in(t: pa.Table) -> pa.Table:
+        # node i sends its value to in-neighbors ((i-k) * inv7) % n
+        t = t.replace_schema_metadata(None)
+        ids = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = np.concatenate([(((ids - k) % n) * inv7) % n
+                              for k in (1, 2, 3)] + [ids])
+        vv = np.concatenate([v, v, v, np.zeros_like(v)])
+        return pa.table({"node": pa.array(dst), "c": pa.array(vv)})
+
+    def half_step(state, emit):
+        summed = (state.map_batches(emit, batch_format="pyarrow")
+                  .groupby("node").aggregate(Sum("c", alias_name="s")))
+        summed = summed.materialize()
+        mx = int(summed.aggregate(Max("s"))["max(s)"])
+
+        def norm(t: pa.Table) -> pa.Table:
+            t = t.replace_schema_metadata(None)
+            s = t["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({"node": t["node"].cast(pa.int64()),
+                             "v": pa.array(s * scale // mx)})
+
+        return summed.map_batches(norm, batch_format="pyarrow").materialize()
+
+    h = ds.map_batches(init, batch_format="pyarrow")
+    a = None
+    for _ in range(iters):
+        a = half_step(h, emit_out)
+        h = half_step(a, emit_in)
+
+    a2 = a.map_batches(
+        lambda t: pa.table({"node": t["node"].cast(pa.int64()),
+                            "authority_e6": t["v"].cast(pa.int64())}),
+        batch_format="pyarrow")
+    h2 = h.map_batches(
+        lambda t: pa.table({"node": t["node"].cast(pa.int64()),
+                            "hub_e6": t["v"].cast(pa.int64())}),
+        batch_format="pyarrow")
+    joined = hash_join(a2, h2, "node", "node")
+    return joined.map_batches(
+        lambda t: t.replace_schema_metadata(None)
+        .select(["node", "authority_e6", "hub_e6"]),
+        batch_format="pyarrow").sort("node")
+
+
+def _hits_sql(iters: int = 3) -> str:
+    """q_hits's twin: explicit edge CTE + chained half-step CTEs with the
+    identical max-rescale floor division each half-step."""
+    parts = ["""
+        WITH nn AS (SELECT COUNT(*) AS c FROM documents),
+        e AS (
+            SELECT doc_id AS src,
+                   (doc_id * 7 + k) % (SELECT c FROM nn) AS dst
+            FROM documents, UNNEST([1, 2, 3]) AS t(k)
+        ),
+        h0 AS (SELECT doc_id AS node, CAST(1000000 AS BIGINT) AS v
+               FROM documents)"""]
+    prev_h = "h0"
+    for i in range(1, iters + 1):
+        parts.append(f""",
+        a{i}r AS (
+            SELECT d.doc_id AS node, COALESCE(SUM(ph.v), 0) AS v
+            FROM documents d
+            LEFT JOIN e ON e.dst = d.doc_id
+            LEFT JOIN {prev_h} ph ON ph.node = e.src
+            GROUP BY d.doc_id
+        ),
+        a{i} AS (
+            SELECT node, v * 1000000 // (SELECT MAX(v) FROM a{i}r) AS v
+            FROM a{i}r
+        ),
+        h{i}r AS (
+            SELECT d.doc_id AS node, COALESCE(SUM(pa.v), 0) AS v
+            FROM documents d
+            LEFT JOIN e ON e.src = d.doc_id
+            LEFT JOIN a{i} pa ON pa.node = e.dst
+            GROUP BY d.doc_id
+        ),
+        h{i} AS (
+            SELECT node, v * 1000000 // (SELECT MAX(v) FROM h{i}r) AS v
+            FROM h{i}r
+        )""")
+        prev_h = f"h{i}"
+    parts.append(f"""
+        SELECT a{iters}.node,
+               CAST(a{iters}.v AS BIGINT) AS authority_e6,
+               CAST(h{iters}.v AS BIGINT) AS hub_e6
+        FROM a{iters} JOIN h{iters} ON h{iters}.node = a{iters}.node
+        ORDER BY a{iters}.node""")
+    return "".join(parts)
+
+
 _BLOCKLIST = ["site3.example.com", "site11.example.com",
               "site24.example.com", "ads.example.net"]
 _SUBS = ["", "m.", "cdn.", "shop."]
@@ -3658,6 +3797,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": q_bm25_topk,
         "corpus_merkle": q_corpus_merkle,
         "crawl_schedule": q_crawl_schedule,
+        "hits_scores": q_hits,
         "pii_redact": q_pii_redact,
         "heuristic_filter": q_heuristic_filter,
         "bloom_dedup": q_bloom_dedup,
@@ -5385,6 +5525,7 @@ def oracle_sql() -> dict[str, str]:
             FROM h ORDER BY url
         """,
         "pagerank": _pagerank_sql(),
+        "hits_scores": _hits_sql(),
         "domain_blocklist": _domain_blocklist_sql(),
         "domain_stats": _domain_stats_sql(),
         "crawl_schedule": f"""
