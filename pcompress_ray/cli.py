@@ -203,6 +203,68 @@ def cmd_restore(args) -> int:
     return 0 if int(s["n"]) == int(s["ok"]) else 1
 
 
+def cmd_scrub(args) -> int:
+    """Line-level boilerplate scrub (CCNet/RefinedWeb tier): remove every
+    line whose trimmed form occurs in >= --min-docs distinct documents,
+    re-emitting the cleaned corpus (stages/rewrite.line_dedup_rewrite)."""
+    import ray.data as rd
+
+    from pcompress_ray.stages.rewrite import line_dedup_rewrite
+
+    _init_ray(args.num_cpus)
+    ds = rd.read_parquet(args.input)
+    if "doc_id" not in ds.schema().names:
+        import pyarrow as pa
+
+        from pcompress_ray.functions.ops import zip_with_rank
+
+        ds = zip_with_rank(ds, "url").map_batches(
+            lambda t: t.append_column("doc_id", t["rank"].cast(pa.int64())),
+            batch_format="pyarrow")
+    out = line_dedup_rewrite(ds, min_docs=args.min_docs)
+    out.write_parquet(args.output)
+    import pandas as pd
+
+    agg = rd.read_parquet(args.output).to_pandas()[["n_lines", "n_kept"]] \
+        .sum()
+    print(json.dumps({"output": args.output,
+                      "n_lines": int(agg["n_lines"]),
+                      "n_removed": int(agg["n_lines"] - agg["n_kept"])}))
+    return 0
+
+
+def cmd_schedule(args) -> int:
+    """Crawl-frontier politeness schedule: per-host FIFO fetch rounds with
+    at most --per-round URLs of a host per round (stages/crawl.py). The
+    host is parsed from the url column when no host column exists."""
+    import ray.data as rd
+
+    from pcompress_ray.stages.crawl import crawl_schedule
+
+    _init_ray(args.num_cpus)
+    ds = rd.read_parquet(args.input)
+    names = ds.schema().names
+    if "host" not in names:
+        import pandas as pd
+
+        def add_host(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["host"] = (df["url"].astype(str)
+                          .str.replace(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", "",
+                                       regex=True)
+                          .str.split("/").str[0].str.lower())
+            return df
+
+        ds = ds.map_batches(add_host, batch_format="pandas")
+    order_col = "doc_id" if "doc_id" in names else \
+        ("rank" if "rank" in names else "url")
+    out = crawl_schedule(ds, order_col=order_col, per_round=args.per_round)
+    out.write_parquet(args.output)
+    print(json.dumps({"output": args.output,
+                      "n_urls": int(rd.read_parquet(args.output).count())}))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="pcompress_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -261,6 +323,20 @@ def main(argv=None) -> int:
     ing.add_argument("--output", required=True)
     ing.add_argument("--num-cpus", type=int, default=None)
     ing.set_defaults(fn=cmd_ingest)
+
+    sc = sub.add_parser("scrub", help="line-level boilerplate removal")
+    sc.add_argument("--input", required=True)
+    sc.add_argument("--output", required=True)
+    sc.add_argument("--min-docs", type=int, default=2)
+    sc.add_argument("--num-cpus", type=int, default=None)
+    sc.set_defaults(fn=cmd_scrub)
+
+    sch = sub.add_parser("schedule", help="crawl politeness schedule")
+    sch.add_argument("--input", required=True)
+    sch.add_argument("--output", required=True)
+    sch.add_argument("--per-round", type=int, default=4)
+    sch.add_argument("--num-cpus", type=int, default=None)
+    sch.set_defaults(fn=cmd_schedule)
 
     rs = sub.add_parser("restore", help="byte-identical archive restore")
     rs.add_argument("--input", required=True, help="archive dir (store/+manifest/)")

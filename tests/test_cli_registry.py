@@ -180,3 +180,39 @@ def test_cli_ingest_warc_dir(ray_session, tmp_path, capsys):
     # rank is the dense url order
     ranks = sorted(t["rank"].to_pylist())
     assert ranks == list(range(20))
+
+
+def test_cli_scrub_and_schedule(ray_session, tmp_path, capsys):
+    """scrub removes cross-doc boilerplate lines; schedule parses hosts
+    from urls and caps per-round host fetches."""
+    import pandas as pd
+    import pcompress_ray
+
+    pcompress_ray.register_for_ray()
+    from pcompress_ray.cli import cmd_schedule, cmd_scrub
+
+    docs = pa.table({
+        "url": pa.array([f"https://h{i % 2}.ex/p{i}" for i in range(6)]),
+        "text": pa.array(["nav bar\nbody %d" % i for i in range(6)]),
+    })
+    inp = str(tmp_path / "docs.parquet")
+    pq.write_table(docs, inp)
+
+    out = str(tmp_path / "scrubbed")
+    rc = cmd_scrub(argparse.Namespace(input=inp, output=out, min_docs=2,
+                                      num_cpus=None))
+    assert rc == 0
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["n_removed"] == 6          # 'nav bar' in all 6 docs
+    got = pd.read_parquet(out).sort_values("doc_id")
+    assert got["new_text"].tolist() == [f"body {i}" for i in range(6)]
+
+    out2 = str(tmp_path / "sched")
+    rc = cmd_schedule(argparse.Namespace(input=inp, output=out2,
+                                         per_round=2, num_cpus=None))
+    assert rc == 0
+    sched = pd.read_parquet(out2)
+    assert set(sched["host"]) == {"h0.ex", "h1.ex"}
+    per = sched.groupby(["host", "fetch_round"]).size()
+    assert (per <= 2).all()
+    assert sched["fetch_round"].max() == 1  # 3 urls/host at cap 2 -> 2 rounds
