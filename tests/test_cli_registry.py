@@ -204,8 +204,9 @@ def test_cli_scrub_and_schedule(ray_session, tmp_path, capsys):
     assert rc == 0
     line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert line["n_removed"] == 6          # 'nav bar' in all 6 docs
-    got = pd.read_parquet(out).sort_values("doc_id")
-    assert got["new_text"].tolist() == [f"body {i}" for i in range(6)]
+    got = pd.read_parquet(out)
+    # doc_id is url-lexicographic rank; compare as a set of cleaned texts
+    assert sorted(got["new_text"]) == [f"body {i}" for i in range(6)]
 
     out2 = str(tmp_path / "sched")
     rc = cmd_schedule(argparse.Namespace(input=inp, output=out2,
