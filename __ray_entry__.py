@@ -3679,6 +3679,54 @@ def q_crawl_schedule(sf_dir: str):
     return out.map_batches(rn, batch_format="pyarrow")
 
 
+def q_robots_filter(sf_dir: str):
+    """robots.txt frontier filter (RFC 9309 longest-match subset,
+    stages/robots.py): per URL, is fetching allowed under its host's
+    robots rules? Hosts/paths are the domain tier's synthetic ones; the
+    per-host robots.txt TEXT is synthesized deterministically (every host
+    disallows /p7; site-K hosts with K%3==0 also disallow /p1 but Allow
+    /p12 — exercising longest-match precedence — plus a decoy non-*
+    agent group the parser must skip). The ENGINE parses the actual
+    robots.txt text end-to-end; the oracle reproduces the decisions from
+    the same rule formulas in arithmetic."""
+    from pcompress_ray.stages.robots import decide, rules_table
+
+    _setup()
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    robots_by_host = {}
+    for k in range(37):
+        txt = ("# synthetic robots\n"
+               "User-agent: evilbot\nDisallow: /\n\n"
+               "User-agent: *\nDisallow: /p7\n")
+        if k % 3 == 0:
+            txt += "Disallow: /p1\nAllow: /p12\n"
+        for sub in _SUBS:
+            robots_by_host[f"{sub}site{k}.example.com"] = txt
+    rules = rules_table(robots_by_host)
+
+    def feat(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        out = pd.DataFrame({
+            "doc_id": ids,
+            "host": _synth_hosts(ids).to_numpy(),
+            "path": ("/p" + pd.Series(ids % 23).astype(str)).to_numpy()})
+        out["allowed"] = decide(out[["host", "path"]].copy(),
+                                rules).astype(np.int64)
+        return out
+
+    out = ds.map_batches(feat, batch_format="pandas")
+
+    def rn(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                         "host": t["host"].cast(pa.string()),
+                         "path": t["path"].cast(pa.string()),
+                         "allowed": t["allowed"].cast(pa.int64())})
+
+    return out.map_batches(rn, batch_format="pyarrow")
+
+
 def q_event_window_dedup(sf_dir: str, window_s: int = 600):
     """Streaming-window dedup over the events table (the telemetry analog
     of pcompress's stream dedup: suppress a record that repeats its key
@@ -3798,6 +3846,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_merkle": q_corpus_merkle,
         "crawl_schedule": q_crawl_schedule,
         "hits_scores": q_hits,
+        "robots_filter": q_robots_filter,
         "pii_redact": q_pii_redact,
         "heuristic_filter": q_heuristic_filter,
         "bloom_dedup": q_bloom_dedup,
@@ -5528,6 +5577,22 @@ def oracle_sql() -> dict[str, str]:
         "hits_scores": _hits_sql(),
         "domain_blocklist": _domain_blocklist_sql(),
         "domain_stats": _domain_stats_sql(),
+        "robots_filter": f"""
+            -- same decisions from the rule formulas: /p7 disallowed
+            -- everywhere; K%3==0 hosts disallow /p1* except the longer
+            -- Allow /p12 wins; everything else allowed
+            SELECT doc_id,
+                   {_host_expr_sql()} AS host,
+                   '/p' || CAST(doc_id % 23 AS VARCHAR) AS path,
+                   CAST(CASE
+                        WHEN doc_id % 23 = 7 THEN 0
+                        WHEN (doc_id % 37) % 3 = 0
+                             AND (doc_id % 23 = 1
+                                  OR doc_id % 23 BETWEEN 10 AND 19)
+                        THEN CASE WHEN doc_id % 23 = 12 THEN 1 ELSE 0 END
+                        ELSE 1 END AS BIGINT) AS allowed
+            FROM documents
+        """,
         "crawl_schedule": f"""
             WITH f AS (
                 SELECT doc_id, {_host_expr_sql()} AS host FROM documents
