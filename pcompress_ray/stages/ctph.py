@@ -204,9 +204,12 @@ def ctph_candidate_pairs(sig_ds, min_score: int = 60, n_parts: int = 32):
     Bucket by (blocksize, digest 7-gram) — only same-blocksize docs can
     match, mirroring ssdeep's comparison rule — then verify each candidate
     pair once with the bounded edit-distance kernel. Pair dedup across
-    buckets rides the same (a, b)-keyed exchange as the LSH path.
+    buckets rides an (a, b)-keyed exchange, and the digests needed for
+    verification are JOINED BACK per side (two partitioned hash joins)
+    rather than broadcast from the driver — no full digest-table driver
+    pull, so the operator keeps its shape at any corpus size.
     """
-    from pcompress_ray.functions.ops import grouped_partitions
+    from pcompress_ray.functions.ops import grouped_partitions, hash_join
 
     sigs = sig_ds.materialize()
 
@@ -251,29 +254,29 @@ def ctph_candidate_pairs(sig_ds, min_score: int = 60, n_parts: int = 32):
         sigs.map_batches(explode, batch_format="pyarrow"),
         ["gram"], bucket_pairs, n_parts=n_parts)
 
-    import ray
-    sig_df = sigs.to_pandas().sort_values("doc_id")
-    lookup_ref = ray.put((sig_df["doc_id"].to_numpy(np.int64),
-                          sig_df["digest"].to_numpy(),
-                          sig_df["blocksize"].to_numpy(np.int64)))
+    # global pair dedup FIRST (bounds the join amplification), then join
+    # each side's digest back in
+    def dedupe(part: pd.DataFrame) -> pd.DataFrame:
+        return part.drop_duplicates(["a", "b"])
 
-    def verify(part: pd.DataFrame) -> pd.DataFrame:
-        part = part.drop_duplicates(["a", "b"])
-        if not len(part):
-            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
-                                 "doc_b": pd.Series([], dtype=np.int64),
-                                 "blocksize": pd.Series([], dtype=np.int64),
-                                 "score": pd.Series([], dtype=np.int64)})
-        ids, digs, bss = ray.get(lookup_ref)
-        ia = np.searchsorted(ids, part["a"].to_numpy(np.int64))
-        ib = np.searchsorted(ids, part["b"].to_numpy(np.int64))
-        sc = np.fromiter((ctph_score(digs[x], digs[y])
-                          for x, y in zip(ia, ib)), np.int64, len(part))
+    pairs = grouped_partitions(cands, ["a", "b"], dedupe, n_parts=n_parts)
+    side = sigs.select_columns(["doc_id", "digest", "blocksize"])
+    j = hash_join(pairs, side, "a", "doc_id")
+    j = hash_join(j, side, "b", "doc_id", suffix="_b")
+
+    def score(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        da = t["digest"].to_pylist()
+        db = t["digest_b"].to_pylist()
+        bs = t["blocksize"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sc = np.fromiter((ctph_score(x, y) for x, y in zip(da, db)),
+                         np.int64, len(t))
         keep = sc >= min_score
-        return pd.DataFrame({
-            "doc_a": part["a"].to_numpy(np.int64)[keep],
-            "doc_b": part["b"].to_numpy(np.int64)[keep],
-            "blocksize": bss[ia][keep],
-            "score": sc[keep]})
+        return pa.table({"doc_a": pa.array(a[keep]),
+                         "doc_b": pa.array(b[keep]),
+                         "blocksize": pa.array(bs[keep]),
+                         "score": pa.array(sc[keep])})
 
-    return grouped_partitions(cands, ["a", "b"], verify, n_parts=n_parts)
+    return j.map_batches(score, batch_format="pyarrow")
