@@ -82,3 +82,28 @@ def test_matches_python_reference_on_random_corpus():
                 or len(docs_of[ln.strip(trim)]) < 2]
         exp.append("\n".join(kept))
     assert out["new_text"].tolist() == exp
+
+
+def test_parallelism_invariance():
+    """north-rule bar: output is a pure function of the input — block
+    count and partition count must not change a single byte."""
+    import pandas as pd
+    import ray.data as rd
+
+    from pcompress_ray.stages.rewrite import line_dedup_rewrite
+
+    rng = np.random.default_rng(17)
+    pool = [f"ln {i}" for i in range(12)]
+    texts = ["\n".join(rng.choice(pool, size=rng.integers(1, 8)))
+             for _ in range(30)]
+    docs = pa.table({"doc_id": pa.array(list(range(30)), pa.int64()),
+                     "text": pa.array(texts)})
+
+    def run(nblocks, n_parts):
+        return line_dedup_rewrite(rd.from_arrow(docs).repartition(nblocks),
+                                  n_parts=n_parts).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+
+    a = run(2, 3)
+    b = run(7, 11)
+    pd.testing.assert_frame_equal(a, b)
