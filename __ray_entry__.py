@@ -2238,6 +2238,26 @@ def q_pq_topk(sf_dir: str):
     return out.map_batches(rn, batch_format="pyarrow")
 
 
+def q_ivfpq_topk(sf_dir: str):
+    """IVF-PQ ADC top-5 (FAISS IndexIVFPQ layout: uint16 list id + m uint8
+    residual codes per vector) for query vectors vec_id<10 — the combined
+    memory-AND-compute ANN scale path (nprobe list pruning x 32x code
+    compression); recall vs brute force pinned in pytest."""
+    from pcompress_ray.stages.ann import ivfpq_topk
+
+    _setup()
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = ivfpq_topk(emb, np.arange(10), k=5, n_centroids=64, nprobe=16,
+                     m=16, ks=64)
+
+    def rn(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        return pa.table({"query_id": t["query_id"].cast(pa.int64()),
+                         "neighbor_id": t["neighbor_id"].cast(pa.int64())})
+
+    return out.map_batches(rn, batch_format="pyarrow")
+
+
 def q_intradoc_repetition(sf_dir: str):
     """Per-doc duplicate-3-gram fraction (the Gopher repetition filter's
     n-gram arm): embarrassingly parallel, ONE streaming map_batches with
@@ -3847,6 +3867,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_schedule": q_crawl_schedule,
         "hits_scores": q_hits,
         "robots_filter": q_robots_filter,
+        "ivfpq_topk": q_ivfpq_topk,
         "pii_redact": q_pii_redact,
         "heuristic_filter": q_heuristic_filter,
         "bloom_dedup": q_bloom_dedup,

@@ -59,7 +59,8 @@ QUERY_NAMES = ["q1_pricing", "q3_top_orders", "customer_nation", "doc_stats",
                "domain_blocklist", "domain_stats", "event_window_dedup",
                "ngram_containment", "line_dedup", "anchor_index",
                "ctph_neardup", "key_skew", "bm25_topk", "corpus_merkle",
-               "crawl_schedule", "hits_scores", "robots_filter"]
+               "crawl_schedule", "hits_scores", "robots_filter",
+               "ivfpq_topk"]
 
 
 def run_bench() -> dict:

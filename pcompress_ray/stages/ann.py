@@ -259,14 +259,18 @@ def ivf_topk(emb_ds, query_ids: np.ndarray, k: int = 5, n_centroids: int = 64,
 
 
 def train_pq_codebooks(sample: np.ndarray, m: int = 8, ks: int = 64,
-                       n_iter: int = 12, seed: int = 7) -> np.ndarray:
+                       n_iter: int = 12, seed: int = 7,
+                       normalize: bool = True) -> np.ndarray:
     """Product-quantization training (Jégou et al. 2011): split the
     (normalized) vector into ``m`` subspaces and run k-means with ``ks``
     centroids independently in each. Driver-side over a constant-size
     sample — same cost model as the IVF coarse quantizer. Returns
-    (m, ks, d/m) float64 codebooks."""
+    (m, ks, d/m) float64 codebooks. ``normalize=False`` trains on the
+    input as-is (the IVF-PQ residual path, where residuals must NOT be
+    re-normalized)."""
     rng = np.random.default_rng(seed)
-    sample = _normalize(sample)
+    if normalize:
+        sample = _normalize(sample)
     n, d = sample.shape
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -367,6 +371,116 @@ def pq_topk(emb_ds, query_ids: np.ndarray, k: int = 5, m: int = 8,
             out_q.append(np.full(idx.size, qids_[qi], dtype=np.int64))
             out_n.append(ids[idx])
             out_c.append(S[qi][idx])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            "neighbor_id": pa.array(np.concatenate(out_n)),
+            "adc_score": pa.array(np.concatenate(out_c), pa.float64())})
+
+    partials = codes_ds.map_batches(partial, batch_format="pyarrow")
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["neighbor_id"] != g["query_id"]]
+        g = g.sort_values(["adc_score", "neighbor_id"],
+                          ascending=[False, True]).head(k)
+        return g[["query_id", "neighbor_id", "adc_score"]]
+
+    return partials.groupby("query_id").map_groups(topk,
+                                                   batch_format="pandas")
+
+
+def ivfpq_topk(emb_ds, query_ids: np.ndarray, k: int = 5,
+               n_centroids: int = 64, nprobe: int = 8, m: int = 8,
+               ks: int = 64, train_sample: int = 4096,
+               id_col: str = "vec_id", emb_col: str = "embedding"):
+    """IVF-PQ top-k — the production ANN index layout (Jégou et al. 2011,
+    the FAISS IndexIVFPQ shape): vectors are coarse-quantized to a
+    centroid and their RESIDUAL (x - centroid) is product-quantized, so
+    each vector persists as (uint16 list id + m uint8 codes); a query
+    probes only its ``nprobe`` nearest lists and scores via
+    q·x ≈ q·centroid + ADC(residual) — one (m, ks) lookup table per
+    (query, subspace), no float matmul against the corpus.
+
+    Scale shape: coarse quantizer + residual codebooks train once on a
+    constant-size sample and broadcast; ENCODE is one streaming pass
+    emitting the ~32x-smaller codes dataset (persist and reuse at scale);
+    SCORING streams over codes with per-batch partial top-k; only
+    partials reach the final small groupby(query_id). Recall is gated in
+    pytest against brute force, same as IVF / PQ / LSH.
+    """
+    import ray
+
+    from pcompress_ray.functions.ops import semi_join_filter
+
+    sample_tab = emb_ds.select_columns([emb_col]).limit(train_sample) \
+        .to_pandas()
+    S0 = _normalize(np.asarray(sample_tab[emb_col].tolist(),
+                               dtype=np.float64))
+    C = _train_centroids(S0, n_centroids)
+    assign0 = (S0 @ C.T).argmax(axis=1)
+    books = train_pq_codebooks(S0 - C[assign0], m=m, ks=ks,
+                               normalize=False)
+
+    qset = set(int(q) for q in query_ids)
+    q_tab = semi_join_filter(emb_ds.select_columns([id_col, emb_col]),
+                             qset, on=id_col).to_pandas().sort_values(id_col)
+    Q = _normalize(np.asarray(q_tab[emb_col].tolist(), dtype=np.float64))
+    qids = q_tab[id_col].to_numpy(dtype=np.int64)
+    qc = Q @ C.T                                   # (nq, nc): q . centroid
+    np_eff = min(nprobe, C.shape[0])
+    probe = np.argpartition(-qc, np_eff - 1, axis=1)[:, :np_eff]
+    probe_mask = np.zeros((Q.shape[0], C.shape[0]), dtype=bool)
+    probe_mask[np.arange(Q.shape[0])[:, None], probe] = True
+    mm, ks_eff, sub = books.shape
+    lut = np.einsum("qjs,jcs->qjc", Q.reshape(-1, mm, sub), books)
+    enc_ref = ray.put((C, books))
+    score_ref = ray.put((qids, qc, probe_mask, lut))
+
+    def encode(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        C_, books_ = ray.get(enc_ref)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        M = _normalize(_matrix(t[emb_col]))
+        cent = (M @ C_.T).argmax(axis=1)
+        R = M - C_[cent]
+        m_, ks_, sub_ = books_.shape
+        codes = np.empty((M.shape[0], m_), np.uint8)
+        for j in range(m_):
+            X = R[:, j * sub_ : (j + 1) * sub_]
+            Cb = books_[j]
+            d2 = (Cb * Cb).sum(1)[None, :] - 2.0 * (X @ Cb.T)
+            codes[:, j] = d2.argmin(1).astype(np.uint8)
+        return pa.table({
+            "vec_id": pa.array(ids),
+            "list_id": pa.array(cent.astype(np.int32)),
+            "codes": pa.FixedSizeListArray.from_arrays(
+                pa.array(codes.reshape(-1)), m_)})
+
+    codes_ds = emb_ds.select_columns([id_col, emb_col]).map_batches(
+        encode, batch_format="pyarrow")
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        qids_, qc_, mask_, lut_ = ray.get(score_ref)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cent = t["list_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        codes = np.asarray(t["codes"].combine_chunks().flatten()) \
+            .reshape(len(ids), -1)
+        S = qc_[:, cent].copy()                    # (nq, nb): q . centroid
+        for j in range(codes.shape[1]):
+            S += lut_[:, j, :][:, codes[:, j]]
+        S = np.where(mask_[:, cent], S, -np.inf)   # probe filter
+        out_q, out_n, out_c = [], [], []
+        kk = min(k + 1, S.shape[1])
+        for qi in range(S.shape[0]):
+            idx = np.argpartition(-S[qi], kk - 1)[:kk]
+            idx = idx[np.isfinite(S[qi][idx])]
+            out_q.append(np.full(idx.size, qids_[qi], dtype=np.int64))
+            out_n.append(ids[idx])
+            out_c.append(S[qi][idx])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "adc_score": pa.array([], pa.float64())})
         return pa.table({
             "query_id": pa.array(np.concatenate(out_q)),
             "neighbor_id": pa.array(np.concatenate(out_n)),

@@ -159,3 +159,41 @@ def test_pq_topk_recall_and_compression(ray_session):
     assert enc["codes"].type == pa.list_(pa.uint8(), 8)
     code_bytes, f32_bytes = 8, sample.shape[1] * 4
     assert f32_bytes // code_bytes == 32  # 8 B codes vs 256 B raw f32
+
+
+def test_ivfpq_topk_recall_and_layout(ray_session):
+    """IVF-PQ (full probe) must track the PQ-only recall band — the coarse
+    q.centroid term plus residual ADC approximates q.x at least as well as
+    whole-vector PQ — and restricted nprobe must stay close; the persisted
+    layout must be (uint16-ish list id + m uint8 codes)."""
+    import numpy as np
+    import ray.data as rd
+
+    import pcompress_ray
+
+    pcompress_ray.register_for_ray()
+    from pcompress_ray.stages.ann import brute_force_topk, ivfpq_topk
+
+    emb = rd.read_parquet(f"{SF_DIR}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    qids = np.arange(10)
+    exact = brute_force_topk(emb, qids, k=5).to_pandas()
+    exact_set = set(zip(exact.query_id.astype(int),
+                        exact.neighbor_id.astype(int)))
+    assert len(exact_set) == 50
+
+    # full probe isolates residual-PQ error (uniform-random embeddings are
+    # the worst case for any quantizer — real corpora cluster)
+    full = ivfpq_topk(emb, qids, k=5, n_centroids=32, nprobe=32,
+                      m=16, ks=64).to_pandas()
+    full_set = set(zip(full.query_id.astype(int),
+                       full.neighbor_id.astype(int)))
+    r_full = len(exact_set & full_set) / len(exact_set)
+    assert r_full >= 0.5, r_full
+
+    probed = ivfpq_topk(emb, qids, k=5, n_centroids=32, nprobe=16,
+                        m=16, ks=64).to_pandas()
+    probed_set = set(zip(probed.query_id.astype(int),
+                         probed.neighbor_id.astype(int)))
+    r_probe = len(exact_set & probed_set) / len(exact_set)
+    assert r_probe >= r_full - 0.25, (r_probe, r_full)
