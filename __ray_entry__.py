@@ -3539,6 +3539,57 @@ def q_hits(sf_dir: str, iters: int = 3):
         batch_format="pyarrow").sort("node")
 
 
+def q_cocitation(sf_dir: str, min_shared: int = 2):
+    """Co-citation similarity over the deterministic link graph: pairs of
+    pages cited together (same out-target) weighted by how many targets
+    they share — the webgraph 'related pages' signal (Dean & Henzinger
+    1999). The engine EMITS each target's 3 in-neighbors directly from
+    the modular-inverse formula (one streaming pass, no edge table, no
+    join) and counts pairs with one (a,b)-keyed exchange; the oracle
+    self-joins an explicit edge CTE. Emitted pairs are ordered a < b."""
+    from pcompress_ray.functions.ops import grouped_partitions
+
+    _setup()
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    n = ds.count()
+    try:
+        inv7 = pow(7, -1, n)
+    except ValueError as exc:
+        raise ValueError("cocitation needs gcd(7, N) == 1") from exc
+
+    def emit(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        tgt = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = [(((tgt - k) % n) * inv7) % n for k in (1, 2, 3)]
+        outs_a, outs_b = [], []
+        for x in range(3):
+            for y in range(x + 1, 3):
+                a = np.minimum(nb[x], nb[y])
+                b = np.maximum(nb[x], nb[y])
+                keep = a != b
+                outs_a.append(a[keep])
+                outs_b.append(b[keep])
+        return pa.table({"a": pa.array(np.concatenate(outs_a)),
+                         "b": pa.array(np.concatenate(outs_b))})
+
+    def count(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby(["a", "b"], as_index=False, sort=False).size() \
+            .rename(columns={"size": "shared"})
+        g = g[g["shared"] >= min_shared]
+        return g.astype({"a": np.int64, "b": np.int64, "shared": np.int64})
+
+    out = grouped_partitions(ds.map_batches(emit, batch_format="pyarrow"),
+                             ["a", "b"], count, n_parts=16)
+
+    def rn(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        return pa.table({"page_a": t["a"].cast(pa.int64()),
+                         "page_b": t["b"].cast(pa.int64()),
+                         "shared": t["shared"].cast(pa.int64())})
+
+    return out.map_batches(rn, batch_format="pyarrow")
+
+
 def _hits_sql(iters: int = 3) -> str:
     """q_hits's twin: explicit edge CTE + chained half-step CTEs with the
     identical max-rescale floor division each half-step."""
@@ -3868,6 +3919,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits_scores": q_hits,
         "robots_filter": q_robots_filter,
         "ivfpq_topk": q_ivfpq_topk,
+        "cocitation": q_cocitation,
         "pii_redact": q_pii_redact,
         "heuristic_filter": q_heuristic_filter,
         "bloom_dedup": q_bloom_dedup,
@@ -5596,6 +5648,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank": _pagerank_sql(),
         "hits_scores": _hits_sql(),
+        "cocitation": """
+            -- explicit edge self-join twin of the formula-emit engine
+            WITH nn AS (SELECT COUNT(*) AS c FROM documents),
+            e AS (
+                SELECT doc_id AS src,
+                       (doc_id * 7 + k) % (SELECT c FROM nn) AS dst
+                FROM documents, UNNEST([1, 2, 3]) AS t(k)
+            )
+            SELECT e1.src AS page_a, e2.src AS page_b,
+                   CAST(COUNT(*) AS BIGINT) AS shared
+            FROM e e1 JOIN e e2 ON e1.dst = e2.dst AND e1.src < e2.src
+            GROUP BY e1.src, e2.src
+            HAVING COUNT(*) >= 2
+        """,
         "domain_blocklist": _domain_blocklist_sql(),
         "domain_stats": _domain_stats_sql(),
         "robots_filter": f"""
