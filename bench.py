@@ -158,6 +158,16 @@ def run_bench() -> dict:
     }
 
 
+# fastest CLEAN-window legs ever recorded for (corpus_docs -> cpus -> sec),
+# from BENCH_LOCAL.md / BASELINE.md; used as an absolute degradation check
+# on scaling pairs (legs >20% over record => window degraded, pair not
+# credible). Update when a faster clean leg is recorded.
+_SCALING_RECORDS = {
+    480000: {4: 341.9, 16: 105.9},
+    120000: {4: 442.2, 16: 126.9},
+}
+
+
 def _burn(_):
     """2s pure-CPU spin (module-level: multiprocessing must pickle it)."""
     t0 = time.time()
@@ -238,11 +248,27 @@ def run_scaling():
         # (observed: raw 1.25 at 480k docs with a clean 1.028 calibration).
         # Efficiency is still capped at the ceiling for disclosure.
         credible = 0.85 <= ceiling <= 1.05 and eff <= ceiling * 1.10
+        # (c) ABSOLUTE cleanliness vs recorded clean-window legs: the
+        # burn calibration is blind to a load wave arriving between the
+        # burn and the legs, but such a wave always shows as absolute
+        # slowdown. If we have a clean record for this (corpus, cpus)
+        # and either leg ran >20% slower than it, the window was
+        # degraded — mark the pair non-credible (observed twice on
+        # 2026-08-19: raw 0.608 / 0.789 with both legs 1.2-1.6x records).
+        rec = _SCALING_RECORDS.get(int(ndocs), {})
+        deg = []
+        for cpus, sec in ((lo, r_lo["value"]), (hi, r_hi["value"])):
+            ref = rec.get(cpus)
+            if ref is not None and sec > ref * 1.20:
+                deg.append({"cpus": cpus, "sec": sec, "record_sec": ref})
+        if deg:
+            credible = False
         pairs.append({f"sec_{lo}": r_lo["value"], f"sec_{hi}": r_hi["value"],
                       f"docs_per_sec_{lo}": r_lo["docs_per_sec"],
                       f"docs_per_sec_{hi}": r_hi["docs_per_sec"],
                       "hw_ceiling": ceiling,
                       "credible": credible,
+                      "degraded_vs_record": deg,
                       "efficiency_raw": round(eff, 3),
                       "efficiency": round(min(eff, ceiling), 3)})
     cred = [p for p in pairs if p["credible"]]
