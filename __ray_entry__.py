@@ -2258,6 +2258,25 @@ def q_ivfpq_topk(sf_dir: str):
     return out.map_batches(rn, batch_format="pyarrow")
 
 
+def q_kcenter_probes(sf_dir: str):
+    """Greedy k-center diversity selection over the embeddings table
+    (Gonzalez farthest-point 2-approximation) — the data-pruning /
+    exemplar-picking counterpart of SemDeDup. k streaming passes, each
+    emitting one candidate row per batch against the broadcast chosen
+    set; deterministic seed + tie-breaks (pytest-pinned vs an in-memory
+    greedy reference; not SQL-expressible — iterative argmin chains)."""
+    from pcompress_ray.stages.ann import kcenter_select
+
+    _setup()
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = kcenter_select(emb, k=8)
+    out["vec_id"] = out["vec_id"].astype(np.int64)
+    out["order"] = out["order"].astype(np.int64)
+    out["min_cos_e6"] = np.floor(
+        out.pop("min_cos_to_prev").to_numpy() * 1e6 + 0.5).astype(np.int64)
+    return out
+
+
 def q_intradoc_repetition(sf_dir: str):
     """Per-doc duplicate-3-gram fraction (the Gopher repetition filter's
     n-gram arm): embarrassingly parallel, ONE streaming map_batches with
@@ -3920,6 +3939,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robots_filter": q_robots_filter,
         "ivfpq_topk": q_ivfpq_topk,
         "cocitation": q_cocitation,
+        "kcenter_probes": q_kcenter_probes,
         "pii_redact": q_pii_redact,
         "heuristic_filter": q_heuristic_filter,
         "bloom_dedup": q_bloom_dedup,

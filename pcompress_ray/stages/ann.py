@@ -857,3 +857,71 @@ def _lsh_pairs_light(emb_ds, threshold: float, dim: int, id_col: str,
                              "cosine": cos[keep]})
 
     return grouped_partitions(cand, ["a", "b"], verify)
+
+
+def kcenter_select(emb_ds, k: int = 8, seed_id: int | None = None,
+                   id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Greedy k-center (farthest-point) diversity selection — the data-
+    pruning counterpart of SemDeDup: instead of dropping near-duplicates,
+    pick the k embeddings that best COVER the corpus (Gonzalez 1985
+    2-approximation: repeatedly take the point farthest in cosine distance
+    from the chosen set). Used to select maximally-diverse exemplars /
+    eval probes from a 100-TB embedding table.
+
+    Deterministic: the seed is the smallest vec_id (or ``seed_id``), and
+    distance ties break toward the smaller vec_id, so output is a pure
+    function of the input at any parallelism.
+
+    Scale shape: k streaming passes; each pass broadcasts the (<= k, d)
+    chosen matrix via ray.put, every batch emits ONE (local farthest)
+    candidate row, and the driver reduces the tiny candidate table. No
+    full-table pull, no shuffle; cost k x one-scan, with k small by
+    construction.
+
+    Returns a pandas DataFrame (vec_id, order, min_cos_to_prev) — k rows,
+    driver-sized by definition.
+    """
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Min
+
+    ds = emb_ds.select_columns([id_col, emb_col]).materialize()
+    if seed_id is None:
+        seed_id = int(ds.aggregate(Min(id_col))[f"min({id_col})"])
+
+    def fetch_vec(target: int) -> np.ndarray:
+        t = ds.filter(expr=f"{id_col} == {target}").take(1)
+        return _normalize(np.asarray([t[0][emb_col]], np.float64))[0]
+
+    chosen_ids = [int(seed_id)]
+    chosen = [fetch_vec(seed_id)]
+    out_rows = [{"vec_id": int(seed_id), "order": 0,
+                 "min_cos_to_prev": 1.0}]
+    for step in range(1, k):
+        C = np.stack(chosen)
+        ref = ray.put(C)
+
+        def local_far(t: pa.Table) -> pa.Table:
+            C_ = ray.get(ref)
+            ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            M = _normalize(_matrix(t[emb_col]))
+            near = (M @ C_.T).max(axis=1)     # cosine to NEAREST center
+            # farthest = smallest max-cosine; tie -> smaller id
+            order = np.lexsort((ids, near))
+            i = order[0] if ids.size else -1
+            if i < 0:
+                return pa.table({id_col: pa.array([], pa.int64()),
+                                 "near": pa.array([], pa.float64())})
+            return pa.table({id_col: pa.array([ids[i]]),
+                             "near": pa.array([float(near[i])])})
+
+        cand = ds.map_batches(local_far, batch_format="pyarrow").to_pandas()
+        cand = cand[~cand[id_col].isin(chosen_ids)]
+        cand = cand.sort_values(["near", id_col]).reset_index(drop=True)
+        best_id = int(cand[id_col].iloc[0])
+        best_near = float(cand["near"].iloc[0])
+        chosen_ids.append(best_id)
+        chosen.append(fetch_vec(best_id))
+        out_rows.append({"vec_id": best_id, "order": step,
+                         "min_cos_to_prev": best_near})
+    return pd.DataFrame(out_rows)

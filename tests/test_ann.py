@@ -197,3 +197,40 @@ def test_ivfpq_topk_recall_and_layout(ray_session):
                          probed.neighbor_id.astype(int)))
     r_probe = len(exact_set & probed_set) / len(exact_set)
     assert r_probe >= r_full - 0.25, (r_probe, r_full)
+
+
+def test_kcenter_select_matches_greedy_reference(ray_session):
+    """Distributed greedy k-center == in-memory greedy reference, including
+    seed choice and tie-breaks; first pick must be the farthest point from
+    the seed."""
+    import numpy as np
+    import ray.data as rd
+
+    import pcompress_ray
+
+    pcompress_ray.register_for_ray()
+    from pcompress_ray.stages.ann import _normalize, kcenter_select
+
+    import pyarrow as pa
+
+    rng = np.random.default_rng(31)
+    M = rng.standard_normal((80, 16))
+    ids = np.arange(100, 180)
+    t = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                  "embedding": pa.array([list(map(float, r)) for r in M])})
+    ds = rd.from_arrow(t).repartition(5)
+    got = kcenter_select(ds, k=6)
+
+    # in-memory greedy reference
+    Mn = _normalize(M.astype(np.float64))
+    chosen = [0]  # smallest vec_id = ids[0]
+    for _ in range(5):
+        near = (Mn @ Mn[chosen].T).max(axis=1)
+        near[chosen] = np.inf  # never re-pick
+        order = np.lexsort((ids, near))
+        chosen.append(int(order[0]))
+    assert got["vec_id"].tolist() == [int(ids[c]) for c in chosen]
+    assert got["order"].tolist() == list(range(6))
+    # coverage radius shrinks (or stays) as centers are added
+    mins = got["min_cos_to_prev"].to_numpy()
+    assert (np.diff(mins[1:]) >= -1e-12).all()
