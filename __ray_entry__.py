@@ -3141,79 +3141,13 @@ def q_bm25_topk(sf_dir: str, k: int = 20):
     per-doc integer sum via a doc-keyed exchange. Every contribution is
     floor(x*1e6+0.5)-quantized BEFORE summing so the per-doc total is
     order-free integer math — the SQL twin (same IEEE op order inside each
-    contribution) hashes identically. Top-k by (score DESC, doc_id)."""
-    from ray.data.aggregate import Count, Sum
-
-    from pcompress_ray.functions.ops import grouped_partitions
-    from pcompress_ray.stages.textstats import doc_token_counts
+    contribution) hashes identically. Top-k by (score DESC, doc_id).
+    Implementation: stages/search.bm25_topk (also `cli search`)."""
+    from pcompress_ray.stages.search import bm25_topk
 
     _setup()
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    terms = np.array(sorted(_BM25_TERMS), dtype=object)
-
-    def term_rows(t: pa.Table) -> pa.Table:
-        tc = doc_token_counts(t)          # (doc_id, tok, c), doc-contiguous
-        doc = tc["doc_id"].to_numpy(zero_copy_only=False)
-        c = tc["c"].to_numpy(zero_copy_only=False).astype(np.int64)
-        tok = tc["tok"].to_numpy(zero_copy_only=False)
-        if doc.size == 0:
-            return pa.table({"doc_id": pa.array([], pa.int64()),
-                             "tok": pa.array([], pa.string()),
-                             "c": pa.array([], pa.int64()),
-                             "dl": pa.array([], pa.int64())})
-        first = np.empty(doc.size, bool)
-        first[0] = True
-        first[1:] = doc[1:] != doc[:-1]
-        starts = np.flatnonzero(first)
-        dl = np.add.reduceat(c, starts)
-        dl_row = np.repeat(dl, np.diff(np.append(starts, doc.size)))
-        mask = np.isin(tok, terms)
-        return pa.table({"doc_id": pa.array(doc[mask].astype(np.int64)),
-                         "tok": pa.array(tok[mask], pa.string()),
-                         "c": pa.array(c[mask]),
-                         "dl": pa.array(dl_row[mask])})
-
-    def batch_token_total(t: pa.Table) -> pa.Table:
-        tc = doc_token_counts(t)
-        tot = int(np.sum(tc["c"].to_numpy(zero_copy_only=False))) \
-            if len(tc) else 0
-        return pa.table({"tot": pa.array([tot], pa.int64())})
-
-    rows = ds.map_batches(term_rows, batch_format="pyarrow").materialize()
-    n_docs = ds.count()
-    total_tokens = int(ds.map_batches(batch_token_total,
-                                      batch_format="pyarrow")
-                       .aggregate(Sum("tot"))["sum(tot)"])
-    df_tbl = rows.groupby("tok").aggregate(Count()).to_pandas()
-    df_map = dict(zip(df_tbl["tok"], df_tbl["count()"].astype(int)))
-    avgdl = total_tokens / n_docs
-    idf = {t: float(np.log(1.0 + ((n_docs - df_map[t]) + 0.5)
-                           / (df_map[t] + 0.5)))
-           for t in df_map}
-
-    def contrib(t: pa.Table) -> pa.Table:
-        t = t.replace_schema_metadata(None)
-        tok = t["tok"].to_numpy(zero_copy_only=False)
-        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
-        dl = t["dl"].to_numpy(zero_copy_only=False).astype(np.int64)
-        idfs = np.array([idf[x] for x in tok], np.float64)
-        val = idfs * ((c * 2.5) / (c + 1.5 * (0.25 + 0.75 * (dl / avgdl))))
-        return pa.table({
-            "doc_id": t["doc_id"].cast(pa.int64()),
-            "e6": pa.array(np.floor(val * 1e6 + 0.5).astype(np.int64))})
-
-    def per_doc(part: pd.DataFrame) -> pd.DataFrame:
-        g = part.groupby("doc_id", as_index=False, sort=False) \
-            .agg(n_terms=("e6", "size"), score_e6=("e6", "sum"))
-        g["n_terms"] = g["n_terms"].astype(np.int64)
-        g["score_e6"] = g["score_e6"].astype(np.int64)
-        return g
-
-    scored = grouped_partitions(
-        rows.map_batches(contrib, batch_format="pyarrow"),
-        ["doc_id"], per_doc, n_parts=16)
-    return scored.sort(["score_e6", "doc_id"],
-                       descending=[True, False]).limit(k)
+    return bm25_topk(ds, list(_BM25_TERMS), k=k)
 
 
 def q_inverted_index(sf_dir: str, top_k: int = 20):

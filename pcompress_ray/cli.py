@@ -265,6 +265,29 @@ def cmd_schedule(args) -> int:
     return 0
 
 
+def cmd_search(args) -> int:
+    """BM25 top-k full-text search over a parquet corpus
+    (stages/search.py; scores print as score_e6 integers)."""
+    import ray.data as rd
+
+    from pcompress_ray.stages.search import bm25_topk
+
+    _init_ray(args.num_cpus)
+    ds = rd.read_parquet(args.input)
+    if "doc_id" not in ds.schema().names:
+        import pyarrow as pa
+
+        from pcompress_ray.functions.ops import zip_with_rank
+
+        ds = zip_with_rank(ds, "url").map_batches(
+            lambda t: t.append_column("doc_id", t["rank"].cast(pa.int64())),
+            batch_format="pyarrow")
+    out = bm25_topk(ds, args.terms, k=args.k).to_pandas()
+    print(json.dumps({"terms": args.terms, "k": args.k,
+                      "hits": out.to_dict("records")}))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="pcompress_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -337,6 +360,13 @@ def main(argv=None) -> int:
     sch.add_argument("--per-round", type=int, default=4)
     sch.add_argument("--num-cpus", type=int, default=None)
     sch.set_defaults(fn=cmd_schedule)
+
+    se = sub.add_parser("search", help="BM25 top-k full-text search")
+    se.add_argument("--input", required=True)
+    se.add_argument("--terms", nargs="+", required=True)
+    se.add_argument("-k", type=int, default=10)
+    se.add_argument("--num-cpus", type=int, default=None)
+    se.set_defaults(fn=cmd_search)
 
     rs = sub.add_parser("restore", help="byte-identical archive restore")
     rs.add_argument("--input", required=True, help="archive dir (store/+manifest/)")

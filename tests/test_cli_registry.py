@@ -217,3 +217,23 @@ def test_cli_scrub_and_schedule(ray_session, tmp_path, capsys):
     per = sched.groupby(["host", "fetch_round"]).size()
     assert (per <= 2).all()
     assert sched["fetch_round"].max() == 1  # 3 urls/host at cap 2 -> 2 rounds
+
+
+def test_cli_search(ray_session, tmp_path, capsys):
+    """search returns the doc with the highest query-term density first."""
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["ray data engine", "ray ray ray data",
+                          "unrelated words entirely"]),
+    })
+    inp = str(tmp_path / "d.parquet")
+    pq.write_table(docs, inp)
+    from pcompress_ray.cli import cmd_search
+
+    rc = cmd_search(argparse.Namespace(input=inp, terms=["ray"], k=2,
+                                       num_cpus=None))
+    assert rc == 0
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    hits = line["hits"]
+    assert [h["doc_id"] for h in hits] == [1, 0]
+    assert hits[0]["score_e6"] > hits[1]["score_e6"] > 0
