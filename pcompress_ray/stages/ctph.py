@@ -259,7 +259,17 @@ def ctph_candidate_pairs(sig_ds, min_score: int = 60, n_parts: int = 32):
     def dedupe(part: pd.DataFrame) -> pd.DataFrame:
         return part.drop_duplicates(["a", "b"])
 
-    pairs = grouped_partitions(cands, ["a", "b"], dedupe, n_parts=n_parts)
+    pairs = grouped_partitions(cands, ["a", "b"], dedupe,
+                               n_parts=n_parts).materialize()
+    if pairs.count() == 0:
+        # nothing shares a digest 7-gram: short-circuit (an all-empty
+        # Dataset has no schema, which a join can't consume)
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "blocksize": pa.array([], pa.int64()),
+            "score": pa.array([], pa.int64())}))
     side = sigs.select_columns(["doc_id", "digest", "blocksize"])
     j = hash_join(pairs, side, "a", "doc_id")
     j = hash_join(j, side, "b", "doc_id", suffix="_b")

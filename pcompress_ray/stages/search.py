@@ -63,6 +63,13 @@ def bm25_topk(ds, terms: list[str], k: int = 20,
         return pa.table({"tot": pa.array([tot], pa.int64())})
 
     rows = ds.map_batches(term_rows, batch_format="pyarrow").materialize()
+    if rows.count() == 0:
+        # no query term occurs anywhere: typed empty result
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "n_terms": pa.array([], pa.int64()),
+            "score_e6": pa.array([], pa.int64())}))
     n_docs = ds.count()
     total_tokens = int(ds.map_batches(batch_token_total,
                                       batch_format="pyarrow")

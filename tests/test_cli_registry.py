@@ -237,3 +237,15 @@ def test_cli_search(ray_session, tmp_path, capsys):
     hits = line["hits"]
     assert [h["doc_id"] for h in hits] == [1, 0]
     assert hits[0]["score_e6"] > hits[1]["score_e6"] > 0
+
+
+def test_bm25_absent_terms_typed_empty(ray_session):
+    import ray.data as rd
+
+    from pcompress_ray.stages.search import bm25_topk
+
+    docs = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                     "text": pa.array(["alpha beta", "gamma delta"])})
+    out = bm25_topk(rd.from_arrow(docs), ["zzz"], k=5)
+    assert out.count() == 0
+    assert out.schema().names == ["doc_id", "n_terms", "score_e6"]

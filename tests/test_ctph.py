@@ -131,3 +131,18 @@ def test_distributed_fuzzy_match_finds_planted_neardups():
     s = out.set_index(["doc_a", "doc_b"])["score"]
     exact = s.get((0, 3), s.get((3, 0)))
     assert int(exact) == 100
+
+
+def test_no_candidates_returns_typed_empty():
+    import ray.data as rd
+
+    from pcompress_ray.stages.ctph import ctph_candidate_pairs, ctph_digest_batch
+
+    docs = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                     "text": pa.array(["tiny one", "other two"])})
+    sigs = rd.from_arrow(docs).repartition(2) \
+        .map_batches(ctph_digest_batch, batch_format="pyarrow")
+    out = ctph_candidate_pairs(sigs, n_parts=2)
+    assert out.count() == 0
+    # Dataset keeps the typed schema (ray's to_pandas drops cols at 0 rows)
+    assert out.schema().names == ["doc_a", "doc_b", "blocksize", "score"]
