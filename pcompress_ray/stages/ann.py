@@ -899,24 +899,33 @@ def kcenter_select(emb_ds, k: int = 8, seed_id: int | None = None,
                  "min_cos_to_prev": 1.0}]
     for step in range(1, k):
         C = np.stack(chosen)
-        ref = ray.put(C)
+        ref = ray.put((C, np.asarray(sorted(chosen_ids), np.int64)))
 
         def local_far(t: pa.Table) -> pa.Table:
-            C_ = ray.get(ref)
+            C_, taken = ray.get(ref)
             ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
             M = _normalize(_matrix(t[emb_col]))
-            near = (M @ C_.T).max(axis=1)     # cosine to NEAREST center
-            # farthest = smallest max-cosine; tie -> smaller id
-            order = np.lexsort((ids, near))
-            i = order[0] if ids.size else -1
-            if i < 0:
+            # exclude already-chosen ids BATCH-SIDE: the batch's farthest
+            # unchosen point must surface even when a chosen one is nearer
+            pos = np.searchsorted(taken, ids)
+            pos = np.minimum(pos, taken.size - 1) if taken.size else pos
+            free = taken[pos] != ids if taken.size else np.ones(ids.size, bool)
+            ids, M = ids[free], M[free]
+            if not ids.size:
                 return pa.table({id_col: pa.array([], pa.int64()),
                                  "near": pa.array([], pa.float64())})
+            near = (M @ C_.T).max(axis=1)     # cosine to NEAREST center
+            # farthest = smallest max-cosine; tie -> smaller id
+            i = np.lexsort((ids, near))[0]
             return pa.table({id_col: pa.array([ids[i]]),
                              "near": pa.array([float(near[i])])})
 
         cand = ds.map_batches(local_far, batch_format="pyarrow").to_pandas()
-        cand = cand[~cand[id_col].isin(chosen_ids)]
+        # chosen ids are excluded batch-side, so an empty candidate table
+        # means k >= corpus size (ray's to_pandas drops columns at 0 rows,
+        # so the length test must come before any column access)
+        if not len(cand):
+            break
         cand = cand.sort_values(["near", id_col]).reset_index(drop=True)
         best_id = int(cand[id_col].iloc[0])
         best_near = float(cand["near"].iloc[0])

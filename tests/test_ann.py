@@ -234,3 +234,25 @@ def test_kcenter_select_matches_greedy_reference(ray_session):
     # coverage radius shrinks (or stays) as centers are added
     mins = got["min_cos_to_prev"].to_numpy()
     assert (np.diff(mins[1:]) >= -1e-12).all()
+
+
+def test_kcenter_small_corpus_and_chosen_shadowing(ray_session):
+    """k >= n stops at n centers; a chosen point must not shadow its
+    batch's unchosen candidates (batch-side exclusion)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    import pcompress_ray
+
+    pcompress_ray.register_for_ray()
+    from pcompress_ray.stages.ann import kcenter_select
+
+    M = np.eye(3)
+    t = pa.table({"vec_id": pa.array([5, 6, 7], pa.int64()),
+                  "embedding": pa.array([list(map(float, r)) for r in M])})
+    # single block: after picking 5 and 6, the batch's true farthest
+    # (globally) could be a chosen one — 7 must still surface
+    out = kcenter_select(rd.from_arrow(t), k=10)
+    assert out["vec_id"].tolist() == [5, 6, 7]
+    assert len(out) == 3
