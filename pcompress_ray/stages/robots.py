@@ -90,10 +90,14 @@ def decide(df: pd.DataFrame, rules: pd.DataFrame) -> np.ndarray:
     has_rule = m["prefix"].notna().to_numpy()
     starts = np.zeros(len(m), dtype=bool)
     if has_rule.any():
-        paths = m["path"].to_numpy(object)
-        prefixes = m["prefix"].to_numpy(object)
-        idx = np.flatnonzero(has_rule)
-        starts[idx] = [paths[i].startswith(prefixes[i]) for i in idx]
+        # vectorized per UNIQUE prefix (rule sets are small; rows are not):
+        # one str.startswith scan per distinct prefix instead of a Python
+        # call per (row, rule)
+        paths = m["path"].astype(str)
+        prefixes = m["prefix"]
+        for pfx in prefixes.dropna().unique():
+            sel = (prefixes == pfx).to_numpy()
+            starts[sel] = paths[sel].str.startswith(pfx).to_numpy()
     # rank matches: longer prefix wins; equal length -> allow wins
     plen = np.where(starts, m["plen"].fillna(0).to_numpy(np.int64), -1)
     is_allow = (m["directive"] == "allow").to_numpy()
