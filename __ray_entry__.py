@@ -2277,6 +2277,37 @@ def q_kcenter_probes(sf_dir: str):
     return out
 
 
+def q_curate_funnel(sf_dir: str):
+    """The composed end-to-end curation funnel (pipelines/curate.py):
+    url dedup -> heuristics -> near-dup dedup -> line scrub, run over the
+    documents table with the domain tier's synthetic urls; returns the
+    per-stage surviving-doc counts (stage, n_docs). Rows-only: the funnel
+    composes the MinHash pipeline (not SQL-expressible); every component
+    stage has its own oracle elsewhere, and the composition is pinned by
+    tests/test_curate.py's planted-victim fixture."""
+    from pcompress_ray.config import PipelineConfig
+    from pcompress_ray.pipelines.curate import curate_pipeline
+
+    _setup()
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def as_pages(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "url": ("http://" + _synth_hosts(ids) + "/p"
+                    + pd.Series(ids).astype(str)).to_numpy(),
+            "text": df["text"].to_numpy()})
+
+    pages = ds.map_batches(as_pages, batch_format="pandas")
+    res = curate_pipeline(pages, PipelineConfig(sig_concurrency=4))
+    stages = list(res.funnel.items())
+    return pa.table({
+        "stage_no": pa.array(np.arange(len(stages), dtype=np.int64)),
+        "stage": pa.array([s for s, _ in stages], pa.string()),
+        "n_docs": pa.array(np.asarray([n for _, n in stages], np.int64)),
+    })
+
+
 def q_intradoc_repetition(sf_dir: str):
     """Per-doc duplicate-3-gram fraction (the Gopher repetition filter's
     n-gram arm): embarrassingly parallel, ONE streaming map_batches with
@@ -3874,6 +3905,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivfpq_topk": q_ivfpq_topk,
         "cocitation": q_cocitation,
         "kcenter_probes": q_kcenter_probes,
+        "curate_funnel": q_curate_funnel,
         "pii_redact": q_pii_redact,
         "heuristic_filter": q_heuristic_filter,
         "bloom_dedup": q_bloom_dedup,

@@ -60,7 +60,8 @@ QUERY_NAMES = ["q1_pricing", "q3_top_orders", "customer_nation", "doc_stats",
                "ngram_containment", "line_dedup", "anchor_index",
                "ctph_neardup", "key_skew", "bm25_topk", "corpus_merkle",
                "crawl_schedule", "hits_scores", "robots_filter",
-               "ivfpq_topk", "cocitation", "kcenter_probes"]
+               "ivfpq_topk", "cocitation", "kcenter_probes",
+               "curate_funnel"]
 
 
 def run_bench() -> dict:

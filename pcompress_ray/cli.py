@@ -288,6 +288,23 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """End-to-end curation funnel: url dedup -> heuristics -> near-dup
+    dedup -> line scrub [-> decontaminate] (pipelines/curate.py)."""
+    import ray.data as rd
+
+    from pcompress_ray.pipelines.curate import curate_pipeline
+
+    _init_ray(args.num_cpus)
+    pages = rd.read_parquet(args.input)
+    bench = rd.read_parquet(args.benchmark) if args.benchmark else None
+    res = curate_pipeline(pages, benchmark_ds=bench,
+                          min_docs_line=args.min_docs_line)
+    res.curated.write_parquet(args.output)
+    print(json.dumps({"output": args.output, "funnel": res.funnel}))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="pcompress_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -360,6 +377,16 @@ def main(argv=None) -> int:
     sch.add_argument("--per-round", type=int, default=4)
     sch.add_argument("--num-cpus", type=int, default=None)
     sch.set_defaults(fn=cmd_schedule)
+
+    cu = sub.add_parser("curate", help="end-to-end corpus curation funnel")
+    cu.add_argument("--input", required=True)
+    cu.add_argument("--output", required=True)
+    cu.add_argument("--benchmark", default=None,
+                    help="parquet with a text column to decontaminate "
+                         "against")
+    cu.add_argument("--min-docs-line", type=int, default=2)
+    cu.add_argument("--num-cpus", type=int, default=None)
+    cu.set_defaults(fn=cmd_curate)
 
     se = sub.add_parser("search", help="BM25 top-k full-text search")
     se.add_argument("--input", required=True)

@@ -249,3 +249,35 @@ def test_bm25_absent_terms_typed_empty(ray_session):
     out = bm25_topk(rd.from_arrow(docs), ["zzz"], k=5)
     assert out.count() == 0
     assert out.schema().names == ["doc_id", "n_terms", "score_e6"]
+
+
+def test_cli_curate(ray_session, tmp_path, capsys):
+    """curate CLI: pages parquet in -> curated parquet + funnel json."""
+    import numpy as np
+    import pcompress_ray
+
+    pcompress_ray.register_for_ray()
+    from pcompress_ray.cli import cmd_curate
+
+    rng = np.random.default_rng(3)
+    texts = []
+    for i in range(12):
+        toks = [f"w{int(x)}" for x in rng.integers(0, 500, 60)]
+        toks[0] = "the"
+        texts.append(" ".join(toks))
+    texts[11] = texts[0]  # exact dup under a different url
+    pages = pa.table({
+        "url": pa.array([f"http://c{i}.ex/p" for i in range(12)]),
+        "text": pa.array(texts)})
+    inp = str(tmp_path / "p.parquet")
+    pq.write_table(pages, inp)
+    out = str(tmp_path / "cur")
+    rc = cmd_curate(argparse.Namespace(input=inp, output=out,
+                                       benchmark=None, min_docs_line=2,
+                                       num_cpus=None))
+    assert rc == 0
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    f = line["funnel"]
+    assert f["raw"] == 12 and f["near_dedup"] == 11
+    vals = list(f.values())
+    assert all(a >= b for a, b in zip(vals, vals[1:]))

@@ -1,0 +1,72 @@
+"""End-to-end curation funnel: each stage must remove exactly its planted
+victims, funnel counts must be monotone, and survivors byte-correct."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _words(seed: int, n: int) -> str:
+    rng = np.random.default_rng(seed)
+    toks = [f"w{int(x)}" for x in rng.integers(0, 900, n)]
+    # heuristic filter requires stopword presence; sprinkle them in
+    for i in range(0, n, 7):
+        toks[i] = ("the", "and", "of")[i % 3]
+    return " ".join(toks)
+
+
+def test_curate_funnel(ray_session):
+    import ray.data as rd
+
+    import pcompress_ray
+
+    pcompress_ray.register_for_ray()
+    from pcompress_ray.config import PipelineConfig
+    from pcompress_ray.pipelines.curate import curate_pipeline
+
+    boiler = "cookie banner accept all"
+    bodies = [_words(i, 120) for i in range(8)]
+    rows = []
+    # 8 good docs, each with the shared boilerplate line
+    for i, b in enumerate(bodies):
+        rows.append((f"http://siteA.com/p{i}", boiler + "\n" + b))
+    # url dup: same page twice with utm noise -> canonicalizes together
+    rows.append(("http://siteA.com/p0?utm_source=x", "ignored dup body"))
+    # heuristic victim: too short
+    rows.append(("http://siteA.com/short", "tiny"))
+    # near-dup victim: exact copy of doc 1's body under a different url
+    rows.append(("http://siteB.com/copy", boiler + "\n" + bodies[1]))
+    # contamination victim: contains a benchmark 13-gram verbatim
+    bench_text = _words(99, 40)
+    rows.append(("http://siteC.com/leak",
+                 bodies[2][:0] + _words(50, 30) + " " + bench_text))
+
+    pages = pa.table({
+        "url": pa.array([r[0] for r in rows]),
+        "text": pa.array([r[1] for r in rows]),
+    })
+    bench = rd.from_arrow(pa.table({"text": pa.array([bench_text])}))
+
+    cfg = PipelineConfig(sig_concurrency=2)
+    res = curate_pipeline(rd.from_arrow(pages).repartition(3), cfg,
+                          benchmark_ds=bench)
+    f = res.funnel
+    assert f["raw"] == 12
+    assert f["url_dedup"] == 11          # utm twin collapsed
+    assert f["heuristic"] == 10          # 'tiny' dropped
+    assert f["near_dedup"] == 9          # siteB copy clustered away
+    assert f["line_scrub"] == 9          # boilerplate removed, no doc emptied
+    assert f["decontaminate"] == 8       # benchmark leak dropped
+    # monotone funnel
+    vals = list(f.values())
+    assert all(a >= b for a, b in zip(vals, vals[1:]))
+
+    out = res.curated.to_pandas().sort_values("rank")
+    assert len(out) == 8
+    # boilerplate line is gone from every survivor, bodies intact
+    assert not out["text"].str.contains(boiler).any()
+    surviving_urls = set(out["url"])
+    assert "http://siteB.com/copy" not in surviving_urls
+    assert "http://siteC.com/leak" not in surviving_urls
+    assert "http://siteA.com/short" not in surviving_urls
