@@ -2308,6 +2308,80 @@ def q_curate_funnel(sf_dir: str):
     })
 
 
+def q_span_corruption(sf_dir: str, period: int = 10, span: int = 3):
+    """T5-style span-corruption noising (Raffel et al. 2020 §3.1.4) as a
+    deterministic training-data transform: every token position p with
+    (p + doc_id) % period == 0 starts a ``span``-token mask; the span is
+    replaced by ONE sentinel <extra_id_K> (K = span index within doc).
+    Deterministic positions (not sampled) so the DuckDB twin reproduces
+    the corrupted text exactly — same tokens, same sentinels, compared by
+    sha256. One streaming map_batches, fully vectorized (segmented
+    cumsum + one binary_join per batch); zero-token docs drop out."""
+    import hashlib
+
+    from pcompress_ray.stages.textstats import _split_tokens
+
+    _setup()
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def corrupt(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.replace_schema_metadata(None)
+        doc, words = _split_tokens(t, "text")
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if doc.size == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "n_spans": pa.array([], pa.int64()),
+                             "n_masked": pa.array([], pa.int64()),
+                             "corrupted_sha": pa.array([], pa.string())})
+        first = np.empty(doc.size, bool)
+        first[0] = True
+        first[1:] = doc[1:] != doc[:-1]
+        starts_ = np.flatnonzero(first)
+        sizes = np.diff(np.append(starts_, doc.size))
+        pos = np.arange(doc.size, dtype=np.int64) - np.repeat(starts_, sizes)
+        d_row = np.repeat(ids[doc[starts_]], sizes)
+        is_start = (pos + d_row) % period == 0
+        # inside-span (dropped) = a start lies 1..span-1 positions back
+        dropped = np.zeros(doc.size, bool)
+        for k in range(1, span):
+            back = (pos - k >= 0) & (((pos - k) + d_row) % period == 0)
+            dropped |= back
+        dropped &= ~is_start
+        # sentinel index K: per-doc running count of starts (exclusive)
+        cs = np.cumsum(is_start.astype(np.int64))
+        base = np.repeat(cs[starts_] - is_start[starts_].astype(np.int64),
+                         sizes)
+        kidx = cs - 1 - base                     # valid where is_start
+        out_tok = words.astype(object).copy()
+        out_tok[is_start] = np.char.add(
+            np.char.add("<extra_id_", kidx[is_start].astype(str)), ">")
+        keep = ~dropped
+        ck = np.cumsum(keep.astype(np.int64))
+        off = np.empty(starts_.size + 1, np.int32)
+        off[0] = 0
+        off[1:] = ck[starts_ + sizes - 1]
+        lst = pa.ListArray.from_arrays(
+            pa.array(off), pa.array(out_tok[keep], pa.string()))
+        corrupted = pc.binary_join(lst, " ").to_pylist()
+        n_spans = np.add.reduceat(is_start.astype(np.int64), starts_)
+        n_masked = np.add.reduceat(
+            (is_start | dropped).astype(np.int64), starts_)
+        return pa.table({
+            "doc_id": pa.array(ids[doc[starts_]]),
+            "n_tokens": pa.array(sizes.astype(np.int64)),
+            "n_spans": pa.array(n_spans),
+            "n_masked": pa.array(n_masked),
+            "corrupted_sha": pa.array(
+                [hashlib.sha256(s.encode("utf-8")).hexdigest()
+                 for s in corrupted], pa.string()),
+        })
+
+    return ds.map_batches(corrupt, batch_format="pyarrow").sort("doc_id")
+
+
 def q_intradoc_repetition(sf_dir: str):
     """Per-doc duplicate-3-gram fraction (the Gopher repetition filter's
     n-gram arm): embarrassingly parallel, ONE streaming map_batches with
@@ -3906,6 +3980,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cocitation": q_cocitation,
         "kcenter_probes": q_kcenter_probes,
         "curate_funnel": q_curate_funnel,
+        "span_corruption": q_span_corruption,
         "pii_redact": q_pii_redact,
         "heuristic_filter": q_heuristic_filter,
         "bloom_dedup": q_bloom_dedup,
@@ -5378,6 +5453,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(new_text) AS BIGINT) AS new_n_chars,
                    sha256(new_text) AS new_sha
             FROM re ORDER BY doc_id
+        """,
+        "span_corruption": """
+            -- same deterministic T5 mask: 0-based position p starts a
+            -- 3-token span iff (p + doc_id) % 10 = 0; span -> one
+            -- <extra_id_K> sentinel; K = (p - p0)/10 with p0 the doc's
+            -- first start position
+            WITH toks AS (
+                SELECT doc_id, list_filter(string_split(text, ' '),
+                                           x -> x <> '') AS tk
+                FROM documents
+            ), base AS (
+                SELECT doc_id, tk, len(tk) AS n,
+                       (10 - (doc_id % 10)) % 10 AS p0
+                FROM toks WHERE len(tk) > 0
+            ), m AS (
+                SELECT doc_id, n,
+                       list_transform(range(1, n + 1), i -> CASE
+                           WHEN ((i - 1) + doc_id) % 10 = 0
+                           THEN '<extra_id_' ||
+                                CAST(((i - 1) - p0) // 10 AS VARCHAR) || '>'
+                           WHEN (i >= 3 AND ((i - 3) + doc_id) % 10 = 0)
+                             OR (i >= 2 AND ((i - 2) + doc_id) % 10 = 0)
+                           THEN NULL
+                           ELSE tk[i] END) AS out_toks,
+                       len(list_filter(range(1, n + 1),
+                           i -> ((i - 1) + doc_id) % 10 = 0)) AS n_spans,
+                       len(list_filter(range(1, n + 1),
+                           i -> ((i - 1) + doc_id) % 10 = 0
+                             OR (i >= 3 AND ((i - 3) + doc_id) % 10 = 0)
+                             OR (i >= 2 AND ((i - 2) + doc_id) % 10 = 0)))
+                           AS n_masked
+                FROM base
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(n AS BIGINT) AS n_tokens,
+                   CAST(n_spans AS BIGINT) AS n_spans,
+                   CAST(n_masked AS BIGINT) AS n_masked,
+                   sha256(array_to_string(
+                       list_filter(out_toks, x -> x IS NOT NULL), ' '))
+                       AS corrupted_sha
+            FROM m ORDER BY doc_id
         """,
         "corpus_merkle": """
             SELECT doc_id % 64 AS bucket,

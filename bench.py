@@ -61,7 +61,7 @@ QUERY_NAMES = ["q1_pricing", "q3_top_orders", "customer_nation", "doc_stats",
                "ctph_neardup", "key_skew", "bm25_topk", "corpus_merkle",
                "crawl_schedule", "hits_scores", "robots_filter",
                "ivfpq_topk", "cocitation", "kcenter_probes",
-               "curate_funnel"]
+               "curate_funnel", "span_corruption"]
 
 
 def run_bench() -> dict:
