@@ -70,3 +70,33 @@ def test_curate_funnel(ray_session):
     assert "http://siteB.com/copy" not in surviving_urls
     assert "http://siteC.com/leak" not in surviving_urls
     assert "http://siteA.com/short" not in surviving_urls
+
+
+def test_curate_parallelism_invariance(ray_session):
+    """The COMPOSED funnel is a pure function of the input: different
+    block counts must give byte-identical curated output and identical
+    funnel counts (the north-rule bar, end to end)."""
+    import pandas as pd
+    import ray.data as rd
+
+    import pcompress_ray
+
+    pcompress_ray.register_for_ray()
+    from pcompress_ray.config import PipelineConfig
+    from pcompress_ray.pipelines.curate import curate_pipeline
+
+    texts = [_words(i, 80) for i in range(10)]
+    texts[9] = texts[0]
+    pages = pa.table({
+        "url": pa.array([f"http://inv{i}.ex/p" for i in range(10)]),
+        "text": pa.array(texts)})
+
+    outs = []
+    for nblocks in (2, 7):
+        res = curate_pipeline(rd.from_arrow(pages).repartition(nblocks),
+                              PipelineConfig(sig_concurrency=2))
+        outs.append((res.funnel,
+                     res.curated.to_pandas().sort_values("url")
+                     .reset_index(drop=True)))
+    assert outs[0][0] == outs[1][0]
+    pd.testing.assert_frame_equal(outs[0][1], outs[1][1])
