@@ -39,8 +39,18 @@ def _setup():
 def _read(sf_dir: str, table: str, columns=None):
     import ray.data as rd
 
-    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
-                           columns=columns)
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    kw = {}
+    sz = os.path.getsize(path)
+    if sz < (256 << 20):
+        # small test tables: Ray's default split (2x CPUs = 64 blocks)
+        # turns a 500-row file into 64 near-empty blocks and every
+        # downstream operator into dozens of no-op tasks — size the block
+        # count to the bytes instead (~4 MB/block, floor 8 for stage
+        # parallelism). Big files keep Ray's row-group-driven default,
+        # which is the right behavior at real scale.
+        kw["override_num_blocks"] = max(8, min(64, int(sz // (4 << 20)) + 8))
+    return rd.read_parquet(path, columns=columns, **kw)
 
 
 # --------------------------------------------------------------------------
@@ -2051,9 +2061,8 @@ def q_segment_dedup(sf_dir: str):
     100-TB scale, key the exchange on a 128-bit segment hash instead
     (collision-free in practice, ~2x lighter payload) — the string key is
     kept here for oracle-exactness. Two bounded exchanges: segment-keyed
-    dup marking (partials emitted per partition), then a doc-keyed sum."""
-    from ray.data.aggregate import Sum
-
+    dup marking (partials emitted per partition), then a doc-keyed sum
+    (vectorized grouped_partitions, not Ray's per-key aggregate)."""
     from pcompress_ray.functions.ops import grouped_partitions
     from pcompress_ray.stages.textstats import doc_segments
 
@@ -2076,9 +2085,13 @@ def q_segment_dedup(sf_dir: str):
                            "n_dup_segs": np.int64})
 
     partial = grouped_partitions(segs, ["seg"], mark, n_parts=32)
-    out = (partial.groupby("doc_id")
-           .aggregate(Sum("n_segs", alias_name="n_segs"),
-                      Sum("n_dup_segs", alias_name="n_dup_segs")))
+
+    def sum_doc(part: pd.DataFrame) -> pd.DataFrame:
+        agg = part.groupby("doc_id", sort=False, as_index=False).sum()
+        return agg.astype({"doc_id": np.int64, "n_segs": np.int64,
+                           "n_dup_segs": np.int64})
+
+    out = grouped_partitions(partial, ["doc_id"], sum_doc, n_parts=32)
 
     def rn(t: pa.Table) -> pa.Table:
         t = t.replace_schema_metadata(None)
@@ -2360,10 +2373,10 @@ def q_span_corruption(sf_dir: str, period: int = 10, span: int = 3):
             np.char.add("<extra_id_", kidx[is_start].astype(str)), ">")
         keep = ~dropped
         ck = np.cumsum(keep.astype(np.int64))
-        off = np.empty(starts_.size + 1, np.int32)
+        off = np.empty(starts_.size + 1, np.int64)
         off[0] = 0
         off[1:] = ck[starts_ + sizes - 1]
-        lst = pa.ListArray.from_arrays(
+        lst = pa.LargeListArray.from_arrays(
             pa.array(off), pa.array(out_tok[keep], pa.string()))
         corrupted = pc.binary_join(lst, " ").to_pylist()
         n_spans = np.add.reduceat(is_start.astype(np.int64), starts_)
@@ -2896,8 +2909,8 @@ def q_line_dedup(sf_dir: str):
         first[0] = True
         first[1:] = doc[1:] != doc[:-1]
         starts = np.flatnonzero(first)
-        offs = np.append(starts, doc.size).astype(np.int32)
-        lst = pa.ListArray.from_arrays(
+        offs = np.append(starts, doc.size).astype(np.int64)
+        lst = pa.LargeListArray.from_arrays(
             pa.array(offs), seg["seg"].combine_chunks()
             if isinstance(seg["seg"], pa.ChunkedArray) else seg["seg"])
         return pa.table({"doc_id": pa.array(doc[starts].astype(np.int64)),
@@ -3291,12 +3304,12 @@ def q_inverted_index(sf_dir: str, top_k: int = 20):
         pos = np.arange(len(agg), dtype=np.int64) - starts[gid]
         keep = pos < top_k
         ck = np.cumsum(keep.astype(np.int64))
-        off = np.empty(starts.size + 1, dtype=np.int32)
+        off = np.empty(starts.size + 1, dtype=np.int64)
         off[0] = 0
         off[1:] = ck[starts + sizes - 1]
         champs = agg["doc_id"].to_numpy(np.int64)[keep].astype(str)
-        lst = pa.ListArray.from_arrays(pa.array(off),
-                                       pa.array(champs, pa.string()))
+        lst = pa.LargeListArray.from_arrays(pa.array(off),
+                                            pa.array(champs, pa.string()))
         joined = pc.binary_join(lst, ",").to_pandas()
         return pd.DataFrame({"tok": tokv[starts],
                              "df": sizes.astype(np.int64),

@@ -58,6 +58,10 @@ def brute_force_topk(emb_ds, query_ids: np.ndarray, k: int = 5,
 
     def partial(t: pa.Table) -> pa.Table:
         t = t.replace_schema_metadata(None)
+        if not len(t):   # zero-row block: argpartition(kth=-1) would raise
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
         qids_, Q_ = ray.get(ref)
         M = _normalize(_matrix(t[emb_col]))
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -222,6 +226,10 @@ def ivf_topk(emb_ds, query_ids: np.ndarray, k: int = 5, n_centroids: int = 64,
 
     def partial(t: pa.Table) -> pa.Table:
         t = t.replace_schema_metadata(None)
+        if not len(t):   # zero-row block: argpartition(kth=-1) would raise
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
         qids_, Q_, C_, mask_ = ray.get(ref)
         M = _normalize(_matrix(t[emb_col]))
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -357,6 +365,10 @@ def pq_topk(emb_ds, query_ids: np.ndarray, k: int = 5, m: int = 8,
 
     def partial(t: pa.Table) -> pa.Table:
         t = t.replace_schema_metadata(None)
+        if not len(t):   # zero-row block: argpartition(kth=-1) would raise
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "adc_score": pa.array([], pa.float64())})
         qids_, lut_ = ray.get(lut_ref)
         ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         codes = np.asarray(t["codes"].combine_chunks().flatten()) \
@@ -460,6 +472,10 @@ def ivfpq_topk(emb_ds, query_ids: np.ndarray, k: int = 5,
 
     def partial(t: pa.Table) -> pa.Table:
         t = t.replace_schema_metadata(None)
+        if not len(t):   # zero-row block: argpartition(kth=-1) would raise
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "adc_score": pa.array([], pa.float64())})
         qids_, qc_, mask_, lut_ = ray.get(score_ref)
         ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         cent = t["list_id"].to_numpy(zero_copy_only=False).astype(np.int64)

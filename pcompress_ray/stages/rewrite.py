@@ -82,12 +82,13 @@ def reassemble_docs(part: pd.DataFrame) -> pd.DataFrame:
     # offsets of kept rows at doc boundaries: cumulative kept count at
     # each doc start (exclusive prefix), closed by the total.
     ck = np.cumsum(keep.astype(np.int64))
-    off = np.empty(starts.size + 1, dtype=np.int32)
+    off = np.empty(starts.size + 1, dtype=np.int64)
     off[0] = 0
     off[1:] = ck[starts + sizes - 1]
     segs_kept = part["seg"].to_numpy()[keep]
-    lst = pa.ListArray.from_arrays(pa.array(off),
-                                   pa.array(segs_kept, pa.string()))
+    # int64 (large-list) offsets: a >2^31-line partition must not wrap
+    lst = pa.LargeListArray.from_arrays(pa.array(off),
+                                        pa.array(segs_kept, pa.string()))
     new_text = pc.binary_join(lst, " ").to_pandas()
     return pd.DataFrame({"doc_id": doc_ids,
                          "n_segs": sizes.astype(np.int64),
@@ -209,12 +210,13 @@ def reassemble_lines(part: pd.DataFrame) -> pd.DataFrame:
     sizes = np.diff(np.append(starts, doc.size))
     n_kept = np.add.reduceat(keep.astype(np.int64), starts)
     ck = np.cumsum(keep.astype(np.int64))
-    off = np.empty(starts.size + 1, dtype=np.int32)
+    off = np.empty(starts.size + 1, dtype=np.int64)
     off[0] = 0
     off[1:] = ck[starts + sizes - 1]
     kept_lines = part["line"].to_numpy()[keep]
-    lst = pa.ListArray.from_arrays(pa.array(off),
-                                   pa.array(kept_lines, pa.string()))
+    # int64 (large-list) offsets: a >2^31-line partition must not wrap
+    lst = pa.LargeListArray.from_arrays(pa.array(off),
+                                        pa.array(kept_lines, pa.string()))
     new_text = pc.binary_join(lst, "\n").to_pandas()
     return pd.DataFrame({"doc_id": doc[starts],
                          "n_lines": sizes.astype(np.int64),

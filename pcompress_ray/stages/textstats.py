@@ -578,9 +578,9 @@ def doc_segments(t: pa.Table, text_col: str = "text",
     sizes = np.diff(np.append(starts, doc.size))
     pos = np.arange(doc.size, dtype=np.int64) - np.repeat(starts, sizes)
     segstart = pos % w == 0
-    offs = np.append(np.flatnonzero(segstart), doc.size).astype(np.int32)
-    lst = pa.ListArray.from_arrays(pa.array(offs),
-                                   pa.array(words, pa.string()))
+    offs = np.append(np.flatnonzero(segstart), doc.size).astype(np.int64)
+    lst = pa.LargeListArray.from_arrays(pa.array(offs),
+                                        pa.array(words, pa.string()))
     seg = pc.binary_join(lst, " ")
     sdoc = doc[segstart]
     return pa.table({"doc_id": pa.array(ids[sdoc].astype(np.int64)),

@@ -146,3 +146,108 @@ def test_no_candidates_returns_typed_empty():
     assert out.count() == 0
     # Dataset keeps the typed schema (ray's to_pandas drops cols at 0 rows)
     assert out.schema().names == ["doc_a", "doc_b", "blocksize", "score"]
+
+
+def test_batch_kernels_match_scalar_twins():
+    """ctph_score_batch / _levenshtein_batch / ctph_compare_batch are
+    bit-identical to their per-pair scalar twins on random inputs."""
+    from pcompress_ray.stages.ctph import (
+        _levenshtein_batch,
+        _pack_ascii,
+        ctph_compare,
+        ctph_compare_batch,
+        ctph_score_batch,
+    )
+
+    rng = np.random.default_rng(11)
+    alpha = list("ABCDEFab+/")
+
+    def rs(maxlen):
+        return "".join(rng.choice(alpha, rng.integers(0, maxlen)))
+
+    pairs = [(rs(30), rs(30)) for _ in range(150)] + \
+        [("", ""), ("abc", "abc"), ("abc", "abd"), ("", "xy")]
+    A, la = _pack_ascii([p[0] for p in pairs])
+    B, lb = _pack_ascii([p[1] for p in pairs])
+    assert (_levenshtein_batch(A, la, B, lb)
+            == np.array([_levenshtein(a, b) for a, b in pairs])).all()
+    s = ctph_score_batch([p[0] for p in pairs], [p[1] for p in pairs])
+    assert (s == np.array([ctph_score(a, b) for a, b in pairs])).all()
+    # shared-7-gram pairs exercise the guarded DP path
+    core = rs(40) + "SHAREDGRAM" + rs(10)
+    pg = [(core, core[:20] + "SHAREDGRAM" + rs(25)) for _ in range(60)]
+    sg = ctph_score_batch([p[0] for p in pg], [p[1] for p in pg])
+    assert (sg == np.array([ctph_score(a, b) for a, b in pg])).all()
+
+    n = 200
+    bs_a = rng.choice([3, 6, 12, 24], n).astype(np.int64)
+    bs_b = (bs_a * rng.choice([1, 1, 2, 4], n)).astype(np.int64)
+    d1a, d2a = [rs(64) for _ in range(n)], [rs(32) for _ in range(n)]
+    d1b, d2b = [rs(64) for _ in range(n)], [rs(32) for _ in range(n)]
+    sc, scl = ctph_compare_batch(bs_a, d1a, d2a, bs_b, d1b, d2b)
+    for i in range(n):
+        assert (int(sc[i]), int(scl[i])) == ctph_compare(
+            int(bs_a[i]), d1a[i], d2a[i], int(bs_b[i]), d1b[i], d2b[i])
+
+
+def test_gram_keys_match_pure_python():
+    """_digest_gram_keys emits exactly the distinct (scale, 7-gram) set
+    per doc (collision-free 6-bit packing, not a lossy hash)."""
+    from pcompress_ray.stages.ctph import _digest_gram_keys
+
+    rng = np.random.default_rng(12)
+    alpha = [chr(c) for c in _B64]
+    digs = ["".join(rng.choice(alpha, rng.integers(0, 64)))
+            for _ in range(20)]
+    ids = np.arange(20, dtype=np.int64)
+    scales = np.asarray(3 * 2 ** rng.integers(0, 8, 20), np.int64)
+    keys, kids = _digest_gram_keys(ids, digs, scales)
+    ref = set()
+    for i, (d, s) in enumerate(zip(digs, scales)):
+        for j in range(max(0, len(d) - 6)):
+            ref.add((i, int(s), d[j:j + 7]))
+    assert len(keys) == len(ref)
+    assert len(set(zip(kids.tolist(), keys.tolist()))) == len(keys)
+    # per-doc counts agree with the reference set
+    got = {i: 0 for i in range(20)}
+    for i in kids:
+        got[int(i)] += 1
+    want = {i: 0 for i in range(20)}
+    for i, _, _ in ref:
+        want[i] += 1
+    assert got == want
+
+
+def test_cross_blocksize_neardups_match():
+    """ssdeep's adjacent-blocksize rule: a near-dup pair whose sizes
+    straddle a blocksize boundary (one digests at b, the other at 2b)
+    still matches via the 2b digest — a digest-only bucketing finds
+    nothing here (ADVICE r3: digest2 was computed but never used)."""
+    import ray.data as rd
+
+    from pcompress_ray.stages.ctph import (
+        ctph_candidate_pairs,
+        ctph_digest_batch,
+    )
+
+    rng = np.random.default_rng(13)
+    base = rng.integers(97, 123, 12288, dtype=np.uint8)   # b = 192 exactly
+    ext = np.concatenate([base,
+                          rng.integers(97, 123, 200, dtype=np.uint8)])
+    assert blocksize_for(base.size) == 192
+    assert blocksize_for(ext.size) == 384
+    other = rng.integers(97, 123, 12288, dtype=np.uint8)
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([bytes(base).decode(), bytes(ext).decode(),
+                          bytes(other).decode()]),
+    })
+    sigs = rd.from_arrow(docs).repartition(2) \
+        .map_batches(ctph_digest_batch, batch_format="pyarrow")
+    out = ctph_candidate_pairs(sigs, min_score=60, n_parts=4).to_pandas()
+    pairs = {tuple(sorted(p)) for p in zip(out.doc_a, out.doc_b)}
+    assert (0, 1) in pairs
+    assert not any(2 in p for p in pairs)
+    row = out[(out.doc_a.isin([0, 1])) & (out.doc_b.isin([0, 1]))].iloc[0]
+    assert int(row.blocksize) == 384        # matched at the shared scale
+    assert int(row.score) >= 60
