@@ -36,7 +36,7 @@ def _setup():
         pass
 
 
-def _read(sf_dir: str, table: str, columns=None):
+def _read(sf_dir: str, table: str, columns=None, min_blocks: int = 8):
     import ray.data as rd
 
     path = os.path.join(sf_dir, f"{table}.parquet")
@@ -47,9 +47,13 @@ def _read(sf_dir: str, table: str, columns=None):
         # turns a 500-row file into 64 near-empty blocks and every
         # downstream operator into dozens of no-op tasks — size the block
         # count to the bytes instead (~4 MB/block, floor 8 for stage
-        # parallelism). Big files keep Ray's row-group-driven default,
-        # which is the right behavior at real scale.
-        kw["override_num_blocks"] = max(8, min(64, int(sz // (4 << 20)) + 8))
+        # parallelism). Queries whose map stages are CPU-BOUND per row
+        # (archive compression, JPEG/AVI decode, delta coding) pass
+        # min_blocks=32 so the expensive stage still fans out across the
+        # machine. Big files keep Ray's row-group-driven default, which
+        # is the right behavior at real scale.
+        kw["override_num_blocks"] = max(min_blocks,
+                                        min(64, int(sz // (4 << 20)) + 8))
     return rd.read_parquet(path, columns=columns, **kw)
 
 
@@ -3908,7 +3912,76 @@ def q_event_window_dedup(sf_dir: str, window_s: int = 600):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # Ordered least-proven-first: the correctness driver samples the
+    # FIRST 50 entries, and rounds 1-3 proved only the original first 50
+    # (CORRECTNESS_r03) — so the 50 driver-unchecked queries that have
+    # exact DuckDB oracles lead, then the 12 unchecked rows-only ones,
+    # then the 50 already driver-proven in CORRECTNESS_r01-r03.
     return {
+        "top_bigrams": q_top_bigrams,
+        "tfidf_top_term": q_tfidf_top_term,
+        "lm_quality": q_lm_quality,
+        "decontaminate": q_decontaminate,
+        "dataset_split": q_dataset_split,
+        "segment_dedup": q_segment_dedup,
+        "top_dup_segments": q_top_dup_segments,
+        "pack_sequences": q_pack_sequences,
+        "lang_temperature_sample": q_lang_temperature_sample,
+        "intradoc_repetition": q_intradoc_repetition,
+        "url_dedup": q_url_dedup,
+        "token_doc_freq": q_token_doc_freq,
+        "length_buckets": q_length_buckets,
+        "shingle_novelty": q_shingle_novelty,
+        "source_overlap": q_source_overlap,
+        "corpus_fingerprint": q_corpus_fingerprint,
+        "stratified_sample": q_stratified_sample,
+        "pmi_bigrams": q_pmi_bigrams,
+        "dedup_rewrite": q_dedup_rewrite,
+        "line_dedup": q_line_dedup,
+        "anchor_index": q_anchor_index,
+        "key_skew": q_key_skew,
+        "bm25_topk": q_bm25_topk,
+        "corpus_merkle": q_corpus_merkle,
+        "crawl_schedule": q_crawl_schedule,
+        "hits_scores": q_hits,
+        "robots_filter": q_robots_filter,
+        "cocitation": q_cocitation,
+        "span_corruption": q_span_corruption,
+        "pii_redact": q_pii_redact,
+        "heuristic_filter": q_heuristic_filter,
+        "bloom_dedup": q_bloom_dedup,
+        "weighted_sample": q_weighted_sample,
+        "fuzzy_decontaminate": q_fuzzy_decontaminate,
+        "length_hist_quantiles": q_length_hist_quantiles,
+        "snapshot_diff": q_snapshot_diff,
+        "dup_span_coverage": q_dup_span_coverage,
+        "dup_span_excise": q_dup_span_excise,
+        "cross_span_excise": q_cross_span_excise,
+        "corpus_grep": q_corpus_grep,
+        "hll_registers": q_hll_registers,
+        "corpus_shuffle": q_corpus_shuffle,
+        "inverted_index": q_inverted_index,
+        "dedup_keep_best": q_dedup_keep_best,
+        "nb_classify": q_nb_classify,
+        "warc_pages": q_warc_pages,
+        "pagerank": q_pagerank,
+        "domain_blocklist": q_domain_blocklist,
+        "domain_stats": q_domain_stats,
+        "event_window_dedup": q_event_window_dedup,
+        # -- driver-unchecked, no SQL oracle (rows-only + pytest-pinned) --
+        "pq_topk": q_pq_topk,
+        "cms_top_tokens": q_cms_top_tokens,
+        "ctph_neardup": q_ctph_neardup,
+        "ivfpq_topk": q_ivfpq_topk,
+        "kcenter_probes": q_kcenter_probes,
+        "curate_funnel": q_curate_funnel,
+        "kmeans_clusters": q_kmeans_clusters,
+        "semdedup": q_semdedup,
+        "substring_excise": q_substring_excise,
+        "dup_span_anchors": q_dup_span_anchors,
+        "bpe_merges": q_bpe_merges,
+        "bpe_token_counts": q_bpe_token_counts,
+        # -- driver-proven green in CORRECTNESS_r03 --
         "q1_pricing": q_q1_pricing,
         "q3_top_orders": q_q3_top_orders,
         "customer_nation": q_customer_nation,
@@ -3959,68 +4032,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "archive_roundtrip": q_archive_roundtrip,
         "delta_gain": q_delta_gain,
         "gopher_quality": q_gopher_quality,
-        "top_bigrams": q_top_bigrams,
-        "tfidf_top_term": q_tfidf_top_term,
-        "lm_quality": q_lm_quality,
-        "decontaminate": q_decontaminate,
-        "dataset_split": q_dataset_split,
-        "segment_dedup": q_segment_dedup,
-        "top_dup_segments": q_top_dup_segments,
-        "pack_sequences": q_pack_sequences,
-        "lang_temperature_sample": q_lang_temperature_sample,
-        "intradoc_repetition": q_intradoc_repetition,
-        "pq_topk": q_pq_topk,
-        "url_dedup": q_url_dedup,
-        "token_doc_freq": q_token_doc_freq,
-        "length_buckets": q_length_buckets,
-        "shingle_novelty": q_shingle_novelty,
-        "source_overlap": q_source_overlap,
-        "corpus_fingerprint": q_corpus_fingerprint,
-        "stratified_sample": q_stratified_sample,
-        "pmi_bigrams": q_pmi_bigrams,
-        "cms_top_tokens": q_cms_top_tokens,
-        "dedup_rewrite": q_dedup_rewrite,
-        "line_dedup": q_line_dedup,
-        "anchor_index": q_anchor_index,
-        "ctph_neardup": q_ctph_neardup,
-        "key_skew": q_key_skew,
-        "bm25_topk": q_bm25_topk,
-        "corpus_merkle": q_corpus_merkle,
-        "crawl_schedule": q_crawl_schedule,
-        "hits_scores": q_hits,
-        "robots_filter": q_robots_filter,
-        "ivfpq_topk": q_ivfpq_topk,
-        "cocitation": q_cocitation,
-        "kcenter_probes": q_kcenter_probes,
-        "curate_funnel": q_curate_funnel,
-        "span_corruption": q_span_corruption,
-        "pii_redact": q_pii_redact,
-        "heuristic_filter": q_heuristic_filter,
-        "bloom_dedup": q_bloom_dedup,
-        "kmeans_clusters": q_kmeans_clusters,
-        "semdedup": q_semdedup,
-        "weighted_sample": q_weighted_sample,
-        "substring_excise": q_substring_excise,
-        "fuzzy_decontaminate": q_fuzzy_decontaminate,
-        "length_hist_quantiles": q_length_hist_quantiles,
-        "snapshot_diff": q_snapshot_diff,
-        "dup_span_coverage": q_dup_span_coverage,
-        "dup_span_excise": q_dup_span_excise,
-        "dup_span_anchors": q_dup_span_anchors,
-        "cross_span_excise": q_cross_span_excise,
-        "corpus_grep": q_corpus_grep,
-        "hll_registers": q_hll_registers,
-        "bpe_merges": q_bpe_merges,
-        "bpe_token_counts": q_bpe_token_counts,
-        "corpus_shuffle": q_corpus_shuffle,
-        "inverted_index": q_inverted_index,
-        "dedup_keep_best": q_dedup_keep_best,
-        "nb_classify": q_nb_classify,
-        "warc_pages": q_warc_pages,
-        "pagerank": q_pagerank,
-        "domain_blocklist": q_domain_blocklist,
-        "domain_stats": q_domain_stats,
-        "event_window_dedup": q_event_window_dedup,
     }
 
 

@@ -149,6 +149,10 @@ def parse_warc_bytes(blob: bytes, strict: bool = True,
             clen = int(headers["content-length"])
         except (KeyError, ValueError):
             raise ValueError("WARC record missing Content-Length") from None
+        if clen < 0:
+            # a negative length would move the cursor BACKWARDS and loop
+            # forever on the same record — corrupt framing, always fatal
+            raise ValueError(f"negative WARC Content-Length {clen}")
         body_start = hend + 4
         body_end = body_start + clen
         if body_end > n:

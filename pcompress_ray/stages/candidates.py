@@ -240,13 +240,17 @@ def ngram_jaccard_pairs(docs_ds, k: int = 5, threshold: float = 0.5,
     shingle — the small/exact dedup tool (SQL-oracle-checkable), counterpart
     of the approximate MinHash path.
 
-    Shape: per-doc distinct shingle hashes → explode (shingle, doc) →
-    hash-partitioned co-occurrence pairs (one vectorized call per
-    partition) → per-pair intersection counts → Jaccard from broadcast
-    set sizes. Exactness requires counting EVERY co-occurrence, which is
-    inherently quadratic in shingle-bucket size — at corpus scale use the
-    MinHash/LSH pipeline (with stop-shingles and salting) and reserve this
-    operator for bounded inputs or verification.
+    Shape: per-doc distinct shingle hashes → explode (shingle, doc,
+    |doc's set|) → hash-partitioned co-occurrence pairs (one vectorized
+    call per partition) → per-pair intersection counts → score from the
+    set sizes CARRIED THROUGH THE EXCHANGE (each exploded row ships its
+    doc's distinct-shingle count, so pair rows know both denominators —
+    no per-doc size table ever lands on the driver and there is no
+    broadcast, keeping the operator unbounded-corpus-safe). Exactness
+    requires counting EVERY co-occurrence, which is inherently quadratic
+    in shingle-bucket size — at corpus scale use the MinHash/LSH pipeline
+    (with stop-shingles and salting) and reserve this operator for
+    bounded inputs or verification.
 
     ``score``: "jaccard" → inter/union (symmetric near-dup metric), or
     "containment" → inter/min(|A|,|B|) (the excerpt/subset metric: a short
@@ -258,8 +262,6 @@ def ngram_jaccard_pairs(docs_ds, k: int = 5, threshold: float = 0.5,
     the counts are exact integers, the score a raw float64 division (the
     SQL oracle reproduces all of them bit-for-bit).
     """
-    import ray
-
     from pcompress_ray.functions.ops import group_boundaries, grouped_partitions
     from pcompress_ray.hashing import hash_strings, shingle_hashes
     from pcompress_ray.stages.textstats import _FP_RE
@@ -268,7 +270,7 @@ def ngram_jaccard_pairs(docs_ds, k: int = 5, threshold: float = 0.5,
         t = t.replace_schema_metadata(None)
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         texts = t[text_col].to_pylist()
-        out_sh, out_id = [], []
+        out_sh, out_id, out_n = [], [], []
         for i, txt in enumerate(texts):
             toks = _FP_RE.findall((txt or "").lower())
             if len(toks) < k:
@@ -277,52 +279,47 @@ def ngram_jaccard_pairs(docs_ds, k: int = 5, threshold: float = 0.5,
                 hash_strings(np.asarray(toks, dtype=object)), k))
             out_sh.append(sh)
             out_id.append(np.full(sh.size, ids[i], dtype=np.int64))
+            out_n.append(np.full(sh.size, sh.size, dtype=np.int64))
         sh_all = np.concatenate(out_sh) if out_sh else np.empty(0, np.uint64)
         id_all = np.concatenate(out_id) if out_id else np.empty(0, np.int64)
-        return pa.table({"sh": pa.array(sh_all), id_col: pa.array(id_all)})
+        n_all = np.concatenate(out_n) if out_n else np.empty(0, np.int64)
+        return pa.table({"sh": pa.array(sh_all), id_col: pa.array(id_all),
+                         "n_sh": pa.array(n_all)})
 
-    def sizes_tab(t: pa.Table) -> pa.Table:
-        t = t.replace_schema_metadata(None)
-        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        texts = t[text_col].to_pylist()
-        sz = np.zeros(len(texts), dtype=np.int64)
-        for i, txt in enumerate(texts):
-            toks = _FP_RE.findall((txt or "").lower())
-            if len(toks) >= k:
-                sz[i] = np.unique(shingle_hashes(
-                    hash_strings(np.asarray(toks, dtype=object)), k)).size
-        return pa.table({id_col: pa.array(ids), "n_sh": pa.array(sz)})
-
-    docs = docs_ds.select_columns([id_col, text_col]).materialize()
-    # set sizes: small (one row per doc id); broadcast as a sorted lookup
-    sizes = docs.map_batches(sizes_tab, batch_format="pyarrow").to_pandas()
-    sizes = sizes.sort_values(id_col)
-    size_ref = ray.put((sizes[id_col].to_numpy(dtype=np.int64),
-                        sizes["n_sh"].to_numpy(dtype=np.int64)))
+    docs = docs_ds.select_columns([id_col, text_col])
 
     def co_pairs(part: pd.DataFrame) -> pd.DataFrame:
         part = part.drop_duplicates(["sh", id_col]).sort_values(["sh", id_col])
         sh = part["sh"].to_numpy(dtype=np.uint64)
         ids = part[id_col].to_numpy(dtype=np.int64)
+        nsh = part["n_sh"].to_numpy(dtype=np.int64)
         first, _, sizes_ = group_boundaries(sh)
         starts = np.flatnonzero(first)
-        out_a, out_b = [], []
+        out_a, out_b, out_sa, out_sb = [], [], [], []
         s2 = starts[sizes_ == 2]
         if s2.size:
             out_a.append(ids[s2]); out_b.append(ids[s2 + 1])
+            out_sa.append(nsh[s2]); out_sb.append(nsh[s2 + 1])
         for s_idx, m in zip(starts[sizes_ >= 3], sizes_[sizes_ >= 3]):
-            seg = ids[s_idx:s_idx + int(m)]
+            seg = slice(s_idx, s_idx + int(m))
             ai, bi = np.triu_indices(int(m), k=1)
-            out_a.append(seg[ai]); out_b.append(seg[bi])
+            out_a.append(ids[seg][ai]); out_b.append(ids[seg][bi])
+            out_sa.append(nsh[seg][ai]); out_sb.append(nsh[seg][bi])
         if not out_a:
             return pd.DataFrame({"a": pd.Series(dtype=np.int64),
                                  "b": pd.Series(dtype=np.int64),
-                                 "inter": pd.Series(dtype=np.int64)})
-        a = np.concatenate(out_a); b = np.concatenate(out_b)
-        # map-side combine: per-partition pair counts
-        df = pd.DataFrame({"a": a, "b": b})
-        out = df.groupby(["a", "b"], as_index=False, sort=False).size()
-        return out.rename(columns={"size": "inter"}).astype(np.int64)
+                                 "inter": pd.Series(dtype=np.int64),
+                                 "sa": pd.Series(dtype=np.int64),
+                                 "sb": pd.Series(dtype=np.int64)})
+        # map-side combine: per-partition pair counts; the set sizes ride
+        # along (constant per doc, so 'first' is exact)
+        df = pd.DataFrame({"a": np.concatenate(out_a),
+                           "b": np.concatenate(out_b),
+                           "sa": np.concatenate(out_sa),
+                           "sb": np.concatenate(out_sb)})
+        out = df.groupby(["a", "b"], as_index=False, sort=False).agg(
+            inter=("sa", "size"), sa=("sa", "first"), sb=("sb", "first"))
+        return out.astype(np.int64)
 
     pairs = grouped_partitions(
         docs.map_batches(explode, batch_format="pyarrow"), ["sh"], co_pairs,
@@ -340,10 +337,10 @@ def ngram_jaccard_pairs(docs_ds, k: int = 5, threshold: float = 0.5,
                                  "inter": pd.Series(dtype=np.int64),
                                  denom_col: pd.Series(dtype=np.int64),
                                  score_col: pd.Series(dtype=np.float64)})
-        agg = part.groupby(["a", "b"], as_index=False, sort=False)["inter"].sum()
-        ids_sorted, sz_sorted = ray.get(size_ref)
-        sa = sz_sorted[np.searchsorted(ids_sorted, agg["a"].to_numpy())]
-        sb = sz_sorted[np.searchsorted(ids_sorted, agg["b"].to_numpy())]
+        agg = part.groupby(["a", "b"], as_index=False, sort=False).agg(
+            inter=("inter", "sum"), sa=("sa", "first"), sb=("sb", "first"))
+        sa = agg["sa"].to_numpy(dtype=np.int64)
+        sb = agg["sb"].to_numpy(dtype=np.int64)
         inter = agg["inter"].to_numpy(dtype=np.int64)
         denom = (sa + sb - inter) if score == "jaccard" else np.minimum(sa, sb)
         val = inter / denom

@@ -274,13 +274,25 @@ def _decode_jpeg(payload: bytes):
     return None
 
 
+_MAX_PIXELS = 1 << 24   # 16M px: caps a corrupt SOF's dimension fields —
+#                         without it a flipped byte demands GB allocations
+#                         and a million-MCU Python loop before any entropy
+#                         error can surface (fuzz-hardening)
+
+
 def _decode_scan(data: bytes, frame, qts, huff, scan, dri):
     if frame is None:
         raise ValueError("SOS before SOF")
     H, W = frame["h"], frame["w"]
+    if H * W > _MAX_PIXELS or H == 0 or W == 0:
+        raise ValueError(f"unreasonable JPEG dimensions {W}x{H}")
     comps = frame["comps"]
+    if not comps:
+        raise ValueError("SOF with zero components")
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
+    if hmax == 0 or vmax == 0:
+        raise ValueError("zero sampling factor")
     mcux = -(-W // (8 * hmax))
     mcuy = -(-H // (8 * vmax))
     by_id = {c["id"]: c for c in comps}
