@@ -299,7 +299,8 @@ def cmd_curate(args) -> int:
     pages = rd.read_parquet(args.input)
     bench = rd.read_parquet(args.benchmark) if args.benchmark else None
     res = curate_pipeline(pages, benchmark_ds=bench,
-                          min_docs_line=args.min_docs_line)
+                          min_docs_line=args.min_docs_line,
+                          checkpoint_dir=args.checkpoint_dir)
     res.curated.write_parquet(args.output)
     print(json.dumps({"output": args.output, "funnel": res.funnel}))
     return 0
@@ -385,6 +386,9 @@ def main(argv=None) -> int:
                     help="parquet with a text column to decontaminate "
                          "against")
     cu.add_argument("--min-docs-line", type=int, default=2)
+    cu.add_argument("--checkpoint-dir", default=None,
+                    help="per-stage resumable checkpoints: a killed run "
+                         "restarts at the last complete funnel stage")
     cu.add_argument("--num-cpus", type=int, default=None)
     cu.set_defaults(fn=cmd_curate)
 

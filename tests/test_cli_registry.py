@@ -274,6 +274,7 @@ def test_cli_curate(ray_session, tmp_path, capsys):
     out = str(tmp_path / "cur")
     rc = cmd_curate(argparse.Namespace(input=inp, output=out,
                                        benchmark=None, min_docs_line=2,
+                                       checkpoint_dir=None,
                                        num_cpus=None))
     assert rc == 0
     line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])

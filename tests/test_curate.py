@@ -100,3 +100,66 @@ def test_curate_parallelism_invariance(ray_session):
                      .reset_index(drop=True)))
     assert outs[0][0] == outs[1][0]
     pd.testing.assert_frame_equal(outs[0][1], outs[1][1])
+
+
+def test_curate_checkpoint_resume(ray_session, tmp_path):
+    """Kill-and-resume for the COMPOSED funnel (the overnight pipeline):
+    a full run checkpoints every stage; a rerun with the same dir must
+    reproduce identical curated output + funnel counts WITHOUT recomputing
+    completed stages; and a simulated mid-run kill (later stages' manifest
+    entries erased) must resume from the surviving prefix."""
+    import json
+    import os
+
+    import pandas as pd
+    import ray.data as rd
+
+    import pcompress_ray
+
+    pcompress_ray.register_for_ray()
+    from pcompress_ray.config import PipelineConfig
+    from pcompress_ray.pipelines.curate import curate_pipeline
+
+    boiler = "cookie banner accept all"
+    bodies = [_words(i, 120) for i in range(8)]
+    rows = [(f"http://siteA.com/p{i}", boiler + "\n" + b)
+            for i, b in enumerate(bodies)]
+    rows.append(("http://siteB.com/copy", boiler + "\n" + bodies[1]))
+    pages = pa.table({"url": pa.array([r[0] for r in rows]),
+                      "text": pa.array([r[1] for r in rows])})
+    cfg = PipelineConfig(sig_concurrency=2)
+    ckdir = str(tmp_path / "funnel_ck")
+
+    res1 = curate_pipeline(rd.from_arrow(pages).repartition(3), cfg,
+                           checkpoint_dir=ckdir)
+    out1 = res1.curated.to_pandas().sort_values("rank").reset_index(drop=True)
+
+    roots = [d for d in os.listdir(ckdir) if d.startswith("curate-")]
+    assert len(roots) == 1
+    root = os.path.join(ckdir, roots[0])
+    manifest_path = os.path.join(root, "manifest.json")
+    with open(manifest_path) as fh:
+        m = json.load(fh)
+    for st in ("raw", "url_dedup", "heuristic", "near_dedup", "line_scrub"):
+        assert m[st]["complete"], st
+    nd_mtime = os.path.getmtime(os.path.join(root, "near_dedup"))
+
+    # full resume: nothing recomputed, identical output and funnel
+    res2 = curate_pipeline(rd.from_arrow(pages).repartition(3), cfg,
+                           checkpoint_dir=ckdir)
+    out2 = res2.curated.to_pandas().sort_values("rank").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out1, out2)
+    assert res2.funnel == res1.funnel
+    assert os.path.getmtime(os.path.join(root, "near_dedup")) == nd_mtime
+
+    # simulated kill DURING the line scrub: erase its completion record,
+    # resume — the expensive near-dedup prefix must not be recomputed
+    del m["line_scrub"]
+    with open(manifest_path, "w") as fh:
+        json.dump(m, fh)
+    res3 = curate_pipeline(rd.from_arrow(pages).repartition(3), cfg,
+                           checkpoint_dir=ckdir)
+    out3 = res3.curated.to_pandas().sort_values("rank").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out1, out3)
+    assert res3.funnel == res1.funnel
+    assert os.path.getmtime(os.path.join(root, "near_dedup")) == nd_mtime

@@ -67,3 +67,58 @@ def test_archive_restore_digest_matches_golden(ray_session, tmp_path):
     pcompress_ray.register_for_ray()
     got = restore_digest(golden_pages(), str(tmp_path / "arch"))
     assert got == _golden()["restore_digest"]
+
+
+# --------------------------------------------------------------------------
+# multimodal golden pins (driver-gate rows-only forever → drift here would
+# otherwise only surface via planted fixtures)
+# --------------------------------------------------------------------------
+
+def test_filetype_digest_matches_golden():
+    from tools.golden_common import filetype_digest
+
+    assert filetype_digest() == _golden()["filetype_digest"]
+
+
+def test_image_digest_matches_golden():
+    from tools.golden_common import image_digest
+
+    assert image_digest() == _golden()["image_digest"]
+
+
+def test_video_digest_matches_golden():
+    from tools.golden_common import video_digest
+
+    assert video_digest() == _golden()["video_digest"]
+
+
+def test_audio_digest_matches_golden():
+    from tools.golden_common import audio_digest
+
+    assert audio_digest() == _golden()["audio_digest"]
+
+
+def test_video_digest_catches_mutated_quant_table(monkeypatch):
+    """Sensitivity proof: perturbing one JPEG quantization entry (≙ a
+    codec-table drift) must change the frame digest — the pin actually
+    guards the T.81 tables, not just the plumbing."""
+    from pcompress_ray.stages import jpeg
+
+    mutated = jpeg._QT_LUMA.copy()
+    # big enough to survive the quality rescale's integer division
+    mutated[0] += 40
+    monkeypatch.setattr(jpeg, "_QT_LUMA", mutated)
+    from tools.golden_common import video_digest
+
+    assert video_digest() != _golden()["video_digest"]
+
+
+def test_filetype_digest_catches_mutated_magic(monkeypatch):
+    """Dropping one magic-byte rule must change the type digest."""
+    from pcompress_ray.stages import filetype
+
+    monkeypatch.setattr(filetype, "_EXTRA_MAGICS",
+                        filetype._EXTRA_MAGICS[1:])
+    from tools.golden_common import filetype_digest
+
+    assert filetype_digest() != _golden()["filetype_digest"]

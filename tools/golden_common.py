@@ -109,3 +109,82 @@ def cluster_table(pages: pa.Table):
     res = dedup_pipeline(zip_with_rank(rd.from_arrow(pages), "url"),
                          PipelineConfig(), compute_pairs=False)
     return res.clusters.to_pandas().sort_values("url").reset_index(drop=True)
+
+
+def filetype_digest() -> str:
+    """SHA-256 over sorted (file_id, detected type) of the deterministic
+    35-subtype file corpus — pins the magic-byte tables and extension map
+    (M8). Pure in-process."""
+    from pcompress_ray.stages.filetype import (detect_types_batch,
+                                               make_fake_file_table)
+
+    t = detect_types_batch(make_fake_file_table(repeats=8), path_col="path")
+    parts = [f"{i}|{n}".encode()
+             for i, n in zip(t["file_id"].to_pylist(),
+                             t["ftype_name"].to_pylist())]
+    return _sorted_digest(parts)
+
+
+def image_digest() -> str:
+    """SHA-256 over sorted per-image (id, type, w, h, channels, mean_e3)
+    from the REAL PNG + JPEG decoders over the synthetic media table —
+    pins the T.81 Huffman/IDCT/upsampling path and the PNG unfilter.
+    Quantization matches q_image_features exactly."""
+    from pcompress_ray.stages.multimodal import (ImageDecodeStage,
+                                                 make_fake_media_table)
+
+    t = ImageDecodeStage(dim=16)(make_fake_media_table(200))
+    parts = []
+    for mid, mt, feat in zip(t["media_id"].to_pylist(),
+                             t["media_type_detected"].to_pylist(),
+                             t["features"].to_pylist()):
+        if mt not in ("image/png", "image/jpeg"):
+            continue
+        f = np.asarray(feat, np.float32)
+        w, h, ch = int(f[0]), int(f[1]), int(f[2])
+        mean_e3 = int(np.floor(float(f[3]) * 1e3 + 0.5))
+        parts.append(f"{mid}|{mt}|{w}|{h}|{ch}|{mean_e3}".encode())
+    return _sorted_digest(parts)
+
+
+def video_digest() -> str:
+    """SHA-256 over sorted per-sampled-frame (media_id, frame_idx, h, w,
+    luma_e3) — real RIFF walk + real JPEG decode of every sampled frame
+    (the q_video_frames path). Pure in-process."""
+    from pcompress_ray.stages.jpeg import decode_jpeg
+    from pcompress_ray.stages.multimodal import (FrameSampleStage,
+                                                 make_fake_video_table)
+
+    frames = FrameSampleStage(fps_divisor=2, max_frames=4, fake=False)(
+        make_fake_video_table(40))
+    parts = []
+    for mid, idx, payload in zip(frames["media_id"].to_pylist(),
+                                 frames["frame_idx"].to_pylist(),
+                                 frames["frame_payload"].to_pylist()):
+        img = decode_jpeg(payload)
+        luma_e3 = int(np.floor(float(img.mean()) * 1e3 + 0.5))
+        parts.append(
+            f"{mid}|{idx}|{img.shape[0]}|{img.shape[1]}|{luma_e3}".encode())
+    return _sorted_digest(parts)
+
+
+def audio_digest() -> str:
+    """SHA-256 over sorted per-clip (id, rate, n_samples, duration_ms,
+    zero_crossings, dominant_freq_e3) from the WAV parse + FFT feature
+    stage. Pure in-process."""
+    from pcompress_ray.stages.multimodal import (AudioFeatureStage,
+                                                 make_fake_media_table)
+
+    t = AudioFeatureStage()(make_fake_media_table(200))
+    parts = []
+    for row in zip(t["media_id"].to_pylist(), t["is_audio"].to_pylist(),
+                   t["sample_rate"].to_pylist(), t["n_samples"].to_pylist(),
+                   t["duration_ms_decoded"].to_pylist(),
+                   t["zero_crossings"].to_pylist(),
+                   t["dominant_freq_hz"].to_pylist()):
+        mid, is_audio, rate, ns, dur, zc, freq = row
+        if not is_audio:
+            continue
+        freq_e3 = int(np.floor(float(freq) * 1e3 + 0.5))
+        parts.append(f"{mid}|{rate}|{ns}|{dur}|{zc}|{freq_e3}".encode())
+    return _sorted_digest(parts)

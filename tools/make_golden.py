@@ -21,9 +21,11 @@ import pyarrow.parquet as pq
 def main():
     import ray
 
-    from tools.golden_common import (chunk_digest, cluster_table,
-                                     golden_pages, restore_digest,
-                                     signature_digest)
+    from tools.golden_common import (audio_digest, chunk_digest,
+                                     cluster_table, filetype_digest,
+                                     golden_pages, image_digest,
+                                     restore_digest, signature_digest,
+                                     video_digest)
 
     out_dir = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "tests", "golden")
@@ -33,6 +35,10 @@ def main():
     digests = {
         "chunk_digest": chunk_digest(pages),
         "signature_digest": signature_digest(pages),
+        "filetype_digest": filetype_digest(),
+        "image_digest": image_digest(),
+        "video_digest": video_digest(),
+        "audio_digest": audio_digest(),
     }
 
     if not ray.is_initialized():
