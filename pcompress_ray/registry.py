@@ -99,6 +99,10 @@ def _codec_factory(name):
 
 
 # M10 analog: one uniform (compress, decompress) pair per codec name
-# (pcompress.h:126-314's *_compress/_decompress vtable).
-for _name in ("none", "zlib", "bz2", "lzma"):
+# (pcompress.h:126-314's *_compress/_decompress vtable). zstd/lz4 are
+# probe-guarded: registered iff their wheel imports on this host, so
+# names("codec") honestly reflects what a pipeline here can run.
+from pcompress_ray.stages.compress import OPTIONAL_CODECS as _OPT  # noqa: E402
+
+for _name in ("none", "zlib", "bz2", "lzma") + _OPT:
     register("codec", _name)(_codec_factory(_name))

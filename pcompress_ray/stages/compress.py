@@ -29,6 +29,23 @@ import bz2
 import lzma
 import zlib
 
+# pcompress.h:126-314 parity: the reference's vtable also carries
+# zstd/lz4 slots. Those wheels are NOT stdlib — probe-guard them so the
+# registry is honest about what this host can actually run (entries
+# appear iff the wheel imports; absent here, present on capable hosts).
+try:
+    import zstandard as _zstd
+except ImportError:                                    # pragma: no cover
+    _zstd = None
+try:
+    import lz4.frame as _lz4f
+except ImportError:                                    # pragma: no cover
+    _lz4f = None
+
+#: codec names whose wheel imported on THIS host (() in the test container)
+OPTIONAL_CODECS = tuple(
+    n for n, m in (("zstd", _zstd), ("lz4", _lz4f)) if m is not None)
+
 import numpy as np
 
 _MAGIC_BY_CODEC = {"none", "zlib", "bz2", "lzma"}
@@ -58,6 +75,16 @@ def compress_chunk(data: bytes, codec: str, preset: int = 1) -> bytes:
         return bz2.compress(data, 1)
     if codec == "lzma":
         return lzma.compress(data, preset=preset)
+    if codec == "zstd":
+        if _zstd is None:
+            raise ValueError("zstd codec unavailable on this host "
+                             "(zstandard wheel not installed)")
+        return _zstd.ZstdCompressor(level=3).compress(data)
+    if codec == "lz4":
+        if _lz4f is None:
+            raise ValueError("lz4 codec unavailable on this host "
+                             "(lz4 wheel not installed)")
+        return _lz4f.compress(data)
     raise ValueError(f"unknown codec {codec!r}")
 
 
@@ -76,6 +103,16 @@ def decompress_chunk(data: bytes, codec: str) -> bytes:
         return bz2.decompress(data)
     if codec == "lzma":
         return lzma.decompress(data)
+    if codec == "zstd":
+        if _zstd is None:
+            raise ValueError("zstd codec unavailable on this host "
+                             "(zstandard wheel not installed)")
+        return _zstd.ZstdDecompressor().decompress(data)
+    if codec == "lz4":
+        if _lz4f is None:
+            raise ValueError("lz4 codec unavailable on this host "
+                             "(lz4 wheel not installed)")
+        return _lz4f.decompress(data)
     raise ValueError(f"unknown codec {codec!r}")
 
 

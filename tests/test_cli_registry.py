@@ -282,3 +282,29 @@ def test_cli_curate(ray_session, tmp_path, capsys):
     assert f["raw"] == 12 and f["near_dedup"] == 11
     vals = list(f.values())
     assert all(a >= b for a, b in zip(vals, vals[1:]))
+
+
+def test_optional_codec_slots_probe_guarded():
+    """zstd/lz4 registry slots (pcompress.h:126-314 vtable parity) appear
+    iff their wheel imports on this host; when absent, the codec name is
+    NOT listed and calling it fails with a clear ValueError."""
+    import pytest
+
+    from pcompress_ray import registry
+    from pcompress_ray.stages.compress import (OPTIONAL_CODECS,
+                                               compress_chunk,
+                                               decompress_chunk)
+
+    listed = registry.names("codec")
+    for name in ("zstd", "lz4"):
+        if name in OPTIONAL_CODECS:
+            assert name in listed
+            payload = b"the same bytes again and again " * 40
+            assert decompress_chunk(compress_chunk(payload, name),
+                                    name) == payload
+        else:
+            assert name not in listed
+            with pytest.raises(ValueError, match="unavailable"):
+                compress_chunk(b"x", name)
+            with pytest.raises(ValueError, match="unavailable"):
+                decompress_chunk(b"x", name)
