@@ -399,8 +399,11 @@ def q_exact_dup_docs(sf_dir: str):
 
 
 def q_events_hourly(sf_dir: str):
-    """Tumbling-window aggregate per user (streaming-window analog)."""
-    from ray.data.aggregate import Count, Sum
+    """Tumbling-window aggregate per user (streaming-window analog).
+    One (user, hour)-keyed exchange; the per-partition reduce is a single
+    lexsort+reduceat (Ray's per-key aggregate costs ~100us of Python per
+    group — ruinous at 10k groups)."""
+    from pcompress_ray.functions.ops import grouped_partitions
 
     _setup()
     ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
@@ -413,10 +416,29 @@ def q_events_hourly(sf_dir: str):
                          "hour_id": pa.array(hour_id.astype(np.int64)),
                          "value": t["value"].cast(pa.float64())})
 
-    out = (ds.map_batches(derive, batch_format="pyarrow")
-           .groupby(["user_id", "hour_id"])
-           .aggregate(Count(alias_name="n_events"),
-                      Sum("value", alias_name="sum_value")))
+    def agg(part: pd.DataFrame) -> pd.DataFrame:
+        if not len(part):
+            return pd.DataFrame({"user_id": pd.Series(dtype=np.int64),
+                                 "hour_id": pd.Series(dtype=np.int64),
+                                 "n_events": pd.Series(dtype=np.int64),
+                                 "sum_value": pd.Series(dtype=np.float64)})
+        u = part["user_id"].to_numpy(np.int64)
+        h = part["hour_id"].to_numpy(np.int64)
+        v = part["value"].to_numpy(np.float64)
+        order = np.lexsort((h, u))
+        u, h, v = u[order], h[order], v[order]
+        first = np.empty(len(u), bool)
+        first[0] = True
+        first[1:] = (u[1:] != u[:-1]) | (h[1:] != h[:-1])
+        starts = np.flatnonzero(first)
+        n = np.diff(np.append(starts, len(u)))
+        s = np.add.reduceat(v, starts)
+        return pd.DataFrame({
+            "user_id": u[starts], "hour_id": h[starts],
+            "n_events": n.astype(np.int64), "sum_value": s})
+
+    out = grouped_partitions(ds.map_batches(derive, batch_format="pyarrow"),
+                             ["user_id", "hour_id"], agg, n_parts=32)
 
     def rnd(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -424,7 +446,8 @@ def q_events_hourly(sf_dir: str):
         return pa.table({"user_id": t["user_id"].cast(pa.int64()),
                          "hour_id": t["hour_id"].cast(pa.int64()),
                          "n_events": t["n_events"].cast(pa.int64()),
-                         "sum_value": pc.round(t["sum_value"], 6)})
+                         "sum_value": pc.round(t["sum_value"].cast(
+                             pa.float64()), 6)})
 
     return out.map_batches(rnd, batch_format="pyarrow")
 

@@ -950,3 +950,71 @@ def kcenter_select(emb_ds, k: int = 8, seed_id: int | None = None,
         out_rows.append({"vec_id": best_id, "order": step,
                          "min_cos_to_prev": best_near})
     return pd.DataFrame(out_rows)
+
+
+def kcenter_select_sampled(emb_ds, k: int = 64, sample_size: int = 8192,
+                           seed_id: int | None = None,
+                           id_col: str = "vec_id",
+                           emb_col: str = "embedding"):
+    """ONE-SCAN approximate k-center for large k (the scale path beside
+    exact ``kcenter_select``, whose cost is k full corpus scans — right
+    for k<=64 diversity probes, wrong for k=10^4 exemplar selection).
+
+    A deterministic hash sample (splitmix64(id) threshold, ~sample_size
+    rows regardless of partitioning) is pulled to the driver — BOUNDED by
+    construction — and exact Gonzalez greedy runs in-memory on it with the
+    same seed and (distance, id) tie-break as the exact operator, so when
+    sample_size >= corpus size the two outputs are identical. Gonzalez's
+    2-approximation then holds w.r.t. the sampled set; coverage of the
+    full corpus degrades gracefully with the sampling rate (standard
+    coreset practice).
+
+    Returns (vec_id, order, min_cos_to_prev) — min(k, sample) rows.
+    """
+    import pandas as pd
+    import ray  # noqa: F401  (parity with kcenter_select's import surface)
+    from ray.data.aggregate import Min
+
+    from pcompress_ray.hashing import splitmix64
+
+    ds = emb_ds.select_columns([id_col, emb_col]).materialize()
+    n = ds.count()
+    empty = pd.DataFrame({"vec_id": pd.Series(dtype=np.int64),
+                          "order": pd.Series(dtype=np.int64),
+                          "min_cos_to_prev": pd.Series(dtype=np.float64)})
+    if n == 0:
+        return empty
+    if seed_id is None:
+        seed_id = int(ds.aggregate(Min(id_col))[f"min({id_col})"])
+    # float->int may round UP to 2^64 at frac=1.0; clamp before uint64
+    thr = np.uint64(min(int(min(1.0, sample_size / n) * ((1 << 64) - 1)),
+                        (1 << 64) - 1))
+
+    def pick(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (splitmix64(ids.astype(np.uint64)) <= thr) | (ids == seed_id)
+        return t.filter(pa.array(keep))
+
+    samp = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+    ids = samp[id_col].to_numpy(np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    M = _normalize(np.asarray(samp[emb_col].tolist(),
+                              dtype=np.float64))[order]
+    m = ids.size
+    seed_pos = int(np.searchsorted(ids, seed_id))
+    taken = np.zeros(m, bool)
+    taken[seed_pos] = True
+    near = M @ M[seed_pos]                    # cosine to the nearest center
+    rows = [{"vec_id": int(seed_id), "order": 0, "min_cos_to_prev": 1.0}]
+    for step in range(1, min(k, m)):
+        cand = np.where(taken, np.inf, near)
+        # farthest = smallest max-cosine; tie -> smaller id (ids sorted,
+        # argmin returns the first == smallest id among ties)
+        i = int(np.argmin(cand))
+        rows.append({"vec_id": int(ids[i]), "order": step,
+                     "min_cos_to_prev": float(near[i])})
+        taken[i] = True
+        np.maximum(near, M @ M[i], out=near)
+    return pd.DataFrame(rows)

@@ -81,12 +81,17 @@ def bm25_topk(ds, terms: list[str], k: int = 20,
                            / (df_map[t] + 0.5)))
            for t in df_map}
 
+    # vectorized idf lookup: rows are pre-filtered to query terms, so the
+    # sorted key table is query-sized — searchsorted beats a per-row dict
+    idf_keys = np.array(sorted(idf), dtype=object)
+    idf_vals = np.array([idf[k] for k in idf_keys], np.float64)
+
     def contrib(t: pa.Table) -> pa.Table:
         t = t.replace_schema_metadata(None)
         tok = t["tok"].to_numpy(zero_copy_only=False)
         c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
         dl = t["dl"].to_numpy(zero_copy_only=False).astype(np.int64)
-        idfs = np.array([idf[x] for x in tok], np.float64)
+        idfs = idf_vals[np.searchsorted(idf_keys, tok)]
         val = idfs * ((c * (K1 + 1.0))
                       / (c + K1 * ((1.0 - B) + B * (dl / avgdl))))
         return pa.table({

@@ -2,6 +2,7 @@
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 SF_DIR = "/root/testdata/sf0.01"
 
@@ -256,3 +257,46 @@ def test_kcenter_small_corpus_and_chosen_shadowing(ray_session):
     out = kcenter_select(rd.from_arrow(t), k=10)
     assert out["vec_id"].tolist() == [5, 6, 7]
     assert len(out) == 3
+
+
+def test_kcenter_sampled_full_sample_equals_exact(ray_session):
+    """With sample_size >= corpus the one-scan variant reproduces the
+    exact k-scan operator bit-for-bit (same seed + tie-break)."""
+    import ray.data as rd
+
+    from pcompress_ray.stages.ann import kcenter_select, kcenter_select_sampled
+
+    rng = np.random.default_rng(21)
+    n, d = 120, 16
+    M = rng.standard_normal((n, d))
+    t = pa.table({"vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "embedding": pa.array(list(M), pa.list_(pa.float64()))})
+    ds = rd.from_arrow(t).repartition(4)
+    exact = kcenter_select(ds, k=7)
+    fast = kcenter_select_sampled(rd.from_arrow(t).repartition(3), k=7,
+                                  sample_size=n * 10)
+    pd.testing.assert_frame_equal(exact.reset_index(drop=True),
+                                  fast.reset_index(drop=True))
+
+
+def test_kcenter_sampled_bounded_and_deterministic(ray_session):
+    """Sub-sampling keeps the driver pull bounded, output is a pure
+    function of the input at any partitioning, and coverage stays sane
+    (first pick far from seed)."""
+    import ray.data as rd
+
+    from pcompress_ray.stages.ann import kcenter_select_sampled
+
+    rng = np.random.default_rng(22)
+    n, d = 600, 8
+    M = rng.standard_normal((n, d))
+    t = pa.table({"vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "embedding": pa.array(list(M), pa.list_(pa.float64()))})
+    a = kcenter_select_sampled(rd.from_arrow(t).repartition(2), k=9,
+                               sample_size=100)
+    b = kcenter_select_sampled(rd.from_arrow(t).repartition(7), k=9,
+                               sample_size=100)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) == 9
+    assert a["min_cos_to_prev"].iloc[1] < 0.9   # a real far point, not a dup
+    assert (a["order"].to_numpy() == np.arange(9)).all()
