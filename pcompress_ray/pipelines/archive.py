@@ -468,11 +468,21 @@ def archive_restore(store_ds, manifest_ds, cfg: PipelineConfig | None = None,
         store_ds, left_on="chunk_hash", right_on="chunk_hash",
         n_buckets=cfg.archive_store_buckets)
 
+    def _dec_one(p, c) -> bytes:
+        # a corrupt stored chunk must QUARANTINE its doc (sha_ok=False
+        # downstream), not kill a 100-TB restore: map any codec error to
+        # an empty piece — the doc's SHA-256 verify then fails loudly in
+        # the output instead of the job dying mid-shuffle
+        try:
+            return decompress_chunk(p, c)
+        except Exception:
+            return b""
+
     def decompress(t: pa.Table) -> pa.Table:
         t = t.replace_schema_metadata(None)
         codecs = t["codec"].to_pylist()
         payloads = t["payload"].to_pylist()
-        pieces = [decompress_chunk(p, c) for p, c in zip(payloads, codecs)]
+        pieces = [_dec_one(p, c) for p, c in zip(payloads, codecs)]
         return pa.table({
             "rank": t["rank"].cast(pa.int64()),
             "seq": t["seq"].cast(pa.int64()),

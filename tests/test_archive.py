@@ -220,3 +220,40 @@ def test_archive_empty_and_single_docs(ray_session):
         .sort_values("url").reset_index(drop=True)
     assert restored["sha_ok"].all()
     assert list(restored["text"]) == ["", "short one", "z" * 5000]
+
+
+def test_restore_quarantines_corrupt_chunk(pages_and_archive, ray_session):
+    """End-to-end store corruption (reference analog: decompress-verify,
+    pcompress.c:519-615): flip bytes inside ONE stored chunk's compressed
+    payload — the restore must complete, every other doc verify clean, and
+    exactly the docs referencing the poisoned chunk report sha_ok=False
+    (quarantine, not a dead 100-TB job)."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from pcompress_ray.pipelines.archive import archive_restore
+
+    pages, res, cfg = pages_and_archive
+    store = res.store.to_pandas()
+    # poison the largest compressed chunk (guaranteed non-"none" codec)
+    comp = store[store["codec"] != "none"]
+    victim = comp.loc[comp["payload"].str.len().idxmax(), "chunk_hash"]
+    def poison(p):
+        b = bytearray(p)
+        for i in range(min(8, len(b))):
+            b[len(b) // 2 + i] ^= 0xFF
+        return bytes(b)
+    store.loc[store["chunk_hash"] == victim, "payload"] = \
+        store.loc[store["chunk_hash"] == victim, "payload"].map(poison)
+    bad_store = rd.from_arrow(pa.Table.from_pandas(store,
+                                                   preserve_index=False))
+    restored = archive_restore(bad_store, res.manifest, cfg).to_pandas()
+    assert len(restored) == len(pages)
+    # which docs reference the poisoned chunk?
+    mani = res.manifest.to_pandas()
+    bad_ranks = {int(r) for r, hs in zip(mani["rank"], mani["chunk_hashes"])
+                 if victim in list(hs)}
+    assert bad_ranks, "victim chunk must be referenced"
+    got_bad = set(restored.loc[~restored["sha_ok"], "rank"].astype(int))
+    assert got_bad == bad_ranks

@@ -251,3 +251,36 @@ def test_cross_blocksize_neardups_match():
     row = out[(out.doc_a.isin([0, 1])) & (out.doc_b.isin([0, 1]))].iloc[0]
     assert int(row.blocksize) == 384        # matched at the shared scale
     assert int(row.score) >= 60
+
+
+def test_ctph_pairs_parallelism_invariant(ray_session):
+    """The matcher's output is a pure function of the corpus — identical
+    pair set and scores at different block splits and partition counts
+    (T5 canonical-order discipline applied to the fuzzy matcher)."""
+    import ray.data as rd
+
+    from pcompress_ray.stages.ctph import ctph_candidate_pairs, ctph_digest_batch
+
+    rng = np.random.default_rng(31)
+    texts = []
+    base = rng.integers(97, 123, 3000, dtype=np.uint8)
+    for i in range(12):
+        v = base.copy()
+        v[i * 37 : i * 37 + 60] = rng.integers(97, 123, 60, dtype=np.uint8)
+        texts.append(bytes(v).decode())
+    texts += ["".join(map(chr, rng.integers(97, 123, 3000))) for _ in range(4)]
+    docs = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                     "text": pa.array(texts)})
+
+    def run(nblocks, nparts):
+        sigs = rd.from_arrow(docs).repartition(nblocks) \
+            .map_batches(ctph_digest_batch, batch_format="pyarrow")
+        out = ctph_candidate_pairs(sigs, min_score=60,
+                                   n_parts=nparts).to_pandas()
+        return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+    a = run(1, 2)
+    b = run(5, 16)
+    import pandas as pd
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
