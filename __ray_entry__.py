@@ -3934,6 +3934,82 @@ def q_event_window_dedup(sf_dir: str, window_s: int = 600):
                               n_parts=32).sort("event_id")
 
 
+def q_cdx_index(sf_dir: str):
+    """CDX-style capture index (the Common Crawl / OpenWayback index file
+    a web archive is randomly accessed through): per doc a SURT key
+    (stages/urlnorm.py surt_keys over the canonicalized synthetic url), a
+    deterministic capture timestamp, and the payload sha256 digest, then
+    ONE GLOBAL SORT by (surt, ts, doc_id) with a dense index position —
+    the distributed sort + two-pass block-offset rank (zip_with_rank, the
+    same T5 canonical-order machinery as the flagship). The composite
+    order rides a single padded sort_key string; the oracle orders by the
+    identical string, so idx is bit-exact. Scale shape: one range-
+    partitioned sort (Ray's sort), tiny per-block count scan, no driver
+    materialization."""
+    import hashlib
+
+    from pcompress_ray.functions.ops import zip_with_rank
+    from pcompress_ray.stages.urlnorm import (canonicalize_urls,
+                                              surt_keys,
+                                              synthesize_messy_urls)
+
+    _setup()
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def derive(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        surt = surt_keys(canonicalize_urls(synthesize_messy_urls(ids)))
+        ts = 1704067200000000 + ((ids * 7919) % 31536000) * 1000000
+        dig = [hashlib.sha256((t or "").encode()).hexdigest()
+               for t in df["text"]]
+        sk = (surt + "|" + pd.Series(ts).astype(str).str.zfill(20)
+              + "|" + pd.Series(ids).astype(str).str.zfill(12))
+        return pd.DataFrame({"sort_key": sk.to_numpy(),
+                             "surt_key": surt.to_numpy(),
+                             "ts_us": ts, "doc_id": ids,
+                             "digest": np.asarray(dig, object)})
+
+    ranked = zip_with_rank(ds.map_batches(derive, batch_format="pandas"),
+                           "sort_key", rank_col="idx")
+
+    def rn(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        return pa.table({"idx": t["idx"].cast(pa.int64()),
+                         "surt_key": t["surt_key"].cast(pa.string()),
+                         "ts_us": t["ts_us"].cast(pa.int64()),
+                         "doc_id": t["doc_id"].cast(pa.int64()),
+                         "digest": t["digest"].cast(pa.string())})
+
+    return ranked.map_batches(rn, batch_format="pyarrow")
+
+
+def _cdx_index_sql() -> str:
+    """cdx_index oracle: same synthesis + canonicalization + SURT twins,
+    same padded composite sort key, row_number over it."""
+    from pcompress_ray.stages.urlnorm import (canonicalize_sql, surt_sql,
+                                              synthesize_messy_urls_sql)
+
+    canon = canonicalize_sql(synthesize_messy_urls_sql("doc_id"))
+    return f"""
+        WITH s AS (
+            SELECT doc_id, {surt_sql(canon)} AS surt_key,
+                   1704067200000000 + ((doc_id * 7919) % 31536000)
+                       * 1000000 AS ts_us,
+                   sha256(coalesce(text, '')) AS digest
+            FROM documents
+        ), k AS (
+            SELECT *, surt_key || '|'
+                   || lpad(CAST(ts_us AS VARCHAR), 20, '0') || '|'
+                   || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS sk
+            FROM s
+        )
+        SELECT CAST(row_number() OVER (ORDER BY sk) - 1 AS BIGINT) AS idx,
+               surt_key, CAST(ts_us AS BIGINT) AS ts_us,
+               CAST(doc_id AS BIGINT) AS doc_id, digest
+        FROM k
+    """
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordered least-proven-first: the correctness driver samples the
     # FIRST 50 entries, and rounds 1-3 proved only the original first 50
@@ -3941,6 +4017,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # exact DuckDB oracles lead, then the 12 unchecked rows-only ones,
     # then the 50 already driver-proven in CORRECTNESS_r01-r03.
     return {
+        "cdx_index": q_cdx_index,
         "top_bigrams": q_top_bigrams,
         "tfidf_top_term": q_tfidf_top_term,
         "lm_quality": q_lm_quality,
@@ -5289,6 +5366,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """,
         "url_dedup": _url_dedup_sql(),
+        "cdx_index": _cdx_index_sql(),
         "token_doc_freq": f"""
             SELECT token, count(*) AS df
             FROM (SELECT DISTINCT doc_id,

@@ -142,3 +142,24 @@ def canonicalize_sql(url_expr: str) -> str:
     pq = (f"regexp_replace(regexp_replace(regexp_replace({pq0}, "
           f"'{_UTM_RE}', '', 'g'), '^([^?]*)&', '\\1?'), '/+$', '')")
     return f"({scheme} || '://' || {host} || {pq})"
+
+
+def surt_keys(canon_urls: pd.Series) -> pd.Series:
+    """SURT (Sort-friendly URI Reordering Transform) key of CANONICAL
+    urls — the Common Crawl / OpenWayback CDX index key: scheme dropped,
+    host labels reversed and comma-joined, ')' then path+query, so one
+    lexicographic sort clusters every capture of a host/path subtree.
+    Vectorized pandas str ops end to end (list-slice reverse)."""
+    rest = canon_urls.str.split("://", n=1).str[1].fillna("")
+    host = rest.str.split("/", n=1).str[0]
+    pq = rest.str.replace(r"^[^/]*", "", regex=True)
+    rev = host.str.split(".").str[::-1].str.join(",")
+    return rev + ")" + pq
+
+
+def surt_sql(canon_expr: str) -> str:
+    """DuckDB twin of surt_keys over a canonical-url SQL expression."""
+    return (
+        f"(array_to_string(list_reverse(string_split("
+        f"regexp_extract({canon_expr}, '://([^/]*)', 1), '.')), ',')"
+        f" || ')' || regexp_replace({canon_expr}, '^[a-z]+://[^/]*', ''))")
