@@ -4010,6 +4010,95 @@ def _cdx_index_sql() -> str:
     """
 
 
+def q_dedup_recall_eval(sf_dir: str):
+    """North-rule quality harness: dup-pair RECALL (and precision) of the
+    flagship MinHash/LSH pipeline against exact ground truth on the same
+    corpus. Ground truth = exact token-5-gram Jaccard >= 0.5 pairs
+    (ngram_jaccard_pairs, itself oracle-checked); found = intra-cluster
+    pairs of the flagship's cluster assignment. Both pair sets are
+    id-keyed Datasets; the comparison is one hash-partitioned exchange
+    (union + per-partition set ops) — no driver pull. No SQL oracle (the
+    LSH side is the engine under test); the planted-corpus recall gates in
+    tests/ pin >= 0.99, this query makes the number a driver-visible
+    artifact. One summary row: (n_truth, n_found, n_inter, recall_e6,
+    precision_e6)."""
+    import ray.data as rd
+
+    from pcompress_ray.functions.ops import grouped_partitions
+    from pcompress_ray.stages.candidates import ngram_jaccard_pairs
+
+    _setup()
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    truth = ngram_jaccard_pairs(docs, k=5, threshold=0.5, n_parts=32)
+
+    res = _dedup_clusters(sf_dir)
+
+    def intra_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["cluster_id", "rank"], kind="stable")
+        cid = part["cluster_id"].to_numpy(np.int64)
+        rk = part["rank"].to_numpy(np.int64)
+        first = np.empty(len(part), bool)
+        if len(part):
+            first[0] = True
+            first[1:] = cid[1:] != cid[:-1]
+        starts = np.flatnonzero(first)
+        sizes = np.diff(np.append(starts, len(part)))
+        out_a, out_b = [], []
+        for s, m in zip(starts, sizes):
+            if m < 2:
+                continue
+            seg = rk[s:s + int(m)]
+            ai, bi = np.triu_indices(int(m), k=1)
+            out_a.append(seg[ai])
+            out_b.append(seg[bi])
+        if not out_a:
+            return pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                                 "b": pd.Series(dtype=np.int64)})
+        return pd.DataFrame({"a": np.concatenate(out_a),
+                             "b": np.concatenate(out_b)})
+
+    found = grouped_partitions(
+        res.clusters.select_columns(["rank", "cluster_id"]),
+        ["cluster_id"], intra_pairs, n_parts=32)
+
+    def tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            t = t.replace_schema_metadata(None)
+            cols = {"a": t["doc_a" if side == 0 else "a"].cast(pa.int64()),
+                    "b": t["doc_b" if side == 0 else "b"].cast(pa.int64())}
+            return pa.table({**cols, "side": pa.array(
+                np.full(len(t), side, np.int8))})
+        return f
+
+    u = truth.map_batches(tag(0), batch_format="pyarrow").union(
+        found.map_batches(tag(1), batch_format="pyarrow"))
+
+    def count_overlap(part: pd.DataFrame) -> pd.DataFrame:
+        if not len(part):
+            return pd.DataFrame({"n_truth": pd.Series(dtype=np.int64),
+                                 "n_found": pd.Series(dtype=np.int64),
+                                 "n_inter": pd.Series(dtype=np.int64)})
+        a = part["a"].to_numpy(np.int64)
+        b = part["b"].to_numpy(np.int64)
+        side = part["side"].to_numpy(np.int8)
+        m = side == 0
+        t = set(zip(a[m].tolist(), b[m].tolist()))
+        f = set(zip(a[~m].tolist(), b[~m].tolist()))
+        return pd.DataFrame({"n_truth": [len(t)], "n_found": [len(f)],
+                             "n_inter": [len(t & f)]})
+
+    parts = grouped_partitions(u, ["a", "b"], count_overlap,
+                               n_parts=32).to_pandas()
+    n_truth = int(parts["n_truth"].sum())
+    n_found = int(parts["n_found"].sum())
+    n_inter = int(parts["n_inter"].sum())
+    rec = int(np.floor(n_inter / max(n_truth, 1) * 1e6 + 0.5))
+    prec = int(np.floor(n_inter / max(n_found, 1) * 1e6 + 0.5))
+    return pd.DataFrame({"n_truth": [n_truth], "n_found": [n_found],
+                         "n_inter": [n_inter], "recall_e6": [rec],
+                         "precision_e6": [prec]})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordered least-proven-first: the correctness driver samples the
     # FIRST 50 entries, and rounds 1-3 proved only the original first 50
@@ -4018,6 +4107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # then the 50 already driver-proven in CORRECTNESS_r01-r03.
     return {
         "cdx_index": q_cdx_index,
+        "dedup_recall_eval": q_dedup_recall_eval,
         "top_bigrams": q_top_bigrams,
         "tfidf_top_term": q_tfidf_top_term,
         "lm_quality": q_lm_quality,
