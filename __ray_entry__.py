@@ -4107,7 +4107,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # then the 50 already driver-proven in CORRECTNESS_r01-r03.
     return {
         "cdx_index": q_cdx_index,
-        "dedup_recall_eval": q_dedup_recall_eval,
         "top_bigrams": q_top_bigrams,
         "tfidf_top_term": q_tfidf_top_term,
         "lm_quality": q_lm_quality,
@@ -4159,6 +4158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_stats": q_domain_stats,
         "event_window_dedup": q_event_window_dedup,
         # -- driver-unchecked, no SQL oracle (rows-only + pytest-pinned) --
+        "dedup_recall_eval": q_dedup_recall_eval,
         "pq_topk": q_pq_topk,
         "cms_top_tokens": q_cms_top_tokens,
         "ctph_neardup": q_ctph_neardup,
