@@ -148,11 +148,19 @@ def parse_warc_bytes(blob: bytes, strict: bool = True,
         try:
             clen = int(headers["content-length"])
         except (KeyError, ValueError):
-            raise ValueError("WARC record missing Content-Length") from None
+            # without a length the stream can't be re-framed — drop the
+            # remainder in lenient mode, loud in strict
+            if strict:
+                raise ValueError(
+                    "WARC record missing Content-Length") from None
+            break
         if clen < 0:
             # a negative length would move the cursor BACKWARDS and loop
-            # forever on the same record — corrupt framing, always fatal
-            raise ValueError(f"negative WARC Content-Length {clen}")
+            # forever on the same record — corrupt framing: fatal in
+            # strict mode, remainder dropped in lenient (never a loop)
+            if strict:
+                raise ValueError(f"negative WARC Content-Length {clen}")
+            break
         body_start = hend + 4
         body_end = body_start + clen
         if body_end > n:
