@@ -398,6 +398,46 @@ def q_exact_dup_docs(sf_dir: str):
                               ["text_md5"], canon)
 
 
+def q_norm_text_dedup(sf_dir: str):
+    """Normalized-exact dedup tier (C4-style): ASCII-lowercase + collapse
+    [ \\t\\r\\n]+ runs + trim, then exact match on the normalized text —
+    the tier between byte-exact (`exact_dup_docs`) and MinHash near-dup.
+    Normalization is pyarrow RE2 kernels so the DuckDB twin (translate +
+    regexp_replace, also RE2) is byte-identical; reference analog is the
+    identity-chunk dedup after the preproc normalize pass
+    (pcompress.c:239-276 filters before rabin_dedup.c identity match)."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    from pcompress_ray.functions.ops import group_boundaries, grouped_partitions
+
+    _setup()
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def norm_md5(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        s = pc.fill_null(t["text"], "")
+        s = pc.ascii_lower(s)                                  # exact ASCII
+        s = pc.replace_substring_regex(s, r"[ \t\r\n]+", " ")  # RE2, global
+        s = pc.utf8_trim(s, " ")
+        h = [hashlib.md5(x.encode("utf-8")).hexdigest()
+             for x in s.to_pylist()]
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                         "norm_md5": pa.array(h, pa.string())})
+
+    def canon(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["norm_md5", "doc_id"])
+        key = part["norm_md5"].to_numpy()
+        ids = part["doc_id"].to_numpy(dtype=np.int64)
+        first, gid, _ = group_boundaries(key)
+        return pd.DataFrame({"doc_id": ids, "norm_md5": key,
+                             "canonical_doc_id": ids[first][gid]})
+
+    return grouped_partitions(ds.map_batches(norm_md5, batch_format="pyarrow"),
+                              ["norm_md5"], canon)
+
+
 def q_events_hourly(sf_dir: str):
     """Tumbling-window aggregate per user (streaming-window analog).
     One (user, hour)-keyed exchange; the per-partition reduce is a single
@@ -4106,6 +4146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # exact DuckDB oracles lead, then the 12 unchecked rows-only ones,
     # then the 50 already driver-proven in CORRECTNESS_r01-r03.
     return {
+        "norm_text_dedup": q_norm_text_dedup,
         "cdx_index": q_cdx_index,
         "top_bigrams": q_top_bigrams,
         "tfidf_top_term": q_tfidf_top_term,
@@ -4839,6 +4880,22 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) OVER (PARTITION BY md5(coalesce(text, '')))
                        AS canonical_doc_id
             FROM documents
+        """,
+        "norm_text_dedup": """
+            -- translate = exact ASCII lower (engine uses pc.ascii_lower);
+            -- regexp_replace is RE2 on both sides, so byte-identical norms
+            WITH n AS (
+                SELECT doc_id,
+                       md5(trim(regexp_replace(
+                           translate(coalesce(text, ''),
+                                     'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                                     'abcdefghijklmnopqrstuvwxyz'),
+                           '[ \t\r\n]+', ' ', 'g'), ' ')) AS norm_md5
+                FROM documents)
+            SELECT doc_id, norm_md5,
+                   min(doc_id) OVER (PARTITION BY norm_md5)
+                       AS canonical_doc_id
+            FROM n
         """,
         "dup_gain_by_source": """
             SELECT source, count(*) AS n_docs,
