@@ -3616,59 +3616,70 @@ def q_hits(sf_dir: str, iters: int = 3):
                          "inverse transpose; other N would need an "
                          "explicit edge join") from exc
 
+    # State between half-steps is (summed, mx): the UN-normalized groupby
+    # sums plus the global max. The rescale s*scale//mx is fused into the
+    # NEXT stage's emit (or the final projection) — same int64 ops, bit
+    # identical, but one fewer map_batches+materialize launch per
+    # half-step (executor launch latency dominates this query's wall
+    # time; the data volume is 16 B/node).
     def init(t: pa.Table) -> pa.Table:
         t = t.replace_schema_metadata(None)
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table({"node": pa.array(ids),
-                         "v": pa.array(np.full(ids.size, scale, np.int64))})
+                         "s": pa.array(np.full(ids.size, scale, np.int64))})
 
-    def emit_out(t: pa.Table) -> pa.Table:
-        # node i sends its value to out-neighbors (7i+k) % n
-        t = t.replace_schema_metadata(None)
-        ids = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
-        v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
-        dst = np.concatenate([(ids * 7 + 1) % n, (ids * 7 + 2) % n,
-                              (ids * 7 + 3) % n, ids])
-        vv = np.concatenate([v, v, v, np.zeros_like(v)])
-        return pa.table({"node": pa.array(dst), "c": pa.array(vv)})
+    def emit_out(mx):
+        def _emit(t: pa.Table) -> pa.Table:
+            # node i sends its value to out-neighbors (7i+k) % n
+            t = t.replace_schema_metadata(None)
+            ids = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+            v = t["s"].to_numpy(zero_copy_only=False).astype(np.int64) \
+                * scale // mx
+            dst = np.concatenate([(ids * 7 + 1) % n, (ids * 7 + 2) % n,
+                                  (ids * 7 + 3) % n, ids])
+            vv = np.concatenate([v, v, v, np.zeros_like(v)])
+            return pa.table({"node": pa.array(dst), "c": pa.array(vv)})
+        return _emit
 
-    def emit_in(t: pa.Table) -> pa.Table:
-        # node i sends its value to in-neighbors ((i-k) * inv7) % n
-        t = t.replace_schema_metadata(None)
-        ids = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
-        v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
-        dst = np.concatenate([(((ids - k) % n) * inv7) % n
-                              for k in (1, 2, 3)] + [ids])
-        vv = np.concatenate([v, v, v, np.zeros_like(v)])
-        return pa.table({"node": pa.array(dst), "c": pa.array(vv)})
+    def emit_in(mx):
+        def _emit(t: pa.Table) -> pa.Table:
+            # node i sends its value to in-neighbors ((i-k) * inv7) % n
+            t = t.replace_schema_metadata(None)
+            ids = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+            v = t["s"].to_numpy(zero_copy_only=False).astype(np.int64) \
+                * scale // mx
+            dst = np.concatenate([(((ids - k) % n) * inv7) % n
+                                  for k in (1, 2, 3)] + [ids])
+            vv = np.concatenate([v, v, v, np.zeros_like(v)])
+            return pa.table({"node": pa.array(dst), "c": pa.array(vv)})
+        return _emit
 
-    def half_step(state, emit):
-        summed = (state.map_batches(emit, batch_format="pyarrow")
+    def half_step(state, mx, emit):
+        summed = (state.map_batches(emit(mx), batch_format="pyarrow")
                   .groupby("node").aggregate(Sum("c", alias_name="s")))
         summed = summed.materialize()
-        mx = int(summed.aggregate(Max("s"))["max(s)"])
+        new_mx = int(summed.aggregate(Max("s"))["max(s)"])
+        return summed, new_mx
 
-        def norm(t: pa.Table) -> pa.Table:
-            t = t.replace_schema_metadata(None)
-            s = t["s"].to_numpy(zero_copy_only=False).astype(np.int64)
-            return pa.table({"node": t["node"].cast(pa.int64()),
-                             "v": pa.array(s * scale // mx)})
-
-        return summed.map_batches(norm, batch_format="pyarrow").materialize()
-
-    h = ds.map_batches(init, batch_format="pyarrow")
-    a = None
+    h, h_mx = ds.map_batches(init, batch_format="pyarrow"), scale
+    a, a_mx = None, scale
     for _ in range(iters):
-        a = half_step(h, emit_out)
-        h = half_step(a, emit_in)
+        a, a_mx = half_step(h, h_mx, emit_out)
+        h, h_mx = half_step(a, a_mx, emit_in)
 
     a2 = a.map_batches(
-        lambda t: pa.table({"node": t["node"].cast(pa.int64()),
-                            "authority_e6": t["v"].cast(pa.int64())}),
+        lambda t, _mx=a_mx: pa.table(
+            {"node": t["node"].cast(pa.int64()),
+             "authority_e6": pa.array(
+                 t["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+                 * scale // _mx)}),
         batch_format="pyarrow")
     h2 = h.map_batches(
-        lambda t: pa.table({"node": t["node"].cast(pa.int64()),
-                            "hub_e6": t["v"].cast(pa.int64())}),
+        lambda t, _mx=h_mx: pa.table(
+            {"node": t["node"].cast(pa.int64()),
+             "hub_e6": pa.array(
+                 t["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+                 * scale // _mx)}),
         batch_format="pyarrow")
     joined = hash_join(a2, h2, "node", "node")
     return joined.map_batches(

@@ -61,7 +61,8 @@ QUERY_NAMES = ["q1_pricing", "q3_top_orders", "customer_nation", "doc_stats",
                "ctph_neardup", "key_skew", "bm25_topk", "corpus_merkle",
                "crawl_schedule", "hits_scores", "robots_filter",
                "ivfpq_topk", "cocitation", "kcenter_probes",
-               "curate_funnel", "span_corruption"]
+               "curate_funnel", "span_corruption", "cdx_index",
+               "dedup_recall_eval", "norm_text_dedup"]
 
 
 def run_bench() -> dict:
@@ -124,6 +125,7 @@ def run_bench() -> dict:
 
     # per-query timings over the sf dir (skip at scaling time)
     queries = {}
+    recall = precision = None
     if os.environ.get("GRAFT_BENCH_QUERIES", "1") == "1":
         import __ray_entry__ as e
 
@@ -132,8 +134,17 @@ def run_bench() -> dict:
             t0 = time.time()
             try:
                 out = qs[name](SF_DIR)
+                if name == "dedup_recall_eval":
+                    # north-rule quality metric alongside the throughput
+                    # numbers: dup-pair recall/precision of the flagship
+                    # vs exact ground truth (one summary row)
+                    rdf = out.to_pandas() if hasattr(out, "to_pandas") \
+                        else out
+                    recall = round(float(rdf["recall_e6"].iloc[0]) / 1e6, 6)
+                    precision = round(
+                        float(rdf["precision_e6"].iloc[0]) / 1e6, 6)
                 # consume (count) without driver materialization of payloads
-                if hasattr(out, "count"):
+                elif hasattr(out, "count"):
                     out.count()
                 else:
                     len(out)
@@ -152,6 +163,8 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "bench_docs": N_BENCH_DOCS,
         "docs_per_sec": round(N_BENCH_DOCS / headline, 1),
+        "dup_pair_recall": recall,
+        "dup_pair_precision": precision,
         "cluster_rows": int(n_rows),
         "archive_sec": archive_sec,
         "archive_docs_per_sec": round(N_BENCH_DOCS / archive_sec, 1),
