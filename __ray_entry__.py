@@ -61,14 +61,38 @@ def _read(sf_dir: str, table: str, columns=None, min_blocks: int = 8):
 # flagship pipeline
 # --------------------------------------------------------------------------
 
+_DEDUP_MEMO: dict = {}
+
+
 def _dedup_clusters(sf_dir: str, compute_pairs: bool = False):
     """Near-dup detection + clustering over the documents table (adapted to
-    the pages shape; rank = doc_id)."""
+    the pages shape; rank = doc_id).
+
+    Memoized per (sf_dir, ray session): the pipeline's outputs are
+    MATERIALIZED datasets, and four driver queries (dedup_clusters,
+    dedup_pairs, delta_gain, dedup_recall_eval) compose the same flagship
+    run — re-executing it per query paid 3-4 s each for identical blocks.
+    At most one corpus is held (the memo clears on sf_dir change); a new
+    ray session invalidates (materialized blocks die with the session)."""
+    import ray
+
     from pcompress_ray.config import PipelineConfig
     from pcompress_ray.pipelines.dedup import dedup_pipeline
     from pcompress_ray.sources.corpus import pages_from_documents
 
     _setup()
+    try:
+        sess = ray.get_runtime_context().get_job_id() \
+            if ray.is_initialized() else None
+    except Exception:
+        sess = None
+    # a compute_pairs=True result serves compute_pairs=False callers too
+    for cp in ({True, compute_pairs} if not compute_pairs
+               else {compute_pairs}):
+        hit = _DEDUP_MEMO.get((sf_dir, cp, sess))
+        if hit is not None:
+            return hit
+
     pages = pages_from_documents(sf_dir)
 
     def add_rank(t: pa.Table) -> pa.Table:
@@ -77,6 +101,8 @@ def _dedup_clusters(sf_dir: str, compute_pairs: bool = False):
 
     pages = pages.map_batches(add_rank, batch_format="pyarrow")
     res = dedup_pipeline(pages, PipelineConfig(), compute_pairs=compute_pairs)
+    _DEDUP_MEMO.clear()
+    _DEDUP_MEMO[(sf_dir, compute_pairs, sess)] = res
     return res
 
 
