@@ -840,14 +840,33 @@ def q_dup_gain_by_source(sf_dir: str):
     return agg.map_batches(rn, batch_format="pyarrow")
 
 
+_ARCHIVE_MEMO: dict = {}
+
+
 def _archive_result(sf_dir: str):
+    """Memoized like _dedup_clusters: archive_stats and archive_roundtrip
+    share one archive build (the store is on-disk parquet, safe to restore
+    from repeatedly within a session)."""
+    import ray
+
     from pcompress_ray.config import PipelineConfig
     from pcompress_ray.pipelines.archive import archive_write
     from pcompress_ray.sources.corpus import pages_from_documents
 
     _setup()
-    return archive_write(pages_from_documents(sf_dir), PipelineConfig(),
-                         text_col="text")
+    try:
+        sess = ray.get_runtime_context().get_job_id() \
+            if ray.is_initialized() else None
+    except Exception:
+        sess = None
+    hit = _ARCHIVE_MEMO.get((sf_dir, sess))
+    if hit is not None:
+        return hit
+    res = archive_write(pages_from_documents(sf_dir), PipelineConfig(),
+                        text_col="text")
+    _ARCHIVE_MEMO.clear()
+    _ARCHIVE_MEMO[(sf_dir, sess)] = res
+    return res
 
 
 def q_archive_stats(sf_dir: str):
