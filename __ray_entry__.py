@@ -464,6 +464,61 @@ def q_norm_text_dedup(sf_dir: str):
                               ["norm_md5"], canon)
 
 
+def q_simhash_fingerprint(sf_dir: str):
+    """Content-derived 64-bit SimHash per document (hash-based Charikar:
+    bit j of md5(token) contributes +/-1; fingerprint bit = sign of the
+    sum over the doc's DISTINCT token set). No RNG, no broadcast state,
+    so the DuckDB twin reproduces every fingerprint bit for bit — unlike
+    the flagship's projection-matrix SimHash (J4), this one is an exact-
+    oracle fingerprint. Output (doc_id, n_tokens, simhash hex16)."""
+    from pcompress_ray.stages.candidates import md5_simhash
+
+    _setup()
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    fp = md5_simhash(ds)
+
+    def to_hex(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        v = t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                         "n_tokens": t["n_tokens"].cast(pa.int64()),
+                         "simhash": pa.array([format(x, "016x")
+                                              for x in v], pa.string())})
+
+    return fp.map_batches(to_hex, batch_format="pyarrow")
+
+
+def q_simhash_hamming_pairs(sf_dir: str):
+    """All document pairs within Hamming distance <= 3 of the md5-derived
+    SimHash — EXACT by pigeonhole (4 x 16-bit bands: <=3 differing bits
+    touch <=3 bands, so every qualifying pair shares a band), then
+    Hamming-verified, so the O(n^2) cross-join twin matches exactly.
+    bucket_cap is lifted for this query (the capped windowed path trades
+    exactness for linear pair count in hot buckets — at 100-TB scale use
+    the default cap or the flagship's J4 stage instead; documented
+    partitioning assumption: exactness holds while every (band, value)
+    bucket fits one partition)."""
+    from pcompress_ray.config import PipelineConfig
+    from pcompress_ray.stages.candidates import md5_simhash, simhash_candidates
+
+    _setup()
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def as_sig(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        return pa.table({"rank": t["doc_id"].cast(pa.int64()),
+                         "simhash": t["simhash"],
+                         "n_shingles": t["n_tokens"].cast(pa.int64())})
+
+    sig = md5_simhash(ds).map_batches(as_sig, batch_format="pyarrow")
+    cfg = PipelineConfig(bucket_cap=1 << 30)
+    pairs = simhash_candidates(sig, cfg)
+    return pairs.map_batches(
+        lambda t: pa.table({"a": t["a"].cast(pa.int64()),
+                            "b": t["b"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
 def q_events_hourly(sf_dir: str):
     """Tumbling-window aggregate per user (streaming-window analog).
     One (user, hour)-keyed exchange; the per-partition reduce is a single
@@ -4203,6 +4258,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # then the 50 already driver-proven in CORRECTNESS_r01-r03.
     return {
         "norm_text_dedup": q_norm_text_dedup,
+        "simhash_fingerprint": q_simhash_fingerprint,
+        "simhash_hamming_pairs": q_simhash_hamming_pairs,
         "cdx_index": q_cdx_index,
         "top_bigrams": q_top_bigrams,
         "tfidf_top_term": q_tfidf_top_term,
@@ -4936,6 +4993,63 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) OVER (PARTITION BY md5(coalesce(text, '')))
                        AS canonical_doc_id
             FROM documents
+        """,
+        "simhash_fingerprint": f"""
+            -- hash-derived Charikar SimHash, bit-exact twin of
+            -- stages/candidates.md5_simhash: same md5-leading-16-hex
+            -- uint64 per DISTINCT token, same s >= 0 tie rule
+            WITH toks AS (
+                SELECT DISTINCT doc_id,
+                       unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                                 '{_TOKEN_SQL}')) AS tok
+                FROM documents),
+            th AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h
+                FROM toks),
+            nt AS (SELECT doc_id, count(*) AS n_tokens FROM th
+                   GROUP BY doc_id),
+            bits AS (
+                SELECT doc_id, b.b AS b,
+                       sum(CASE WHEN (h >> b.b) & 1 = 1
+                                THEN 1 ELSE -1 END) AS s
+                FROM th, (SELECT unnest(range(64)) AS b) b
+                GROUP BY doc_id, b.b),
+            fp AS (
+                SELECT doc_id,
+                       CAST(sum(CASE WHEN s >= 0 THEN (1::HUGEINT << b)
+                                     ELSE 0 END) AS UBIGINT) AS h
+                FROM bits GROUP BY doc_id)
+            SELECT f.doc_id, nt.n_tokens,
+                   lower(lpad(to_hex(f.h), 16, '0')) AS simhash
+            FROM fp f JOIN nt USING (doc_id)
+        """,
+        "simhash_hamming_pairs": f"""
+            -- exact cross-join twin of the banded engine (pigeonhole:
+            -- hamming <= 3 over 4 x 16-bit bands always shares a band)
+            WITH toks AS (
+                SELECT DISTINCT doc_id,
+                       unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                                 '{_TOKEN_SQL}')) AS tok
+                FROM documents),
+            th AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h
+                FROM toks),
+            bits AS (
+                SELECT doc_id, b.b AS b,
+                       sum(CASE WHEN (h >> b.b) & 1 = 1
+                                THEN 1 ELSE -1 END) AS s
+                FROM th, (SELECT unnest(range(64)) AS b) b
+                GROUP BY doc_id, b.b),
+            fp AS (
+                SELECT doc_id,
+                       CAST(sum(CASE WHEN s >= 0 THEN (1::HUGEINT << b)
+                                     ELSE 0 END) AS UBIGINT) AS h
+                FROM bits GROUP BY doc_id)
+            SELECT x.doc_id AS a, y.doc_id AS b
+            FROM fp x JOIN fp y ON x.doc_id < y.doc_id
+            WHERE bit_count(xor(x.h, y.h)) <= 3
         """,
         "norm_text_dedup": """
             -- translate = exact ASCII lower (engine uses pc.ascii_lower);

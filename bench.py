@@ -62,7 +62,8 @@ QUERY_NAMES = ["q1_pricing", "q3_top_orders", "customer_nation", "doc_stats",
                "crawl_schedule", "hits_scores", "robots_filter",
                "ivfpq_topk", "cocitation", "kcenter_probes",
                "curate_funnel", "span_corruption", "cdx_index",
-               "dedup_recall_eval", "norm_text_dedup"]
+               "dedup_recall_eval", "norm_text_dedup",
+               "simhash_fingerprint", "simhash_hamming_pairs"]
 
 
 def run_bench() -> dict:

@@ -404,3 +404,69 @@ def lsh_candidates(sig_ds, cfg: PipelineConfig, prefilter_bands=None):
             {"a": np.int64, "b": np.int64, "n_bands": np.int64})
 
     return grouped_partitions(pairs, ["a", "b"], dedup)
+
+
+def md5_simhash(docs_ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Hash-derived Charikar SimHash: 64-bit fingerprint over the DISTINCT
+    token set ([a-z0-9]+ runs of the lowercased text), where bit j of
+    md5(token)'s leading-16-hex uint64 contributes +1/-1 to bit-sum j and
+    fingerprint bit j = 1 iff the sum >= 0.
+
+    Unlike the signature pipeline's projection-matrix SimHash (random
+    hyperplanes held by the actor pool), this construction is purely
+    content-derived — no RNG, no broadcast state — so an ANSI-SQL twin
+    reproduces it bit for bit ('0x'||substr(md5(tok),1,16) gives the same
+    uint64). Reference analog: the sketch fingerprint of
+    rabin/rabin_dedup.c:1368-1396 computed from content hashes only.
+
+    Docs with zero tokens emit no row (the twin's unnest drops them).
+    Returns (id_col, n_tokens, simhash:uint64); one streaming map, the
+    md5 of each token memoized per batch (vocabulary-bounded).
+    """
+    import hashlib
+    import re
+
+    from pcompress_ray.stages.textstats import TOKEN_RE
+
+    fp_re = re.compile(TOKEN_RE)
+    bit_idx = np.arange(64, dtype=np.uint64)
+
+    def kernel(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = t[text_col].to_pylist()
+        memo: dict[str, int] = {}
+        h_list: list[int] = []
+        offs = [0]
+        keep: list[int] = []
+        for i, x in enumerate(texts):
+            toks = set(fp_re.findall((x or "").lower()))
+            if not toks:
+                continue
+            keep.append(int(ids[i]))
+            for tok in toks:
+                hv = memo.get(tok)
+                if hv is None:
+                    hv = int(hashlib.md5(
+                        tok.encode("utf-8")).hexdigest()[:16], 16)
+                    memo[tok] = hv
+                h_list.append(hv)
+            offs.append(len(h_list))
+        if not keep:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "simhash": pa.array([], pa.uint64())})
+        h = np.array(h_list, dtype=np.uint64)
+        # (n_token_rows, 64) of +/-1, summed per doc segment in one reduceat
+        pm = (((h[:, None] >> bit_idx[None, :]) & np.uint64(1))
+              .astype(np.int64) * 2 - 1)
+        starts = np.asarray(offs[:-1], dtype=np.intp)
+        sums = np.add.reduceat(pm, starts, axis=0)
+        fps = ((sums >= 0).astype(np.uint64)
+               * (np.uint64(1) << bit_idx)).sum(axis=1, dtype=np.uint64)
+        return pa.table({id_col: pa.array(np.asarray(keep, np.int64)),
+                         "n_tokens": pa.array(np.diff(
+                             np.asarray(offs, np.int64))),
+                         "simhash": pa.array(fps)})
+
+    return docs_ds.map_batches(kernel, batch_format="pyarrow")
