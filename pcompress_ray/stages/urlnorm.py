@@ -44,9 +44,12 @@ def canonicalize_urls(urls: pd.Series) -> pd.Series:
                      host.str.replace(r":80$", "", regex=True))
     host = host.mask((scheme == "https") & host.str.endswith(":443"),
                      host.str.replace(r":443$", "", regex=True))
-    # utm params; if the '?' was consumed, promote the first '&' to '?'
+    # utm params; if the '?' was consumed, promote the first '&' to '?' —
+    # but ONLY when no '?' survives anywhere ([^?]*$ guard), else a
+    # degenerate '...&...?' input gains a second '?' per pass and
+    # canonicalization isn't idempotent (hypothesis-found)
     pq = pq.str.replace(_UTM_RE, "", regex=True) \
-           .str.replace(r"^([^?]*)&", r"\1?", n=1, regex=True) \
+           .str.replace(r"^([^?&]*)&([^?]*)$", r"\1?\2", n=1, regex=True) \
            .str.replace(r"/+$", "", regex=True)
     return scheme + "://" + host + pq
 
@@ -140,7 +143,8 @@ def canonicalize_sql(url_expr: str) -> str:
             THEN regexp_replace({host0}, ':443$', '')
         ELSE {host0} END"""
     pq = (f"regexp_replace(regexp_replace(regexp_replace({pq0}, "
-          f"'{_UTM_RE}', '', 'g'), '^([^?]*)&', '\\1?'), '/+$', '')")
+          f"'{_UTM_RE}', '', 'g'), '^([^?&]*)&([^?]*)$', '\\1?\\2'), "
+          f"'/+$', '')")
     return f"({scheme} || '://' || {host} || {pq})"
 
 

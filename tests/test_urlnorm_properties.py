@@ -1,0 +1,40 @@
+"""URL canonicalization properties under adversarial input: never raises,
+idempotent (re-canonicalizing a canonical URL is a no-op — a canonicalizer
+that drifts corrupts every re-crawled CDX key), and SURT keying is total."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pcompress_ray.stages.urlnorm import canonicalize_urls, surt_keys  # noqa: E402
+
+# printable junk + url-ish fragments + unicode, with None sprinkled in
+_urlish = st.one_of(
+    st.text(max_size=80),
+    st.builds(
+        lambda sch, host, path, q: f"{sch}://{host}/{path}?{q}",
+        st.sampled_from(["http", "HTTP", "https", "ftp", ""]),
+        st.text(alphabet="abcDEF.:0189-", max_size=20),
+        st.text(alphabet="ab/.%20#&=", max_size=20),
+        st.text(alphabet="abc=&utm_source=x;", max_size=20)),
+    st.none(),
+)
+
+
+@settings(max_examples=300, deadline=2000)
+@given(urls=st.lists(_urlish, min_size=1, max_size=8))
+def test_canonicalize_total_and_idempotent(urls):
+    s = pd.Series(urls, dtype=object)
+    once = canonicalize_urls(s)
+    assert once.notna().all()
+    twice = canonicalize_urls(once)
+    assert (once == twice).all()
+    keys = surt_keys(once)
+    assert keys.notna().all()
