@@ -64,6 +64,21 @@ def _read(sf_dir: str, table: str, columns=None, min_blocks: int = 8):
 _DEDUP_MEMO: dict = {}
 
 
+def _ray_session_key():
+    """Job id of the LIVE ray session, else None. Memo entries are keyed
+    by it so materialized datasets are never served across sessions (the
+    blocks die with the session); None (no live session yet — Ray Data
+    auto-inits on first execution) means 'do not memoize'."""
+    import ray
+
+    if not ray.is_initialized():
+        return None
+    try:
+        return ray.get_runtime_context().get_job_id()
+    except Exception:
+        return None
+
+
 def _dedup_clusters(sf_dir: str, compute_pairs: bool = False):
     """Near-dup detection + clustering over the documents table (adapted to
     the pages shape; rank = doc_id).
@@ -72,26 +87,23 @@ def _dedup_clusters(sf_dir: str, compute_pairs: bool = False):
     MATERIALIZED datasets, and four driver queries (dedup_clusters,
     dedup_pairs, delta_gain, dedup_recall_eval) compose the same flagship
     run — re-executing it per query paid 3-4 s each for identical blocks.
-    At most one corpus is held (the memo clears on sf_dir change); a new
-    ray session invalidates (materialized blocks die with the session)."""
-    import ray
-
+    At most one corpus is held (the memo clears on sf_dir change); the
+    session key is re-read AFTER the run (Ray is certainly live then), so
+    a first call that auto-inits Ray still stores a usable entry and a
+    dead session can never be served."""
     from pcompress_ray.config import PipelineConfig
     from pcompress_ray.pipelines.dedup import dedup_pipeline
     from pcompress_ray.sources.corpus import pages_from_documents
 
     _setup()
-    try:
-        sess = ray.get_runtime_context().get_job_id() \
-            if ray.is_initialized() else None
-    except Exception:
-        sess = None
-    # a compute_pairs=True result serves compute_pairs=False callers too
-    for cp in ({True, compute_pairs} if not compute_pairs
-               else {compute_pairs}):
-        hit = _DEDUP_MEMO.get((sf_dir, cp, sess))
-        if hit is not None:
-            return hit
+    sess = _ray_session_key()
+    if sess is not None:
+        # a compute_pairs=True result serves compute_pairs=False callers
+        for cp in ({True, compute_pairs} if not compute_pairs
+                   else {compute_pairs}):
+            hit = _DEDUP_MEMO.get((sf_dir, cp, sess))
+            if hit is not None:
+                return hit
 
     pages = pages_from_documents(sf_dir)
 
@@ -101,8 +113,10 @@ def _dedup_clusters(sf_dir: str, compute_pairs: bool = False):
 
     pages = pages.map_batches(add_rank, batch_format="pyarrow")
     res = dedup_pipeline(pages, PipelineConfig(), compute_pairs=compute_pairs)
-    _DEDUP_MEMO.clear()
-    _DEDUP_MEMO[(sf_dir, compute_pairs, sess)] = res
+    sess = _ray_session_key()  # live now: materialize ran inside this run
+    if sess is not None:
+        _DEDUP_MEMO.clear()
+        _DEDUP_MEMO[(sf_dir, compute_pairs, sess)] = res
     return res
 
 
@@ -395,6 +409,23 @@ def q_top_tokens(sf_dir: str):
             .sort(["n", "token"], descending=[True, False]).limit(50))
 
 
+def _canon_min_id(key_col: str):
+    """Partition reducer assigning canonical_doc_id = min doc_id per
+    ``key_col`` group — vectorized min-per-group over the whole hash
+    partition (shared by the exact and normalized dedup tiers)."""
+    from pcompress_ray.functions.ops import group_boundaries
+
+    def canon(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values([key_col, "doc_id"])
+        key = part[key_col].to_numpy()
+        ids = part["doc_id"].to_numpy(dtype=np.int64)
+        first, gid, _ = group_boundaries(key)
+        return pd.DataFrame({"doc_id": ids, key_col: key,
+                             "canonical_doc_id": ids[first][gid]})
+
+    return canon
+
+
 def q_exact_dup_docs(sf_dir: str):
     """Doc-level exact-dup canonical assignment via md5 (A1/J1 keep-first)."""
     import hashlib
@@ -409,19 +440,10 @@ def q_exact_dup_docs(sf_dir: str):
         return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
                          "text_md5": pa.array(h, pa.string())})
 
-    from pcompress_ray.functions.ops import group_boundaries, grouped_partitions
-
-    def canon(part: pd.DataFrame) -> pd.DataFrame:
-        # vectorized min-per-group over the whole hash partition
-        part = part.sort_values(["text_md5", "doc_id"])
-        key = part["text_md5"].to_numpy()
-        ids = part["doc_id"].to_numpy(dtype=np.int64)
-        first, gid, _ = group_boundaries(key)
-        return pd.DataFrame({"doc_id": ids, "text_md5": key,
-                             "canonical_doc_id": ids[first][gid]})
+    from pcompress_ray.functions.ops import grouped_partitions
 
     return grouped_partitions(ds.map_batches(md5col, batch_format="pyarrow"),
-                              ["text_md5"], canon)
+                              ["text_md5"], _canon_min_id("text_md5"))
 
 
 def q_norm_text_dedup(sf_dir: str):
@@ -436,7 +458,7 @@ def q_norm_text_dedup(sf_dir: str):
 
     import pyarrow.compute as pc
 
-    from pcompress_ray.functions.ops import group_boundaries, grouped_partitions
+    from pcompress_ray.functions.ops import grouped_partitions
 
     _setup()
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -452,16 +474,8 @@ def q_norm_text_dedup(sf_dir: str):
         return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
                          "norm_md5": pa.array(h, pa.string())})
 
-    def canon(part: pd.DataFrame) -> pd.DataFrame:
-        part = part.sort_values(["norm_md5", "doc_id"])
-        key = part["norm_md5"].to_numpy()
-        ids = part["doc_id"].to_numpy(dtype=np.int64)
-        first, gid, _ = group_boundaries(key)
-        return pd.DataFrame({"doc_id": ids, "norm_md5": key,
-                             "canonical_doc_id": ids[first][gid]})
-
     return grouped_partitions(ds.map_batches(norm_md5, batch_format="pyarrow"),
-                              ["norm_md5"], canon)
+                              ["norm_md5"], _canon_min_id("norm_md5"))
 
 
 def q_simhash_fingerprint(sf_dir: str):
@@ -900,27 +914,25 @@ _ARCHIVE_MEMO: dict = {}
 
 def _archive_result(sf_dir: str):
     """Memoized like _dedup_clusters: archive_stats and archive_roundtrip
-    share one archive build (the store is on-disk parquet, safe to restore
-    from repeatedly within a session)."""
-    import ray
-
+    share one archive build. The store/manifest are MATERIALIZED ray
+    datasets (object store, not disk), so entries are session-keyed the
+    same way — never served across sessions, key re-read after the run."""
     from pcompress_ray.config import PipelineConfig
     from pcompress_ray.pipelines.archive import archive_write
     from pcompress_ray.sources.corpus import pages_from_documents
 
     _setup()
-    try:
-        sess = ray.get_runtime_context().get_job_id() \
-            if ray.is_initialized() else None
-    except Exception:
-        sess = None
-    hit = _ARCHIVE_MEMO.get((sf_dir, sess))
-    if hit is not None:
-        return hit
+    sess = _ray_session_key()
+    if sess is not None:
+        hit = _ARCHIVE_MEMO.get((sf_dir, sess))
+        if hit is not None:
+            return hit
     res = archive_write(pages_from_documents(sf_dir), PipelineConfig(),
                         text_col="text")
-    _ARCHIVE_MEMO.clear()
-    _ARCHIVE_MEMO[(sf_dir, sess)] = res
+    sess = _ray_session_key()
+    if sess is not None:
+        _ARCHIVE_MEMO.clear()
+        _ARCHIVE_MEMO[(sf_dir, sess)] = res
     return res
 
 
@@ -4253,9 +4265,12 @@ def q_dedup_recall_eval(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordered least-proven-first: the correctness driver samples the
     # FIRST 50 entries, and rounds 1-3 proved only the original first 50
-    # (CORRECTNESS_r03) — so the 50 driver-unchecked queries that have
-    # exact DuckDB oracles lead, then the 12 unchecked rows-only ones,
-    # then the 50 already driver-proven in CORRECTNESS_r01-r03.
+    # (CORRECTNESS_r03). Newest oracle-backed queries lead, then the
+    # driver-unchecked oracle-backed ones; every rows-only (no-oracle)
+    # query sits BELOW the 50-entry window so it never displaces an
+    # oracle-checkable entry; the r01-r03-proven 50 close the dict.
+    # Coverage for everything below the window: the committed full-gate
+    # logs (GATE_r04_*.log, tools/check_queries.py) + pytest oracles.
     return {
         "norm_text_dedup": q_norm_text_dedup,
         "simhash_fingerprint": q_simhash_fingerprint,

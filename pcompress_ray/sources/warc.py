@@ -122,10 +122,20 @@ def parse_warc_bytes(blob: bytes, strict: bool = True,
 
     Content-Length framing only; other record types are skipped whole. A
     truncated trailing record raises ValueError under ``strict`` (a 100-TB
-    ingest wants loud corruption), else it is dropped."""
+    ingest wants loud corruption). Lenient mode RESYNCS instead of
+    truncating: a record whose framing is corrupt (bad magic, missing or
+    negative Content-Length) is skipped to the next ``\\r\\nWARC/``
+    boundary, so one bad record costs one record, not the rest of a
+    multi-GB member (the cursor always moves forward — never a loop)."""
     data = _gunzip_members(blob)
     view = memoryview(data)
     pos, n = 0, len(data)
+
+    def resync(frm: int) -> int:
+        """Next plausible record start strictly after ``frm``, or n."""
+        nxt = data.find(b"\r\nWARC/", frm + 1)
+        return nxt + 2 if nxt >= 0 else n
+
     while pos < n:
         # tolerate inter-record padding CRLFs
         while pos < n and data[pos:pos + 2] == b"\r\n":
@@ -135,7 +145,8 @@ def parse_warc_bytes(blob: bytes, strict: bool = True,
         if data[pos:pos + 5] != b"WARC/":
             if strict:
                 raise ValueError(f"bad WARC magic at offset {pos}")
-            break
+            pos = resync(pos)
+            continue
         hend = data.find(b"\r\n\r\n", pos)
         if hend < 0:
             if strict:
@@ -145,28 +156,30 @@ def parse_warc_bytes(blob: bytes, strict: bool = True,
         for line in data[pos:hend].decode("latin-1").split("\r\n")[1:]:
             k, _, v = line.partition(":")
             headers[k.strip().lower()] = v.strip()
+        clen = -1
         try:
             clen = int(headers["content-length"])
         except (KeyError, ValueError):
-            # without a length the stream can't be re-framed — drop the
-            # remainder in lenient mode, loud in strict
             if strict:
                 raise ValueError(
                     "WARC record missing Content-Length") from None
-            break
         if clen < 0:
-            # a negative length would move the cursor BACKWARDS and loop
-            # forever on the same record — corrupt framing: fatal in
-            # strict mode, remainder dropped in lenient (never a loop)
+            # missing/unparseable, or negative (which would move the
+            # cursor BACKWARDS and loop forever): fatal in strict mode,
+            # skip-to-next-record in lenient
             if strict:
                 raise ValueError(f"negative WARC Content-Length {clen}")
-            break
+            pos = resync(pos)
+            continue
         body_start = hend + 4
         body_end = body_start + clen
         if body_end > n:
             if strict:
                 raise ValueError("truncated WARC record body")
-            break
+            # a LYING length mid-stream must not swallow later records;
+            # a genuinely truncated trailing record resyncs to n and ends
+            pos = resync(pos)
+            continue
         if headers.get("warc-type") in record_types:
             body = view[body_start:body_end]
             # strip the HTTP envelope at its first CRLFCRLF — response

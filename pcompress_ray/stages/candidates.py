@@ -429,7 +429,6 @@ def md5_simhash(docs_ds, id_col: str = "doc_id", text_col: str = "text"):
     from pcompress_ray.stages.textstats import TOKEN_RE
 
     fp_re = re.compile(TOKEN_RE)
-    bit_idx = np.arange(64, dtype=np.uint64)
 
     def kernel(t: pa.Table) -> pa.Table:
         t = t.replace_schema_metadata(None)
@@ -457,16 +456,20 @@ def md5_simhash(docs_ds, id_col: str = "doc_id", text_col: str = "text"):
                              "n_tokens": pa.array([], pa.int64()),
                              "simhash": pa.array([], pa.uint64())})
         h = np.array(h_list, dtype=np.uint64)
-        # (n_token_rows, 64) of +/-1, summed per doc segment in one reduceat
-        pm = (((h[:, None] >> bit_idx[None, :]) & np.uint64(1))
-              .astype(np.int64) * 2 - 1)
         starts = np.asarray(offs[:-1], dtype=np.intp)
-        sums = np.add.reduceat(pm, starts, axis=0)
-        fps = ((sums >= 0).astype(np.uint64)
-               * (np.uint64(1) << bit_idx)).sum(axis=1, dtype=np.uint64)
+        n_tok = np.diff(np.asarray(offs, np.int64))
+        # per bit: ones-count per doc segment, then sum = 2*ones - n_tok.
+        # One bit at a time keeps the transient at 8 B/token-row instead
+        # of a (rows x 64) +/-1 matrix (512 B/row — OOM on 100 KB docs).
+        fps = np.zeros(len(keep), dtype=np.uint64)
+        for j in range(64):
+            ones = np.add.reduceat(
+                ((h >> np.uint64(j)) & np.uint64(1)).astype(np.int64),
+                starts)
+            fps |= ((2 * ones - n_tok) >= 0).astype(np.uint64) \
+                << np.uint64(j)
         return pa.table({id_col: pa.array(np.asarray(keep, np.int64)),
-                         "n_tokens": pa.array(np.diff(
-                             np.asarray(offs, np.int64))),
+                         "n_tokens": pa.array(n_tok),
                          "simhash": pa.array(fps)})
 
     return docs_ds.map_batches(kernel, batch_format="pyarrow")

@@ -33,7 +33,10 @@ _UTM_RE = r"[?&]utm_[a-z0-9_]*=[^&]*"
 
 def canonicalize_urls(urls: pd.Series) -> pd.Series:
     """Vectorized canonicalization of a string Series of absolute URLs."""
-    u = urls.fillna("").str.replace(r"#.*$", "", regex=True)
+    # fragment strip: [\s\S]* not '.*$' — identical semantics in Python
+    # re and RE2 even when the url carries newlines ('.' skips '\n' and
+    # the two engines disagree on '$' before a trailing '\n')
+    u = urls.fillna("").str.replace(r"#[\s\S]*", "", regex=True)
     # split scheme://host/path?query at the FIRST '/' after '://'
     scheme = u.str.split("://", n=1).str[0].str.lower()
     rest = u.str.split("://", n=1).str[1].fillna("")
@@ -45,12 +48,17 @@ def canonicalize_urls(urls: pd.Series) -> pd.Series:
     host = host.mask((scheme == "https") & host.str.endswith(":443"),
                      host.str.replace(r":443$", "", regex=True))
     # utm params; if the '?' was consumed, promote the first '&' to '?' —
-    # but ONLY when no '?' survives anywhere ([^?]*$ guard), else a
-    # degenerate '...&...?' input gains a second '?' per pass and
-    # canonicalization isn't idempotent (hypothesis-found)
-    pq = pq.str.replace(_UTM_RE, "", regex=True) \
-           .str.replace(r"^([^?&]*)&([^?]*)$", r"\1?\2", n=1, regex=True) \
-           .str.replace(r"/+$", "", regex=True)
+    # but ONLY when no '?' survives anywhere, else a degenerate
+    # '...&...?' input gains a second '?' per pass and canonicalization
+    # isn't idempotent (hypothesis-found). The guard is an explicit
+    # contains check, NOT a '$'-anchored regex: Python re '$' matches
+    # before a trailing newline while RE2's does not, which would desync
+    # the DuckDB twin on '\n'-bearing urls.
+    pq = pq.str.replace(_UTM_RE, "", regex=True)
+    promoted = pq.str.replace(r"^([^&]*)&", r"\1?", n=1, regex=True)
+    # '\Z' = absolute end in Python re, matching RE2's default '$'
+    pq = promoted.where(~pq.str.contains("?", regex=False), pq) \
+                 .str.replace(r"/+\Z", "", regex=True)
     return scheme + "://" + host + pq
 
 
@@ -130,8 +138,12 @@ def synthesize_messy_urls_sql(doc_id_expr: str = "doc_id") -> str:
 
 
 def canonicalize_sql(url_expr: str) -> str:
-    """DuckDB expression mirroring ``canonicalize_urls`` exactly."""
-    u1 = f"regexp_replace({url_expr}, '#.*$', '')"
+    """DuckDB expression mirroring ``canonicalize_urls`` exactly —
+    including on newline-bearing urls: fragment strip is '#[\\s\\S]*'
+    (engine-agnostic), the '&'->'?' promotion is guarded by an explicit
+    no-'?' check (contains / strpos, not a '$' anchor), and RE2's
+    default '$' is absolute-end like the pandas side's '\\Z'."""
+    u1 = f"regexp_replace({url_expr}, '#[\\s\\S]*', '')"
     scheme = f"lower(split_part({u1}, '://', 1))"
     rest = f"split_part({u1}, '://', 2)"
     host0 = f"lower(split_part({rest}, '/', 1))"
@@ -142,9 +154,11 @@ def canonicalize_sql(url_expr: str) -> str:
         WHEN {scheme} = 'https' AND {host0} LIKE '%:443'
             THEN regexp_replace({host0}, ':443$', '')
         ELSE {host0} END"""
-    pq = (f"regexp_replace(regexp_replace(regexp_replace({pq0}, "
-          f"'{_UTM_RE}', '', 'g'), '^([^?&]*)&([^?]*)$', '\\1?\\2'), "
-          f"'/+$', '')")
+    pq_utm = f"regexp_replace({pq0}, '{_UTM_RE}', '', 'g')"
+    pq_promoted = (f"CASE WHEN strpos({pq_utm}, '?') = 0 "
+                   f"THEN regexp_replace({pq_utm}, '^([^&]*)&', '\\1?') "
+                   f"ELSE {pq_utm} END")
+    pq = f"regexp_replace({pq_promoted}, '/+$', '')"
     return f"({scheme} || '://' || {host} || {pq})"
 
 

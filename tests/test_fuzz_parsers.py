@@ -209,3 +209,23 @@ def test_decompress_fuzz_clean_error_or_roundtrip(ops, codec):
         assert isinstance(out, (bytes, bytearray))
     except (ValueError, EOFError, zlib.error, lzma.LZMAError, OSError):
         pass
+
+
+def test_warc_lenient_resyncs_past_one_bad_record():
+    """One corrupt record costs one record, not the rest of the member."""
+    recs = [warc_record_bytes(f"https://ex.org/{i}", 1_700_000_000 + i,
+                              b"<html>" + bytes([65 + i]) * 40 + b"</html>")
+            for i in range(12)]
+    # corrupt record 3's Content-Length header value
+    bad = bytearray(recs[3])
+    i = bad.lower().find(b"content-length:")
+    j = bad.find(b"\r\n", i)
+    for mutant in (b"Content-Length: oops", b"Content-Length: -7",
+                   b"Content-Length: 999999999"):
+        blob = b"".join(recs[:3]) + bytes(bad[:i]) + mutant \
+            + bytes(bad[j:]) + b"".join(recs[4:])
+        got = list(parse_warc_bytes(blob, strict=False))
+        assert [u for u, _, _ in got] == \
+            [f"https://ex.org/{k}" for k in range(12) if k != 3], mutant
+        with pytest.raises(ValueError):
+            list(parse_warc_bytes(blob, strict=True))

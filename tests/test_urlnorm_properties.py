@@ -38,3 +38,24 @@ def test_canonicalize_total_and_idempotent(urls):
     assert (once == twice).all()
     keys = surt_keys(once)
     assert keys.notna().all()
+
+
+@settings(max_examples=150, deadline=3000)
+@given(urls=st.lists(_urlish.filter(lambda x: x is None or "'" not in x),
+                     min_size=1, max_size=6))
+def test_pandas_and_sql_twins_agree(urls):
+    """The DuckDB twin must produce byte-identical canonical urls — even
+    on newline-bearing junk, where Python re '$' and RE2 '$' disagree
+    (the reason every end-anchor in this module is either '\\Z', an
+    explicit contains-guard, or '[\\s\\S]*')."""
+    import duckdb
+
+    from pcompress_ray.stages.urlnorm import canonicalize_sql
+
+    s = pd.Series(urls, dtype=object)
+    eng = canonicalize_urls(s).tolist()
+    con = duckdb.connect()
+    con.register("u", pd.DataFrame({"url": s}))
+    expr = canonicalize_sql("coalesce(url, '')")
+    sql = con.sql(f"SELECT {expr} AS c FROM u").df()["c"].tolist()
+    assert eng == sql
