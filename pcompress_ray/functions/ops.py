@@ -91,6 +91,95 @@ def grouped_partitions(ds, key_cols: list[str], fn, n_parts: int = 64):
             .groupby("__part").map_groups(run, batch_format="pandas"))
 
 
+def fast_grouped_partitions(ds, key_cols: list[str], fn, n_parts: int = 64,
+                            max_blocks: int = 4096, max_slicers: int = 64):
+    """``grouped_partitions`` as a raw-Ray two-round hash exchange.
+
+    Same co-location contract (all rows of any key reach exactly one
+    ``fn`` call, as one pandas DataFrame), but implemented as G slicer
+    tasks (hash keys → slice each block into n_parts sub-tables, zero-copy
+    plasma reads) + one reducer task per NON-EMPTY partition (concat +
+    ``fn``). This skips the Dataset sort machinery, whose fixed cost —
+    executor launch, sampling, a sort task per block — dominates exchanges
+    whose input is many small blocks (the 3-way edge union at 40k docs:
+    ~4.3 s of pure overhead for 250k rows, vs ~0.5 s here).
+
+    Requirements vs grouped_partitions: ``fn`` must return a pa.Table (the
+    reducer outputs feed ``from_arrow_refs``; a pandas return is converted,
+    accepting pandas→arrow dtype mapping). The input is materialized first.
+
+    Scale guard: the driver holds G × (n_parts+1) small object refs. When
+    the materialized input has more than ``max_blocks`` blocks — the regime
+    where the sort's fixed cost amortizes anyway — this falls back to the
+    sort-based ``grouped_partitions`` path.
+    """
+    import ray
+    import ray.data as rd
+
+    mat = ds.materialize()
+    refs = materialized_block_refs(mat)
+    if len(refs) > max_blocks:
+        return grouped_partitions(mat, key_cols, fn, n_parts=n_parts)
+    if not refs:
+        return grouped_partitions(mat, key_cols, fn, n_parts=n_parts)
+
+    def slicer(*blocks):
+        tabs = [b if isinstance(b, pa.Table) else
+                pa.Table.from_pandas(b, preserve_index=False)
+                for b in blocks if len(b)]
+        counts = np.zeros(n_parts, dtype=np.int64)
+        parts: list[list] = [[] for _ in range(n_parts)]
+        for t in tabs:
+            t = t.replace_schema_metadata(None)
+            h = np.zeros(len(t), dtype=np.uint64)
+            for c in key_cols:
+                h = splitmix64(h ^ _col_hash_u64(t[c]))
+            p = (h % np.uint64(n_parts)).astype(np.int64)
+            order = np.argsort(p, kind="stable")
+            ps = p[order]
+            first = np.empty(ps.size, dtype=bool)
+            if ps.size:
+                first[0] = True
+                np.not_equal(ps[1:], ps[:-1], out=first[1:])
+            starts = np.flatnonzero(first)
+            ends = np.append(starts[1:], ps.size)
+            for s, e in zip(starts, ends):
+                pid = int(ps[s])
+                parts[pid].append(t.take(order[s:e]))
+                counts[pid] += e - s
+        schema = tabs[0].schema if tabs else None
+        out = []
+        for pid in range(n_parts):
+            if parts[pid]:
+                out.append(pa.concat_tables(parts[pid], promote_options="permissive"))
+            else:
+                out.append(pa.table({f.name: _null_array(0, f.type)
+                                     for f in schema} if schema else {}))
+        return (*out, counts)
+
+    n_slice = min(len(refs), max_slicers)
+    groups = np.array_split(np.arange(len(refs)), n_slice)
+    rem = ray.remote(slicer)
+    slice_out = [rem.options(num_returns=n_parts + 1)
+                 .remote(*[refs[i] for i in g]) for g in groups]
+    counts = np.sum(ray.get([s[n_parts] for s in slice_out]), axis=0)
+
+    def reducer(*tables):
+        tabs = [t for t in tables if len(t)]
+        df = pa.concat_tables(tabs, promote_options="permissive").to_pandas()
+        r = fn(df)
+        if isinstance(r, pd.DataFrame):
+            r = pa.Table.from_pandas(r, preserve_index=False)
+        return r.replace_schema_metadata(None)
+
+    red = ray.remote(reducer)
+    out_refs = [red.remote(*[s[p] for s in slice_out])
+                for p in range(n_parts) if counts[p] > 0]
+    if not out_refs:
+        return grouped_partitions(mat, key_cols, fn, n_parts=n_parts)
+    return rd.from_arrow_refs(out_refs)
+
+
 def group_boundaries(sorted_keys: np.ndarray):
     """(first_mask, group_id, group_sizes) of a SORTED key array."""
     n = sorted_keys.shape[0]

@@ -158,9 +158,11 @@ def union_edges(*edge_dss, cfg: PipelineConfig | None = None):
             "jaccard": pa.array(part["jaccard"].to_numpy(dtype=np.float64)),
         })
 
-    from pcompress_ray.functions.ops import grouped_partitions
+    from pcompress_ray.functions.ops import fast_grouped_partitions
 
-    return grouped_partitions(out, ["a", "b"], best)
+    # raw-Ray hash exchange: the 3-way union is many tiny blocks, where the
+    # sort-based path's fixed cost (~4.3 s at 40k docs) dwarfs the data
+    return fast_grouped_partitions(out, ["a", "b"], best)
 
 
 def _docs_with_bytes(sig_ds):
