@@ -391,9 +391,11 @@ def lsh_candidates(sig_ds, cfg: PipelineConfig, prefilter_bands=None):
 
         bands = bands.map_batches(filt, batch_format="pyarrow")
 
-    pairs = grouped_partitions(bands,
-                               ["band_id", "band_hash"],
-                               band_partition_pairs(cfg))
+    from pcompress_ray.functions.ops import fast_grouped_partitions
+
+    pairs = fast_grouped_partitions(bands,
+                                    ["band_id", "band_hash"],
+                                    band_partition_pairs(cfg))
 
     # dedup across bands (a pair can collide in up to lsh_bands bands) —
     # partition-level pandas value_counts (Ray's multi-key .aggregate() is
@@ -403,7 +405,7 @@ def lsh_candidates(sig_ds, cfg: PipelineConfig, prefilter_bands=None):
         return out.rename(columns={"size": "n_bands"}).astype(
             {"a": np.int64, "b": np.int64, "n_bands": np.int64})
 
-    return grouped_partitions(pairs, ["a", "b"], dedup)
+    return fast_grouped_partitions(pairs, ["a", "b"], dedup)
 
 
 def md5_simhash(docs_ds, id_col: str = "doc_id", text_col: str = "text"):

@@ -79,7 +79,8 @@ def doc_exact_edges(sig_ds, prefilter_shas=None):
                          "kind": pa.array(["exact"] * n, pa.string()),
                          "jaccard": pa.array(np.ones(n, np.float64))})
 
-    return grouped_partitions(keys, ["text_sha256"], stars)
+    from pcompress_ray.functions.ops import fast_grouped_partitions
+    return fast_grouped_partitions(keys, ["text_sha256"], stars)
 
 
 def explode_chunks(sig_ds):
@@ -182,4 +183,5 @@ def chunk_exact_edges(sig_ds, cfg: PipelineConfig, prefilter_hashes=None):
             "shared_bytes": pa.array(out["shared_bytes"].to_numpy(dtype=np.int64)),
             "shared_chunks": pa.array(out["shared_chunks"].to_numpy(dtype=np.int64))})
 
-    return grouped_partitions(chunks, ["chunk_hash"], pairs_bytes)
+    from pcompress_ray.functions.ops import fast_grouped_partitions
+    return fast_grouped_partitions(chunks, ["chunk_hash"], pairs_bytes)

@@ -206,3 +206,56 @@ def test_band_join_count_matches_bruteforce(rds):
         .sum(axis=1).astype(np.int64)
     assert len(got) == 40  # zero-match left keys survive
     np.testing.assert_array_equal(got["n_matches"].to_numpy(np.int64), want)
+
+
+def _gp_fn(part: pd.DataFrame) -> pa.Table:
+    # per-key sum + count, vectorized — exercises key co-location
+    out = part.groupby("k", as_index=False).agg(s=("v", "sum"), n=("v", "size"))
+    return pa.table({"k": pa.array(out["k"].to_numpy(dtype=np.int64)),
+                     "s": pa.array(out["s"].to_numpy(dtype=np.int64)),
+                     "n": pa.array(out["n"].to_numpy(dtype=np.int64))})
+
+
+def test_fast_grouped_partitions_matches_sort_path(rds):
+    from pcompress_ray.functions.ops import (fast_grouped_partitions,
+                                             grouped_partitions)
+
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame({"k": rng.randint(0, 200, 5000).astype(np.int64),
+                       "v": rng.randint(0, 1000, 5000).astype(np.int64)})
+    ds = rds.from_pandas(df).repartition(17)
+    fast = fast_grouped_partitions(ds, ["k"], _gp_fn, n_parts=13) \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    slow = grouped_partitions(rds.from_pandas(df).repartition(17),
+                              ["k"], _gp_fn, n_parts=13) \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    ref = df.groupby("k", as_index=False).agg(s=("v", "sum"), n=("v", "size"))
+    ref = ref.sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast, slow.astype(fast.dtypes.to_dict()))
+    pd.testing.assert_frame_equal(fast, ref.astype(fast.dtypes.to_dict()))
+
+
+def test_fast_grouped_partitions_string_keys_and_pandas_fn(rds):
+    from pcompress_ray.functions.ops import fast_grouped_partitions
+
+    df = pd.DataFrame({"k": [f"u{i % 37}" for i in range(1000)],
+                       "v": np.arange(1000, dtype=np.int64)})
+
+    def fn(part: pd.DataFrame) -> pd.DataFrame:  # pandas return path
+        return part.groupby("k", as_index=False).agg(s=("v", "sum"))
+
+    got = fast_grouped_partitions(rds.from_pandas(df).repartition(9),
+                                  ["k"], fn, n_parts=8) \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    ref = df.groupby("k", as_index=False).agg(s=("v", "sum")) \
+        .sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, ref)
+
+
+def test_fast_grouped_partitions_empty_input(rds):
+    from pcompress_ray.functions.ops import fast_grouped_partitions
+
+    df = pd.DataFrame({"k": pd.Series([], dtype=np.int64),
+                       "v": pd.Series([], dtype=np.int64)})
+    out = fast_grouped_partitions(rds.from_pandas(df), ["k"], _gp_fn)
+    assert out.count() == 0
