@@ -208,18 +208,23 @@ def test_band_join_count_matches_bruteforce(rds):
     np.testing.assert_array_equal(got["n_matches"].to_numpy(np.int64), want)
 
 
-def _gp_fn(part: pd.DataFrame) -> pa.Table:
-    # per-key sum + count, vectorized — exercises key co-location
-    out = part.groupby("k", as_index=False).agg(s=("v", "sum"), n=("v", "size"))
-    return pa.table({"k": pa.array(out["k"].to_numpy(dtype=np.int64)),
-                     "s": pa.array(out["s"].to_numpy(dtype=np.int64)),
-                     "n": pa.array(out["n"].to_numpy(dtype=np.int64))})
+def _make_gp_fn():
+    # defined inside a factory so cloudpickle ships it by VALUE (workers
+    # cannot import the test module)
+    def _gp_fn(part: pd.DataFrame) -> pa.Table:
+        out = part.groupby("k", as_index=False).agg(s=("v", "sum"),
+                                                    n=("v", "size"))
+        return pa.table({"k": pa.array(out["k"].to_numpy(dtype=np.int64)),
+                         "s": pa.array(out["s"].to_numpy(dtype=np.int64)),
+                         "n": pa.array(out["n"].to_numpy(dtype=np.int64))})
+    return _gp_fn
 
 
 def test_fast_grouped_partitions_matches_sort_path(rds):
     from pcompress_ray.functions.ops import (fast_grouped_partitions,
                                              grouped_partitions)
 
+    _gp_fn = _make_gp_fn()
     rng = np.random.RandomState(7)
     df = pd.DataFrame({"k": rng.randint(0, 200, 5000).astype(np.int64),
                        "v": rng.randint(0, 1000, 5000).astype(np.int64)})
@@ -257,5 +262,5 @@ def test_fast_grouped_partitions_empty_input(rds):
 
     df = pd.DataFrame({"k": pd.Series([], dtype=np.int64),
                        "v": pd.Series([], dtype=np.int64)})
-    out = fast_grouped_partitions(rds.from_pandas(df), ["k"], _gp_fn)
+    out = fast_grouped_partitions(rds.from_pandas(df), ["k"], _make_gp_fn())
     assert out.count() == 0
