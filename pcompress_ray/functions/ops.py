@@ -74,7 +74,19 @@ def grouped_partitions(ds, key_cols: list[str], fn, n_parts: int = 64):
     DataFrame and does its own vectorized per-key logic. All rows of any
     given key land in exactly one partition — same co-location guarantee as
     a per-key groupby.
+
+    Dispatch: small-block inputs (the overwhelmingly common case for the
+    intermediate exchanges) route through ``fast_grouped_partitions`` — a
+    raw-Ray two-round hash shuffle that skips the Dataset sort machinery's
+    fixed cost; inputs with more blocks than its guard fall back to the
+    sort-based exchange below, where that cost amortizes.
     """
+    return fast_grouped_partitions(ds, key_cols, fn, n_parts=n_parts)
+
+
+def _sort_grouped_partitions(ds, key_cols: list[str], fn, n_parts: int = 64):
+    """Sort-machinery exchange (groupby on a bucket column + map_groups) —
+    the amortized path for many-block inputs; see grouped_partitions."""
 
     def add_part(t: pa.Table) -> pa.Table:
         t = t.replace_schema_metadata(None)
@@ -119,9 +131,9 @@ def fast_grouped_partitions(ds, key_cols: list[str], fn, n_parts: int = 64,
     mat = ds.materialize()
     refs = materialized_block_refs(mat)
     if len(refs) > max_blocks:
-        return grouped_partitions(mat, key_cols, fn, n_parts=n_parts)
+        return _sort_grouped_partitions(mat, key_cols, fn, n_parts=n_parts)
     if not refs:
-        return grouped_partitions(mat, key_cols, fn, n_parts=n_parts)
+        return _sort_grouped_partitions(mat, key_cols, fn, n_parts=n_parts)
 
     def slicer(*blocks):
         tabs = [b if isinstance(b, pa.Table) else
@@ -176,7 +188,7 @@ def fast_grouped_partitions(ds, key_cols: list[str], fn, n_parts: int = 64,
     out_refs = [red.remote(*[s[p] for s in slice_out])
                 for p in range(n_parts) if counts[p] > 0]
     if not out_refs:
-        return grouped_partitions(mat, key_cols, fn, n_parts=n_parts)
+        return _sort_grouped_partitions(mat, key_cols, fn, n_parts=n_parts)
     return rd.from_arrow_refs(out_refs)
 
 

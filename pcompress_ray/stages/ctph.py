@@ -389,7 +389,7 @@ def ctph_candidate_pairs(sig_ds, min_score: int = 60, n_parts: int = 32):
     """
     import ray.data as rd
 
-    from pcompress_ray.functions.ops import grouped_partitions
+    from pcompress_ray.functions.ops import fast_grouped_partitions
 
     sigs = sig_ds.materialize()
 
@@ -430,7 +430,7 @@ def ctph_candidate_pairs(sig_ds, min_score: int = 60, n_parts: int = 32):
                            "b": np.concatenate(out_b)})
         return df.drop_duplicates()
 
-    cands = grouped_partitions(
+    cands = fast_grouped_partitions(
         sigs.map_batches(explode, batch_format="pyarrow"),
         ["gram"], bucket_pairs, n_parts=n_parts)
 
@@ -515,10 +515,10 @@ def ctph_candidate_pairs(sig_ds, min_score: int = 60, n_parts: int = 32):
 
     side = sigs.map_batches(tag_sigs, batch_format="pyarrow")
     u1 = cands.map_batches(tag_pairs, batch_format="pyarrow").union(side)
-    mid = grouped_partitions(u1, ["key"], attach_a, n_parts=n_parts)
+    mid = fast_grouped_partitions(u1, ["key"], attach_a, n_parts=n_parts)
     u2 = mid.map_batches(tag_mid, batch_format="pyarrow").union(side)
-    out = grouped_partitions(u2, ["key"], attach_b_score,
-                             n_parts=n_parts).materialize()
+    out = fast_grouped_partitions(u2, ["key"], attach_b_score,
+                                  n_parts=n_parts).materialize()
     if out.count() == 0:
         # keep the typed schema (an all-empty map_groups Dataset has none)
         return rd.from_arrow(pa.table({
