@@ -3637,19 +3637,29 @@ def q_warc_pages(sf_dir: str):
 
 def q_pagerank(sf_dir: str, iters: int = 5):
     """Distributed PageRank over a deterministic synthesized link graph —
-    the webgraph centrality signal crawl pipelines rank hosts by (and the
-    ITERATIVE bulk-synchronous dataflow pattern: per iteration ONE
-    edge-keyed groupby-sum exchange, rank state re-materialized between
-    rounds — the same shape as components.label_propagation but with
-    weighted mass). Page i links to (7i+1, 7i+2, 7i+3) mod N (outdegree
-    exactly 3; contiguous doc_ids asserted). All arithmetic is e12-scaled
-    integer (pr//3 contributions, (15*base + 85*sum)//100 damping), so the
-    SQL twin — five chained CTEs of the same floor divisions — matches
-    bit for bit; no float ever appears. Edges are a pure function of the
-    source id, so contributions are EMITTED per batch (no edge table, no
-    join); a per-node zero row keeps in-link-less nodes alive, twin of
-    the oracle's LEFT JOIN."""
-    from ray.data.aggregate import Max, Min, Sum
+    the webgraph centrality signal crawl pipelines rank hosts by, and the
+    ITERATIVE bulk-synchronous dataflow pattern. Page i links to
+    (7i+1, 7i+2, 7i+3) mod N (outdegree exactly 3; contiguous doc_ids
+    asserted). All arithmetic is e12-scaled integer (pr//3 contributions,
+    (15*base + 85*sum)//100 damping), so the SQL twin — five chained CTEs
+    of the same floor divisions — matches bit for bit; no float ever
+    appears. Edges are a pure function of the source id, so contributions
+    are EMITTED per batch (no edge table, no join); a per-node zero row
+    keeps in-link-less nodes alive, twin of the oracle's LEFT JOIN.
+
+    Execution: the BSP loop runs as RAW Ray tasks — the state is P arrow
+    blocks partitioned by doc_id % P (a stable partitioning reused every
+    round), each round is one slicer task per state block (emit + local
+    per-dst combiner sum, so ≤N rows cross the wire regardless of edge
+    count) + one reducer task per partition (sum + damp). State is bounded
+    (16 B/node) and int64 sums are order-independent, so this is bit
+    identical to the former per-round Dataset groupby-sum — minus the
+    5 streaming-executor launches whose fixed latency dominated the loop
+    (measured 5.1 s -> ~1 s at 40k nodes). At cluster scale set P ~ total
+    cores; each round is still ONE all-to-all of ≤16 B/node."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min
 
     _setup()
     ds = _read(sf_dir, "documents", ["doc_id"])
@@ -3660,41 +3670,59 @@ def q_pagerank(sf_dir: str, iters: int = 5):
     total = 10**12
     base_pr = total // n
     teleport = 15 * base_pr
+    P = 16
 
-    def init(t: pa.Table) -> pa.Table:
-        t = t.replace_schema_metadata(None)
+    def slicer(t: pa.Table):
+        """emit + per-partition combiner: returns P (doc_id, c) tables,
+        each already summed per dst within this block."""
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table({"doc_id": pa.array(ids),
-                         "pr_e12": pa.array(np.full(ids.size, base_pr,
-                                                    np.int64))})
+        c = t["pr_e12"].to_numpy(zero_copy_only=False).astype(np.int64) // 3
+        dst = np.concatenate([(ids * 7 + 1) % n, (ids * 7 + 2) % n,
+                              (ids * 7 + 3) % n, ids])
+        cc = np.concatenate([c, c, c, np.zeros_like(c)])
+        order = np.argsort(dst, kind="stable")
+        dst, cc = dst[order], cc[order]
+        first = np.empty(dst.size, dtype=bool)
+        first[0] = True
+        np.not_equal(dst[1:], dst[:-1], out=first[1:])
+        starts = np.flatnonzero(first)
+        udst = dst[starts]
+        usum = np.add.reduceat(cc, starts)
+        part = udst % P
+        return tuple(
+            pa.table({"doc_id": pa.array(udst[part == p]),
+                      "c": pa.array(usum[part == p])})
+            for p in range(P))
 
-    pr = ds.map_batches(init, batch_format="pyarrow")
+    def reducer(*tables):
+        """sum contributions per doc_id across slicer outputs, damp."""
+        t = pa.concat_tables([x for x in tables if len(x)])
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(d, kind="stable")
+        d, c = d[order], c[order]
+        first = np.empty(d.size, dtype=bool)
+        first[0] = True
+        np.not_equal(d[1:], d[:-1], out=first[1:])
+        starts = np.flatnonzero(first)
+        s = np.add.reduceat(c, starts)
+        return pa.table({"doc_id": pa.array(d[starts]),
+                         "pr_e12": pa.array((teleport + 85 * s) // 100)})
+
+    slice_t = ray.remote(slicer).options(num_returns=P)
+    reduce_t = ray.remote(reducer)
+    # initial state: partition p holds doc_ids ≡ p (mod P) at base_pr
+    # (ids synthesized from the asserted-contiguous range — identical to
+    # reading them back out of the table)
+    state = [ray.put(pa.table({
+        "doc_id": pa.array(np.arange(p, n, P, dtype=np.int64)),
+        "pr_e12": pa.array(np.full(len(range(p, n, P)), base_pr,
+                                   np.int64))})) for p in range(P)]
     for _ in range(iters):
-        def emit(t: pa.Table) -> pa.Table:
-            t = t.replace_schema_metadata(None)
-            ids = t["doc_id"].to_numpy(zero_copy_only=False) \
-                .astype(np.int64)
-            c = t["pr_e12"].to_numpy(zero_copy_only=False) \
-                .astype(np.int64) // 3
-            dst = np.concatenate([(ids * 7 + 1) % n, (ids * 7 + 2) % n,
-                                  (ids * 7 + 3) % n, ids])
-            cc = np.concatenate([c, c, c, np.zeros_like(c)])
-            return pa.table({"doc_id": pa.array(dst), "c": pa.array(cc)})
-
-        summed = (pr.map_batches(emit, batch_format="pyarrow")
-                  .groupby("doc_id").aggregate(Sum("c", alias_name="s")))
-
-        def damp(t: pa.Table) -> pa.Table:
-            t = t.replace_schema_metadata(None)
-            s = t["s"].to_numpy(zero_copy_only=False).astype(np.int64)
-            return pa.table({
-                "doc_id": t["doc_id"].cast(pa.int64()),
-                "pr_e12": pa.array((teleport + 85 * s) // 100)})
-
-        # materialize: bounded state (16 B/node), resets the lazy plan so
-        # 5 rounds don't stack into one giant graph
-        pr = summed.map_batches(damp, batch_format="pyarrow").materialize()
-    return pr.sort("doc_id")
+        sliced = [slice_t.remote(b) for b in state]
+        state = [reduce_t.remote(*[s[p] for s in sliced])
+                 for p in range(P)]
+    return rd.from_arrow_refs(state).sort("doc_id")
 
 
 def q_hits(sf_dir: str, iters: int = 3):
@@ -3709,10 +3737,20 @@ def q_hits(sf_dir: str, iters: int = 3):
     authority mass UP in-edges via the modular inverse of 7 (engine-side
     only — the oracle uses an explicit edge CTE instead). Per-node
     keep-alive zero rows preserve nodes the other side never reaches.
-    Requires gcd(7, N) == 1 (holds for every sf table; asserted)."""
-    from ray.data.aggregate import Max, Min, Sum
+    Requires gcd(7, N) == 1 (holds for every sf table; asserted).
 
-    from pcompress_ray.functions.ops import hash_join
+    Execution: like q_pagerank, the BSP loop runs as RAW Ray tasks over P
+    node%P-partitioned state blocks — per half-step one slicer task per
+    block (rescale-fused emit + local per-dst combiner sum) and one
+    reducer per partition; each reducer ALSO returns its local max so the
+    between-step global max is a P-int driver reduce instead of an
+    aggregate(Max) executor launch. The final hub/authority join is a
+    per-partition zip (both sides carry every node of the partition via
+    the keep-alive rows, asserted). Bit identical to the former Dataset
+    groupby-sum loop; 12+ launches -> 1 final sort."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min
 
     _setup()
     ds = _read(sf_dir, "documents", ["doc_id"])
@@ -3727,77 +3765,85 @@ def q_hits(sf_dir: str, iters: int = 3):
         raise ValueError("hits needs gcd(7, N) == 1 for the modular-"
                          "inverse transpose; other N would need an "
                          "explicit edge join") from exc
+    P = 16
 
-    # State between half-steps is (summed, mx): the UN-normalized groupby
-    # sums plus the global max. The rescale s*scale//mx is fused into the
-    # NEXT stage's emit (or the final projection) — same int64 ops, bit
-    # identical, but one fewer map_batches+materialize launch per
-    # half-step (executor launch latency dominates this query's wall
-    # time; the data volume is 16 B/node).
-    def init(t: pa.Table) -> pa.Table:
-        t = t.replace_schema_metadata(None)
-        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table({"node": pa.array(ids),
-                         "s": pa.array(np.full(ids.size, scale, np.int64))})
-
-    def emit_out(mx):
-        def _emit(t: pa.Table) -> pa.Table:
-            # node i sends its value to out-neighbors (7i+k) % n
-            t = t.replace_schema_metadata(None)
-            ids = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
-            v = t["s"].to_numpy(zero_copy_only=False).astype(np.int64) \
-                * scale // mx
+    def slicer(t: pa.Table, mx: int, out_edges: bool):
+        """rescale-fused emit + per-dst combiner; P (node, c) tables."""
+        ids = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t["s"].to_numpy(zero_copy_only=False).astype(np.int64) \
+            * scale // mx
+        if out_edges:   # value flows to out-neighbors (7i+k) % n
             dst = np.concatenate([(ids * 7 + 1) % n, (ids * 7 + 2) % n,
                                   (ids * 7 + 3) % n, ids])
-            vv = np.concatenate([v, v, v, np.zeros_like(v)])
-            return pa.table({"node": pa.array(dst), "c": pa.array(vv)})
-        return _emit
-
-    def emit_in(mx):
-        def _emit(t: pa.Table) -> pa.Table:
-            # node i sends its value to in-neighbors ((i-k) * inv7) % n
-            t = t.replace_schema_metadata(None)
-            ids = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
-            v = t["s"].to_numpy(zero_copy_only=False).astype(np.int64) \
-                * scale // mx
+        else:           # value flows to in-neighbors ((i-k) * inv7) % n
             dst = np.concatenate([(((ids - k) % n) * inv7) % n
                                   for k in (1, 2, 3)] + [ids])
-            vv = np.concatenate([v, v, v, np.zeros_like(v)])
-            return pa.table({"node": pa.array(dst), "c": pa.array(vv)})
-        return _emit
+        vv = np.concatenate([v, v, v, np.zeros_like(v)])
+        order = np.argsort(dst, kind="stable")
+        dst, vv = dst[order], vv[order]
+        first = np.empty(dst.size, dtype=bool)
+        first[0] = True
+        np.not_equal(dst[1:], dst[:-1], out=first[1:])
+        starts = np.flatnonzero(first)
+        udst = dst[starts]
+        usum = np.add.reduceat(vv, starts)
+        part = udst % P
+        return tuple(
+            pa.table({"node": pa.array(udst[part == p]),
+                      "c": pa.array(usum[part == p])})
+            for p in range(P))
 
-    def half_step(state, mx, emit):
-        summed = (state.map_batches(emit(mx), batch_format="pyarrow")
-                  .groupby("node").aggregate(Sum("c", alias_name="s")))
-        summed = summed.materialize()
-        new_mx = int(summed.aggregate(Max("s"))["max(s)"])
-        return summed, new_mx
+    def reducer(*tables):
+        """per-node sum across slicer outputs; returns (state, local max)."""
+        t = pa.concat_tables([x for x in tables if len(x)])
+        d = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(d, kind="stable")
+        d, c = d[order], c[order]
+        first = np.empty(d.size, dtype=bool)
+        first[0] = True
+        np.not_equal(d[1:], d[:-1], out=first[1:])
+        starts = np.flatnonzero(first)
+        s = np.add.reduceat(c, starts)
+        return pa.table({"node": pa.array(d[starts]), "s": pa.array(s)}), \
+            int(s.max()) if s.size else 0
 
-    h, h_mx = ds.map_batches(init, batch_format="pyarrow"), scale
-    a, a_mx = None, scale
+    slice_t = ray.remote(slicer).options(num_returns=P)
+    reduce_t = ray.remote(reducer).options(num_returns=2)
+
+    def half_step(state, mx, out_edges):
+        sliced = [slice_t.remote(b, mx, out_edges) for b in state]
+        outs = [reduce_t.remote(*[s[p] for s in sliced]) for p in range(P)]
+        new_state = [o[0] for o in outs]
+        new_mx = max(ray.get([o[1] for o in outs]))
+        return new_state, new_mx
+
+    h = [ray.put(pa.table({
+        "node": pa.array(np.arange(p, n, P, dtype=np.int64)),
+        "s": pa.array(np.full(len(range(p, n, P)), scale, np.int64))}))
+        for p in range(P)]
+    h_mx, a, a_mx = scale, None, scale
     for _ in range(iters):
-        a, a_mx = half_step(h, h_mx, emit_out)
-        h, h_mx = half_step(a, a_mx, emit_in)
+        a, a_mx = half_step(h, h_mx, True)
+        h, h_mx = half_step(a, a_mx, False)
 
-    a2 = a.map_batches(
-        lambda t, _mx=a_mx: pa.table(
-            {"node": t["node"].cast(pa.int64()),
-             "authority_e6": pa.array(
-                 t["s"].to_numpy(zero_copy_only=False).astype(np.int64)
-                 * scale // _mx)}),
-        batch_format="pyarrow")
-    h2 = h.map_batches(
-        lambda t, _mx=h_mx: pa.table(
-            {"node": t["node"].cast(pa.int64()),
-             "hub_e6": pa.array(
-                 t["s"].to_numpy(zero_copy_only=False).astype(np.int64)
-                 * scale // _mx)}),
-        batch_format="pyarrow")
-    joined = hash_join(a2, h2, "node", "node")
-    return joined.map_batches(
-        lambda t: t.replace_schema_metadata(None)
-        .select(["node", "authority_e6", "hub_e6"]),
-        batch_format="pyarrow").sort("node")
+    def zip_join(at: pa.Table, ht: pa.Table, _amx=a_mx, _hmx=h_mx):
+        an = at["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hn = ht["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ao = np.argsort(an, kind="stable")
+        ho = np.argsort(hn, kind="stable")
+        if not np.array_equal(an[ao], hn[ho]):
+            raise AssertionError("hub/authority partitions diverged")
+        av = at["s"].to_numpy(zero_copy_only=False).astype(np.int64)[ao]
+        hv = ht["s"].to_numpy(zero_copy_only=False).astype(np.int64)[ho]
+        return pa.table({
+            "node": pa.array(an[ao]),
+            "authority_e6": pa.array(av * scale // _amx),
+            "hub_e6": pa.array(hv * scale // _hmx)})
+
+    join_t = ray.remote(zip_join)
+    out = [join_t.remote(a[p], h[p]) for p in range(P)]
+    return rd.from_arrow_refs(out).sort("node")
 
 
 def q_cocitation(sf_dir: str, min_shared: int = 2):
