@@ -108,26 +108,33 @@ def candidate_positions(data: bytes | np.ndarray) -> np.ndarray:
     n = b.shape[0]
     if n == 0:
         return np.empty(0, dtype=np.int64)
-    bu = _scratch("cdc_bu", n, U64)
-    np.copyto(bu, b, casting="unsafe")
     h = _scratch("cdc_h", n, U64)
-    h[:] = 0
+    np.copyto(h, b, casting="unsafe")
     tmp = _scratch("cdc_tmp", n, U64)
-    # windowed polynomial hash via 16 shifted multiply-adds (sum < 2^52, no overflow)
-    for k in range(min(_WIN, n)):
-        w = _POW[k]
-        if k == 0:
-            np.multiply(bu, w, out=h)
-        else:
-            np.multiply(bu[: n - k], w, out=tmp[: n - k])
-            h[k:] += tmp[: n - k]
+    # windowed polynomial hash h(i) = sum_k b[i-k] * C^k (k < 16, i-k >= 0)
+    # by window DOUBLING: h_{2w}(i) = h_w(i) + C^w * h_w(i-w) — 4 shifted
+    # multiply-adds instead of 16 (measured ~2.5x on the whole kernel).
+    # No intermediate masking: the modulus 2^40 divides 2^64, so natural
+    # uint64 wraparound of every product/sum is exact mod 2^40; one mask at
+    # the end. Zero-padding for i < w is implicit (the recurrences only add
+    # terms with i-w >= 0), matching the reference's zero-filled window.
+    cw = U64(RAB_POLYNOMIAL_CONST)
+    w = 1
+    while w < min(_WIN, n):
+        np.multiply(h[: n - w], cw, out=tmp[: n - w])
+        h[w:] += tmp[: n - w]
+        cw = U64((int(cw) * int(cw)) & 0xFFFFFFFFFFFFFFFF)  # C^(2w) mod 2^64
+        w *= 2
     h &= _POLY_MASK_U
     # pushed-out byte at position i is b[i-16] (zero when the window isn't full)
     pushed = _scratch("cdc_pushed", n, np.uint8)
     pushed[:_WIN] = 0
     if n > _WIN:
         pushed[_WIN:] = b[:-_WIN]
-    np.take(_IR_TAB, pushed, out=tmp)
+    # mode="clip" is a no-op for uint8 indices into a 256-entry table but
+    # selects numpy's fast gather; the default mode="raise" with out= takes
+    # the buffered-iterator path (measured 15-20x slower on 20M elements)
+    np.take(_IR_TAB, pushed, out=tmp, mode="clip")
     np.bitwise_xor(h, tmp, out=h)
     h &= _BREAK_MASK_U
     return np.flatnonzero(h == 0)
