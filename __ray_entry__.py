@@ -478,6 +478,58 @@ def q_norm_text_dedup(sf_dir: str):
                               ["norm_md5"], _canon_min_id("norm_md5"))
 
 
+def _dsir_scored(sf_dir: str):
+    """Shared DSIR scoring pipeline (stages/dsir.py): fit hashed-n-gram
+    (unigram+bigram, md5 mod 8192) occurrence counts on the target split
+    (doc_id % 10 == 0 — the harness's stand-in for a curated sample) and
+    on the full raw corpus — each ONE streaming pass of fixed-size
+    per-block bincount partials folded on the driver — then score every
+    document against the broadcast e6-quantized log-likelihood-ratio
+    vector in a single map pass. Integer contributions pre-quantized
+    before the per-doc sum (bm25 trick) keep the score order-free and
+    the DuckDB twin exact."""
+    import pyarrow.compute as pc
+
+    from pcompress_ray.stages.dsir import (
+        dsir_log_ratio_e6,
+        dsir_scores,
+        fit_hashed_ngram_counts,
+    )
+
+    _setup()
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tgt_only(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(d % 10 == 0))
+
+    target = docs.map_batches(tgt_only, batch_format="pyarrow")
+    llr = dsir_log_ratio_e6(fit_hashed_ngram_counts(target),
+                            fit_hashed_ngram_counts(docs))
+    return dsir_scores(docs, llr)
+
+
+def q_dsir_weights(sf_dir: str):
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169) for
+    every document: (doc_id, n_ngrams, score_e6) where score_e6 sums the
+    e6-quantized per-bucket log ratios of Laplace-smoothed hashed-n-gram
+    LMs fit on the target split vs the raw corpus. Exact DuckDB twin
+    (md5-derived buckets, integer contributions). Zero-token docs score
+    0 with n_ngrams 0."""
+    return _dsir_scored(sf_dir).sort("doc_id")
+
+
+def q_dsir_sample(sf_dir: str):
+    """DSIR Gumbel top-k resampling: select k=100 documents without
+    replacement with probability proportional to exp(importance weight),
+    via the deterministic md5-derived Gumbel key (stages/dsir.py
+    gumbel_key_e6, seed 0) — total-order top-k (O3), exact twin."""
+    from pcompress_ray.stages.dsir import dsir_resample
+
+    return dsir_resample(_dsir_scored(sf_dir), k=100, seed=0)
+
+
 def q_simhash_fingerprint(sf_dir: str):
     """Content-derived 64-bit SimHash per document (hash-based Charikar:
     bit j of md5(token) contributes +/-1; fingerprint bit = sign of the
@@ -4318,6 +4370,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # Coverage for everything below the window: the committed full-gate
     # logs (GATE_r04_*.log, tools/check_queries.py) + pytest oracles.
     return {
+        "dsir_weights": q_dsir_weights,
+        "dsir_sample": q_dsir_sample,
         "norm_text_dedup": q_norm_text_dedup,
         "simhash_fingerprint": q_simhash_fingerprint,
         "simhash_hamming_pairs": q_simhash_hamming_pairs,
@@ -5054,6 +5108,92 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) OVER (PARTITION BY md5(coalesce(text, '')))
                        AS canonical_doc_id
             FROM documents
+        """,
+        "dsir_weights": f"""
+            -- exact twin of stages/dsir.py: md5-mod-8192 hashed
+            -- unigram+bigram occurrences, Laplace-smoothed target
+            -- (doc_id % 10 = 0) vs raw LMs, per-bucket log ratio
+            -- floor(x*1e6+0.5)-quantized BEFORE the per-doc sum
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(coalesce(text, '')),
+                                          '{_TOKEN_SQL}') AS tk
+                FROM documents),
+            uni AS (SELECT doc_id, unnest(tk) AS g FROM toks),
+            big AS (SELECT doc_id, tk[g.i] || ' ' || tk[g.i + 1] AS g
+                    FROM toks, LATERAL (SELECT unnest(range(1, len(tk)))
+                                        AS i) g),
+            ng AS (SELECT * FROM uni UNION ALL SELECT * FROM big),
+            hb AS (SELECT doc_id,
+                          (('0x' || substr(md5(g), 1, 16))::UBIGINT
+                           % 8192)::BIGINT AS b
+                   FROM ng),
+            tgt AS (SELECT b, count(*) AS c FROM hb
+                    WHERE doc_id % 10 = 0 GROUP BY b),
+            raw AS (SELECT b, count(*) AS c FROM hb GROUP BY b),
+            tot AS (SELECT (SELECT count(*) FROM hb
+                            WHERE doc_id % 10 = 0) AS nt,
+                           (SELECT count(*) FROM hb) AS nr),
+            llr AS (SELECT r.b,
+                           floor(1e6 * (
+                               ln((coalesce(t.c, 0) + 1.0)
+                                  / (tot.nt + 8192.0))
+                             - ln((r.c + 1.0) / (tot.nr + 8192.0))
+                           ) + 0.5)::BIGINT AS c_e6
+                    FROM raw r LEFT JOIN tgt t USING (b), tot),
+            sc AS (SELECT hb.doc_id, count(*) AS n_ngrams,
+                          sum(llr.c_e6)::BIGINT AS score_e6
+                   FROM hb JOIN llr USING (b) GROUP BY hb.doc_id)
+            SELECT d.doc_id, coalesce(sc.n_ngrams, 0)::BIGINT AS n_ngrams,
+                   coalesce(sc.score_e6, 0)::BIGINT AS score_e6
+            FROM documents d LEFT JOIN sc USING (doc_id)
+        """,
+        "dsir_sample": f"""
+            -- Gumbel top-k twin: key = score_e6 + e6-quantized
+            -- -ln(-ln(u)), u = (md5("doc_id:0") leading-16-hex + 0.5)
+            -- / 2^64 — identical doubles on both engines
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(coalesce(text, '')),
+                                          '{_TOKEN_SQL}') AS tk
+                FROM documents),
+            uni AS (SELECT doc_id, unnest(tk) AS g FROM toks),
+            big AS (SELECT doc_id, tk[g.i] || ' ' || tk[g.i + 1] AS g
+                    FROM toks, LATERAL (SELECT unnest(range(1, len(tk)))
+                                        AS i) g),
+            ng AS (SELECT * FROM uni UNION ALL SELECT * FROM big),
+            hb AS (SELECT doc_id,
+                          (('0x' || substr(md5(g), 1, 16))::UBIGINT
+                           % 8192)::BIGINT AS b
+                   FROM ng),
+            tgt AS (SELECT b, count(*) AS c FROM hb
+                    WHERE doc_id % 10 = 0 GROUP BY b),
+            raw AS (SELECT b, count(*) AS c FROM hb GROUP BY b),
+            tot AS (SELECT (SELECT count(*) FROM hb
+                            WHERE doc_id % 10 = 0) AS nt,
+                           (SELECT count(*) FROM hb) AS nr),
+            llr AS (SELECT r.b,
+                           floor(1e6 * (
+                               ln((coalesce(t.c, 0) + 1.0)
+                                  / (tot.nt + 8192.0))
+                             - ln((r.c + 1.0) / (tot.nr + 8192.0))
+                           ) + 0.5)::BIGINT AS c_e6
+                    FROM raw r LEFT JOIN tgt t USING (b), tot),
+            sc AS (SELECT hb.doc_id,
+                          sum(llr.c_e6)::BIGINT AS score_e6
+                   FROM hb JOIN llr USING (b) GROUP BY hb.doc_id),
+            scf AS (SELECT d.doc_id,
+                           coalesce(sc.score_e6, 0)::BIGINT AS score_e6
+                    FROM documents d LEFT JOIN sc USING (doc_id)),
+            keyed AS (SELECT doc_id, score_e6,
+                             (score_e6 + floor(1e6 * -ln(-ln(
+                                 ((('0x' || substr(md5(doc_id::VARCHAR
+                                     || ':0'), 1, 16))::UBIGINT)::DOUBLE
+                                  + 0.5) / 18446744073709551616.0))
+                              + 0.5)::BIGINT) AS key_e6
+                      FROM scf)
+            SELECT doc_id, score_e6, key_e6 FROM keyed
+            ORDER BY key_e6 DESC, doc_id LIMIT 100
         """,
         "simhash_fingerprint": f"""
             -- hash-derived Charikar SimHash, bit-exact twin of

@@ -63,7 +63,8 @@ QUERY_NAMES = ["q1_pricing", "q3_top_orders", "customer_nation", "doc_stats",
                "ivfpq_topk", "cocitation", "kcenter_probes",
                "curate_funnel", "span_corruption", "cdx_index",
                "dedup_recall_eval", "norm_text_dedup",
-               "simhash_fingerprint", "simhash_hamming_pairs"]
+               "simhash_fingerprint", "simhash_hamming_pairs",
+               "dsir_weights", "dsir_sample"]
 
 
 def run_bench() -> dict:
