@@ -3307,6 +3307,56 @@ def q_heuristic_filter(sf_dir: str):
             .sort("doc_id"))
 
 
+def q_incremental_neardup(sf_dir: str):
+    """Incremental NEAR-dup fold-in — the fuzzy sibling of bloom_dedup
+    (pipelines/incremental.dedup_increment; reference analog: appending
+    to pcompress's grow-only global chunk index, rabin/global/index.c):
+    run the flagship on the first 80% of docs (the historical store),
+    then fold the last 20% in as an increment. The increment's shas /
+    chunk hashes / band keys ship as broadcast prefilters so only
+    TOUCHED buckets pay the exchange (metrics record how few that is);
+    prior docs' cluster ids and canonical flags are stable by
+    construction. Equivalence to a full recompute over the union is the
+    pytest oracle (tests/test_incremental.py); MinHash perm state =>
+    rows-only for the driver. Stop-shingle sampling is disabled so the
+    store and increment band under the same suppression set."""
+    from pcompress_ray.config import PipelineConfig
+    from pcompress_ray.pipelines.dedup import dedup_pipeline
+    from pcompress_ray.pipelines.incremental import dedup_increment
+    from pcompress_ray.sources.corpus import pages_from_documents
+
+    _setup()
+    cfg = PipelineConfig(stop_shingle_df=0)
+    pages = pages_from_documents(sf_dir)
+
+    def add_rank(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        ids = t["doc_id"].cast(pa.int64())
+        return t.append_column("rank", ids)
+
+    pages = pages.map_batches(add_rank, batch_format="pyarrow")
+    # row count from parquet FOOTER metadata — no execution pass
+    import pyarrow.parquet as pq_mod
+    n = pq_mod.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    cut = (n * 4) // 5  # append-only rank contract: increment = newest 20%
+
+    def split(keep_store: bool):
+        def f(t: pa.Table) -> pa.Table:
+            t = t.replace_schema_metadata(None)
+            r = t["rank"].to_numpy(zero_copy_only=False)
+            m = r < cut if keep_store else r >= cut
+            return t.filter(pa.array(m))
+        return f
+
+    store = pages.map_batches(split(True), batch_format="pyarrow")
+    newer = pages.map_batches(split(False), batch_format="pyarrow")
+    prev = dedup_pipeline(store, cfg, compute_pairs=False)
+    inc = dedup_increment(prev.signatures, prev.edges, newer, cfg)
+    return inc.clusters.select_columns(
+        ["url", "cluster_id", "is_canonical"]).sort("url")
+
+
 def q_bloom_dedup(sf_dir: str):
     """Incremental exact dedup behind a broadcast Bloom prefilter: the
     store (even doc_ids) ships once as fixed-size Bloom bits; the
@@ -4436,6 +4486,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_funnel": q_curate_funnel,
         "kmeans_clusters": q_kmeans_clusters,
         "semdedup": q_semdedup,
+        "incremental_neardup": q_incremental_neardup,
         "substring_excise": q_substring_excise,
         "dup_span_anchors": q_dup_span_anchors,
         "bpe_merges": q_bpe_merges,

@@ -145,7 +145,11 @@ def canonicalize_sql(url_expr: str) -> str:
     default '$' is absolute-end like the pandas side's '\\Z'."""
     u1 = f"regexp_replace({url_expr}, '#[\\s\\S]*', '')"
     scheme = f"lower(split_part({u1}, '://', 1))"
-    rest = f"split_part({u1}, '://', 2)"
+    # FIRST-occurrence split, not split_part(..., 2): DuckDB split_part
+    # cuts at every delimiter, so a degenerate 'http://://?' would yield
+    # '' where pandas split('://', n=1) yields '://?' (hypothesis-found)
+    rest = (f"CASE WHEN strpos({u1}, '://') = 0 THEN '' "
+            f"ELSE substr({u1}, strpos({u1}, '://') + 3) END")
     host0 = f"lower(split_part({rest}, '/', 1))"
     pq0 = f"regexp_replace({rest}, '^[^/]*', '')"
     host = f"""CASE

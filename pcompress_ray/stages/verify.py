@@ -132,6 +132,11 @@ def _extract_sketch_block(block, sorted_ids: np.ndarray):
     value payload is returned as its own object so it stays in the object
     store (the driver only ever touches ranks+lens).
     """
+    if len(block) == 0:
+        # empty partitions (e.g. from an upstream filter) may carry no
+        # schema at all — Ray propagates them without calling any UDF
+        return (np.empty(0, np.int64), np.empty(0, np.int64)), \
+            np.empty(0, np.uint64)
     t = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
     r = t["rank"].to_numpy(zero_copy_only=False).astype(np.int64)
     if sorted_ids.size:
