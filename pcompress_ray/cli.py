@@ -306,6 +306,39 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_select(args) -> int:
+    """DSIR data selection (stages/dsir.py): fit hashed-n-gram LMs on a
+    target corpus vs the raw corpus, score every raw doc, Gumbel top-k
+    resample, write the selected docs as parquet."""
+    import ray.data as rd
+
+    from pcompress_ray.functions.ops import hash_join
+    from pcompress_ray.stages.dsir import (
+        dsir_log_ratio_e6,
+        dsir_resample,
+        dsir_scores,
+        fit_hashed_ngram_counts,
+    )
+
+    _init_ray(args.num_cpus)
+    raw = rd.read_parquet(args.input, columns=[args.id_col, args.text_col])
+    target = rd.read_parquet(args.target,
+                             columns=[args.id_col, args.text_col])
+    llr = dsir_log_ratio_e6(
+        fit_hashed_ngram_counts(target, text_col=args.text_col),
+        fit_hashed_ngram_counts(raw, text_col=args.text_col))
+    scored = dsir_scores(raw, llr, id_col=args.id_col,
+                         text_col=args.text_col)
+    picked = dsir_resample(scored, k=args.k, id_col=args.id_col,
+                           seed=args.seed)
+    out = hash_join(raw, picked.select_columns([args.id_col, "score_e6"]),
+                    left_on=args.id_col, right_on=args.id_col)
+    out.write_parquet(args.output)
+    print(json.dumps({"output": args.output, "k": args.k,
+                      "seed": args.seed}))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="pcompress_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -404,6 +437,18 @@ def main(argv=None) -> int:
     rs.add_argument("--output", required=True)
     rs.add_argument("--num-cpus", type=int, default=None)
     rs.set_defaults(fn=cmd_restore)
+
+    sel = sub.add_parser("select", help="DSIR importance-resampled "
+                                        "data selection")
+    sel.add_argument("input", help="raw corpus parquet")
+    sel.add_argument("target", help="target-sample parquet")
+    sel.add_argument("output", help="selected-docs parquet dir")
+    sel.add_argument("-k", type=int, default=1000)
+    sel.add_argument("--seed", type=int, default=0)
+    sel.add_argument("--id-col", default="doc_id")
+    sel.add_argument("--text-col", default="text")
+    sel.add_argument("--num-cpus", type=int, default=None)
+    sel.set_defaults(fn=cmd_select)
 
     args = p.parse_args(argv)
     rc = args.fn(args)

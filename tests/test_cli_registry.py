@@ -308,3 +308,35 @@ def test_optional_codec_slots_probe_guarded():
                 compress_chunk(b"x", name)
             with pytest.raises(ValueError, match="unavailable"):
                 decompress_chunk(b"x", name)
+
+
+def test_cli_select_dsir(ray_session, tmp_path, capsys):
+    """select picks mostly target-style docs and writes them with scores."""
+    rng = np.random.default_rng(9)
+    sci = [f"atom{i}" for i in range(40)]
+    spam = [f"buy{i}" for i in range(40)]
+    raw_texts = [" ".join(rng.choice(sci if i % 2 == 0 else spam, 30))
+                 for i in range(40)]
+    tgt_texts = [" ".join(rng.choice(sci, 30)) for _ in range(10)]
+    raw_p = str(tmp_path / "raw.parquet")
+    tgt_p = str(tmp_path / "tgt.parquet")
+    out_p = str(tmp_path / "sel")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(40), pa.int64()),
+        "text": pa.array(raw_texts)}), raw_p)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(10), pa.int64()),
+        "text": pa.array(tgt_texts)}), tgt_p)
+    from pcompress_ray.cli import cmd_select
+
+    rc = cmd_select(argparse.Namespace(
+        input=raw_p, target=tgt_p, output=out_p, k=10, seed=0,
+        id_col="doc_id", text_col="text", num_cpus=None))
+    assert rc == 0
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["k"] == 10
+    got = pq.read_table(out_p).to_pandas()
+    assert len(got) == 10
+    assert {"doc_id", "text", "score_e6"} <= set(got.columns)
+    # selection is importance-biased: >=8 of 10 picks are sci (even ids)
+    assert (got["doc_id"].to_numpy() % 2 == 0).sum() >= 8
