@@ -179,8 +179,8 @@ def run_bench() -> dict:
 # on scaling pairs (legs >20% over record => window degraded, pair not
 # credible). Update when a faster clean leg is recorded.
 _SCALING_RECORDS = {
-    960000: {4: 406.9, 16: 108.3},  # 2026-08-20 first 960k pair (eff 0.939 raw
-                                    # / 0.923 ceiling-capped, credible)
+    960000: {4: 356.9, 16: 106.5},  # 2026-08-20 two credible pairs (eff 0.939
+                                    # then 0.838 raw; legs are the best of both)
     480000: {4: 191.0, 16: 53.0},   # 2026-08-20 fresh-boot clean window (eff
                                     # 0.902 credible; prior 242.5/70.6)
     120000: {4: 442.2, 16: 126.9},  # pre-fast-exchange engine (stale-slow: only
