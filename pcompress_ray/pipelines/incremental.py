@@ -208,10 +208,20 @@ def bloom_prefilter_dedup(new_ds, store_ds, text_col: str = "text",
             hash_strings(_texts(t).astype(str)))
         return pa.table({"bits": pa.array([bf.tobytes()], pa.binary())})
 
-    parts = store_ds.map_batches(bloom_partial,
-                                 batch_format="pyarrow").take_all()
+    def bloom_combine(t: pa.Table) -> pa.Table:
+        # combine tier: driver ingress drops from #blocks to #blocks/32
+        # partials (at 10^6 blocks x 128 KB that is 128 GB -> 4 GB; raise
+        # batch_size or add a round for more)
+        acc = BloomFilter.empty(n_bits, k)
+        for buf in t["bits"].to_pylist():
+            acc.merge(BloomFilter.frombytes(buf, k))
+        return pa.table({"bits": pa.array([acc.tobytes()], pa.binary())})
+
+    parts = store_ds.map_batches(bloom_partial, batch_format="pyarrow") \
+        .map_batches(bloom_combine, batch_format="pyarrow", batch_size=32) \
+        .take_all()
     bf = BloomFilter.empty(n_bits, k)
-    for row in parts:  # driver fold: #blocks x n_bits/8 bytes, bounded
+    for row in parts:  # driver fold: #blocks/32 x n_bits/8 bytes
         bf.merge(BloomFilter.frombytes(row["bits"], k))
     bf_ref = ray.put(bf)
 

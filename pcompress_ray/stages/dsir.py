@@ -92,7 +92,17 @@ def fit_hashed_ngram_counts(ds, text_col: str = "text",
         cnt = np.bincount(b, minlength=n_buckets).astype(np.int64)
         return pa.table({"counts": pa.array([cnt.tobytes()], pa.binary())})
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    def combine(t: pa.Table) -> pa.Table:
+        # intermediate combine tier: driver ingress is #blocks/64 partials
+        # instead of #blocks (at 10^6 input blocks that is 1 GB -> 16 MB)
+        acc = np.zeros(n_buckets, np.int64)
+        for buf in t["counts"].to_pylist():
+            acc += np.frombuffer(buf, np.int64)
+        return pa.table({"counts": pa.array([acc.tobytes()], pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow") \
+        .map_batches(combine, batch_format="pyarrow", batch_size=64) \
+        .take_all()
     total = np.zeros(n_buckets, np.int64)
     for row in parts:
         total += np.frombuffer(row["counts"], np.int64)
