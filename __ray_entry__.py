@@ -3059,8 +3059,26 @@ def q_cms_top_tokens(sf_dir: str):
                                   pa.list_(pa.string())),
         })
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
-    # driver merge: #blocks × 64 KB partials — bounded, not corpus-sized
+    def combine(t: pa.Table) -> pa.Table:
+        # combine tier: driver ingress #blocks/32 x 64 KB, not #blocks
+        acc, cands = None, []
+        for i in range(len(t)):
+            d, w = t["shape"][i].as_py()
+            sk = CountMinSketch(np.frombuffer(
+                t["sketch"][i].as_py(), np.int64).reshape(d, w).copy())
+            acc = sk if acc is None else acc.merge(sk)
+            cands.extend(t["cand_toks"][i].as_py())
+        cands = sorted(set(cands))
+        return pa.table({
+            "sketch": pa.array([acc.table.tobytes()], pa.binary()),
+            "shape": pa.array([list(acc.table.shape)], pa.list_(pa.int64())),
+            "cand_toks": pa.array([cands], pa.list_(pa.string())),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow") \
+        .map_batches(combine, batch_size=32, batch_format="pyarrow") \
+        .take_all()
+    # driver merge: #blocks/32 × 64 KB partials — bounded, not corpus-sized
     merged, cand = None, []
     for row in parts:
         d, w = row["shape"]
