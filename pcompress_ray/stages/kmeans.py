@@ -78,11 +78,27 @@ def kmeans_fit(emb_ds, k: int = 8, n_iter: int = 5, id_col: str = "vec_id",
                 "counts": pa.array([counts.tobytes()], pa.binary()),
             })
 
-        parts = emb_ds.map_batches(partial,
-                                   batch_format="pyarrow").take_all()
+        def combine(t: pa.Table) -> pa.Table:
+            # combine tier (exact: float64 sums are folded in block order
+            # within a batch either way): driver ingress #blocks/64 x
+            # k x (dim+1) doubles instead of #blocks — matters at k >= 10^3
+            s = np.zeros_like(c)
+            n = np.zeros(c.shape[0], np.float64)
+            for i in range(len(t)):
+                s += np.frombuffer(t["sums"][i].as_py(), np.float64) \
+                    .reshape(c.shape)
+                n += np.frombuffer(t["counts"][i].as_py(), np.float64)
+            return pa.table({
+                "sums": pa.array([s.tobytes()], pa.binary()),
+                "counts": pa.array([n.tobytes()], pa.binary()),
+            })
+
+        parts = emb_ds.map_batches(partial, batch_format="pyarrow") \
+            .map_batches(combine, batch_size=64, batch_format="pyarrow") \
+            .take_all()
         sums = np.zeros_like(cents)
         counts = np.zeros(cents.shape[0], dtype=np.float64)
-        for r in parts:  # driver fold: #blocks x k x (dim+1) doubles
+        for r in parts:  # driver fold: #blocks/64 x k x (dim+1) doubles
             sums += np.frombuffer(r["sums"], np.float64) \
                 .reshape(cents.shape)
             counts += np.frombuffer(r["counts"], np.float64)
