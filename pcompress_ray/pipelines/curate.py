@@ -47,6 +47,7 @@ from pcompress_ray.config import PipelineConfig
 class CurateResult:
     curated: object                 # Dataset (url, rank, text)
     funnel: dict = field(default_factory=dict)   # stage -> surviving docs
+    timings: dict = field(default_factory=dict)  # stage -> wall seconds
 
 
 def curate_pipeline(pages_ds, cfg: PipelineConfig | None = None,
@@ -70,8 +71,11 @@ def curate_pipeline(pages_ds, cfg: PipelineConfig | None = None,
                                                 ngram_strings)
     from pcompress_ray.stages.urlnorm import canonicalize_urls
 
+    import time as _time
+
     cfg = cfg or PipelineConfig()
     funnel: dict[str, int] = {}
+    timings: dict[str, float] = {}
     # the funnel's semantic hash extends the dedup config hash with the
     # curate-only knobs, so changing either invalidates the checkpoints
     ck = CheckpointManager(
@@ -83,7 +87,8 @@ def curate_pipeline(pages_ds, cfg: PipelineConfig | None = None,
 
     def stage(name: str, build):
         """Run (or resume) one funnel stage; returns the materialized
-        Dataset backing it and records the funnel count."""
+        Dataset backing it and records the funnel count + wall time."""
+        _t0 = _time.monotonic()
         if ck.enabled and ck.is_complete(name):
             out = rd.read_parquet(ck.path(name))
         else:
@@ -93,6 +98,7 @@ def curate_pipeline(pages_ds, cfg: PipelineConfig | None = None,
             if ck.enabled and out.count() > 0:
                 out = ck.materialize(name, out)
         funnel[name] = out.count()
+        timings[name] = _time.monotonic() - _t0
         return out
 
     names = pages_ds.schema().names
@@ -139,7 +145,8 @@ def curate_pipeline(pages_ds, cfg: PipelineConfig | None = None,
         return CurateResult(curated=rd.from_arrow(pa.table({
             "url": pa.array([], pa.string()),
             "rank": pa.array([], pa.int64()),
-            "text": pa.array([], pa.string())})), funnel=funnel)
+            "text": pa.array([], pa.string())})), funnel=funnel,
+            timings=timings)
 
     # 4. near-dup dedup FIRST (flagship pipeline, canonical docs kept).
     # Order matters: the line scrub is remove-EVERYWHERE, so running it
@@ -228,4 +235,4 @@ def curate_pipeline(pages_ds, cfg: PipelineConfig | None = None,
 
         ds = stage("decontaminate", decont_stage)
 
-    return CurateResult(curated=ds, funnel=funnel)
+    return CurateResult(curated=ds, funnel=funnel, timings=timings)

@@ -61,6 +61,9 @@ def test_curate_funnel(ray_session):
     # monotone funnel
     vals = list(f.values())
     assert all(a >= b for a, b in zip(vals, vals[1:]))
+    # per-stage wall-time audit rides along with the counts
+    assert set(res.timings) == set(f)
+    assert all(v >= 0.0 for v in res.timings.values())
 
     out = res.curated.to_pandas().sort_values("rank")
     assert len(out) == 8
