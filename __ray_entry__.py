@@ -478,6 +478,62 @@ def q_norm_text_dedup(sf_dir: str):
                               ["norm_md5"], _canon_min_id("norm_md5"))
 
 
+def q_soft_dedup_weights(sf_dir: str):
+    """SoftDeDup (He et al. 2024, arXiv:2407.06654) over the normalized-
+    exact tier: instead of dropping duplicates, every doc gets an integer
+    e6 sampling weight ∝ 1/dup_count, renormalized to mean 1 — hard dedup
+    is the alpha→∞ limit (reference analog: the A3 gain accounting
+    pcompress.c:175-195 turned into reweighting). Duplication key is the
+    same ASCII-lower + whitespace-collapse md5 as `norm_text_dedup`, so
+    the tiers compose. All arithmetic is fixed-point floor division
+    (stages/softdedup.py) — the DuckDB twin is integer-exact."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    from pcompress_ray.stages.softdedup import soft_dedup_weights
+
+    _setup()
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def norm_md5(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        s = pc.fill_null(t["text"], "")
+        s = pc.ascii_lower(s)
+        s = pc.replace_substring_regex(s, r"[ \t\r\n]+", " ")
+        s = pc.utf8_trim(s, " ")
+        h = [hashlib.md5(x.encode("utf-8")).hexdigest()
+             for x in s.to_pylist()]
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                         "norm_md5": pa.array(h, pa.string())})
+
+    return soft_dedup_weights(
+        ds.map_batches(norm_md5, batch_format="pyarrow"), "norm_md5")
+
+
+def q_soft_cluster_weights(sf_dir: str):
+    """SoftDeDup weights over the FLAGSHIP near-dup tier: duplication key
+    is the MinHash/LSH cluster id, so whole near-duplicate families share
+    the downweight (the paper's actual construction — commonness from
+    near-dup multiplicity, not just exact). Rows-only for the driver
+    (MinHash clusters are not SQL-expressible); the weighting arithmetic
+    itself is pinned by the exact `soft_dedup_weights` twin and
+    tests/test_softdedup.py."""
+    from pcompress_ray.stages.softdedup import soft_dedup_weights
+
+    res = _dedup_clusters(sf_dir)
+
+    def with_doc_id(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        ids = np.asarray([int(u[6:]) for u in t["url"].to_pylist()],
+                         np.int64)
+        return pa.table({"doc_id": pa.array(ids),
+                         "cluster_id": t["cluster_id"].cast(pa.int64())})
+
+    ds = res.clusters.map_batches(with_doc_id, batch_format="pyarrow")
+    return soft_dedup_weights(ds, "cluster_id")
+
+
 def _dsir_scored(sf_dir: str):
     """Shared DSIR scoring pipeline (stages/dsir.py): fit hashed-n-gram
     (unigram+bigram, md5 mod 8192) occurrence counts on the target split
@@ -4438,6 +4494,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # Coverage for everything below the window: the committed full-gate
     # logs (GATE_r04_*.log, tools/check_queries.py) + pytest oracles.
     return {
+        "soft_dedup_weights": q_soft_dedup_weights,
         "dsir_weights": q_dsir_weights,
         "dsir_sample": q_dsir_sample,
         "norm_text_dedup": q_norm_text_dedup,
@@ -4495,6 +4552,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_stats": q_domain_stats,
         "event_window_dedup": q_event_window_dedup,
         # -- driver-unchecked, no SQL oracle (rows-only + pytest-pinned) --
+        "soft_cluster_weights": q_soft_cluster_weights,
         "dedup_recall_eval": q_dedup_recall_eval,
         "pq_topk": q_pq_topk,
         "cms_top_tokens": q_cms_top_tokens,
@@ -5177,6 +5235,35 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) OVER (PARTITION BY md5(coalesce(text, '')))
                        AS canonical_doc_id
             FROM documents
+        """,
+        "soft_dedup_weights": """
+            -- exact twin of stages/softdedup.py over the norm-text tier:
+            -- dup_count per normalized-md5 group, weight_e6 = 1e6 //
+            -- dup_count, norm_weight_e6 = n_docs * weight_e6 * 1e6 //
+            -- sum(weight_e6) — all floor division on integers, so the
+            -- engine's fixed-point arithmetic is reproduced exactly
+            WITH n AS (
+                SELECT doc_id,
+                       md5(trim(regexp_replace(
+                           translate(coalesce(text, ''),
+                                     'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                                     'abcdefghijklmnopqrstuvwxyz'),
+                           '[ \t\r\n]+', ' ', 'g'), ' ')) AS norm_md5
+                FROM documents),
+            c AS (
+                SELECT doc_id,
+                       CAST(count(*) OVER (PARTITION BY norm_md5) AS BIGINT)
+                           AS dup_count
+                FROM n),
+            w AS (
+                SELECT doc_id, dup_count,
+                       CAST(1000000 // dup_count AS BIGINT) AS weight_e6
+                FROM c)
+            SELECT doc_id, dup_count, weight_e6,
+                   CAST((SELECT count(*) FROM w) * weight_e6 * 1000000
+                        // (SELECT sum(weight_e6) FROM w) AS BIGINT)
+                       AS norm_weight_e6
+            FROM w
         """,
         "dsir_weights": f"""
             -- exact twin of stages/dsir.py: md5-mod-8192 hashed

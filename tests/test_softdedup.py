@@ -1,0 +1,70 @@
+"""SoftDeDup reweighting: hand-computed integer weights, mean preservation,
+parallelism invariance, alpha sharpness (stages/softdedup.py)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _weights(ds, alpha=1):
+    import pcompress_ray
+
+    pcompress_ray.register_for_ray()
+    from pcompress_ray.stages.softdedup import soft_dedup_weights
+
+    out = soft_dedup_weights(ds, "key", id_col="doc_id", alpha=alpha,
+                             n_parts=4).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _corpus():
+    # multiplicities: key a ×3, key b ×2, keys c,d ×1  -> 7 docs
+    keys = ["a", "a", "a", "b", "b", "c", "d"]
+    return pa.table({"doc_id": pa.array(range(7), pa.int64()),
+                     "key": pa.array(keys, pa.string())})
+
+
+def test_hand_computed(ray_session):
+    import ray.data as rd
+
+    out = _weights(rd.from_arrow(_corpus()))
+    assert list(out["dup_count"]) == [3, 3, 3, 2, 2, 1, 1]
+    # weight_e6 = 1e6 // k
+    assert list(out["weight_e6"]) == [333333] * 3 + [500000] * 2 + [1000000] * 2
+    # sum_w = 3*333333 + 2*500000 + 2*1000000 = 3_999_999 ; n_docs = 7
+    # norm = 7 * w * 1e6 // 3_999_999
+    exp = [7 * w * 1_000_000 // 3_999_999 for w in out["weight_e6"]]
+    assert list(out["norm_weight_e6"]) == exp
+    # mean preservation: total normalized mass within n_docs of n_docs*1e6
+    assert abs(out["norm_weight_e6"].sum() - 7 * 1_000_000) <= 7
+
+
+def test_parallelism_invariance(ray_session):
+    import ray.data as rd
+
+    t = _corpus()
+    a = _weights(rd.from_arrow(t))
+    b = _weights(rd.from_arrow(t).repartition(3))
+    assert a.equals(b)
+
+
+def test_alpha_sharpness(ray_session):
+    import ray.data as rd
+
+    a1 = _weights(rd.from_arrow(_corpus()), alpha=1)
+    a2 = _weights(rd.from_arrow(_corpus()), alpha=2)
+    # alpha=2: weight_e6 = 1e6 // k^2 -> triples get 111111
+    assert list(a2["weight_e6"])[:3] == [111111] * 3
+    # duplicates are punished harder, uniques relatively favored
+    tri1 = a1["norm_weight_e6"][0] / a1["norm_weight_e6"][6]
+    tri2 = a2["norm_weight_e6"][0] / a2["norm_weight_e6"][6]
+    assert tri2 < tri1
+
+
+def test_alpha_validation(ray_session):
+    import ray.data as rd
+
+    from pcompress_ray.stages.softdedup import soft_dedup_weights
+
+    with pytest.raises(ValueError):
+        soft_dedup_weights(rd.from_arrow(_corpus()), "key", alpha=0)
