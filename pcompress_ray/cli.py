@@ -339,6 +339,40 @@ def cmd_select(args) -> int:
     return 0
 
 
+def cmd_reweight(args) -> int:
+    """SoftDeDup reweighting (stages/softdedup.py): per-doc e6 sampling
+    weights ∝ 1/dup_count^alpha over the normalized-exact tier, written
+    as parquet (doc_id, dup_count, weight_e6, norm_weight_e6)."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from pcompress_ray.stages.softdedup import soft_dedup_weights
+
+    _init_ray(args.num_cpus)
+    ds = rd.read_parquet(args.input, columns=[args.id_col, args.text_col])
+    id_col, text_col = args.id_col, args.text_col
+
+    def norm_md5(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        s = pc.fill_null(t[text_col], "")
+        s = pc.ascii_lower(s)
+        s = pc.replace_substring_regex(s, r"[ \t\r\n]+", " ")
+        s = pc.utf8_trim(s, " ")
+        h = [hashlib.md5(x.encode("utf-8")).hexdigest()
+             for x in s.to_pylist()]
+        return pa.table({id_col: t[id_col].cast(pa.int64()),
+                         "norm_md5": pa.array(h, pa.string())})
+
+    out = soft_dedup_weights(ds.map_batches(norm_md5, batch_format="pyarrow"),
+                             "norm_md5", id_col=id_col, alpha=args.alpha)
+    out.write_parquet(args.output)
+    print(json.dumps({"output": args.output, "alpha": args.alpha}))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="pcompress_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -449,6 +483,17 @@ def main(argv=None) -> int:
     sel.add_argument("--text-col", default="text")
     sel.add_argument("--num-cpus", type=int, default=None)
     sel.set_defaults(fn=cmd_select)
+
+    rw = sub.add_parser("reweight", help="SoftDeDup duplication-aware "
+                                         "sampling weights")
+    rw.add_argument("input", help="corpus parquet")
+    rw.add_argument("output", help="weights parquet dir")
+    rw.add_argument("--alpha", type=int, default=1,
+                    help="sharpness exponent (hard dedup = alpha->inf)")
+    rw.add_argument("--id-col", default="doc_id")
+    rw.add_argument("--text-col", default="text")
+    rw.add_argument("--num-cpus", type=int, default=None)
+    rw.set_defaults(fn=cmd_reweight)
 
     args = p.parse_args(argv)
     rc = args.fn(args)

@@ -340,3 +340,26 @@ def test_cli_select_dsir(ray_session, tmp_path, capsys):
     assert {"doc_id", "text", "score_e6"} <= set(got.columns)
     # selection is importance-biased: >=8 of 10 picks are sci (even ids)
     assert (got["doc_id"].to_numpy() % 2 == 0).sum() >= 8
+
+
+def test_cli_reweight_softdedup(ray_session, tmp_path, capsys):
+    """reweight writes integer SoftDeDup weights; dups share downweight."""
+    texts = ["alpha beta gamma"] * 3 + ["delta one", "epsilon two"]
+    inp = str(tmp_path / "docs.parquet")
+    out_p = str(tmp_path / "w")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(5), pa.int64()),
+        "text": pa.array(texts)}), inp)
+    from pcompress_ray.cli import cmd_reweight
+
+    rc = cmd_reweight(argparse.Namespace(
+        input=inp, output=out_p, alpha=1,
+        id_col="doc_id", text_col="text", num_cpus=None))
+    assert rc == 0
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["alpha"] == 1
+    got = pq.read_table(out_p).to_pandas().sort_values("doc_id")
+    assert list(got["dup_count"]) == [3, 3, 3, 1, 1]
+    assert list(got["weight_e6"]) == [333333] * 3 + [1000000] * 2
+    # mean-1 normalization: total mass within n_docs of n_docs * 1e6
+    assert abs(got["norm_weight_e6"].sum() - 5_000_000) <= 5
