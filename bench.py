@@ -64,7 +64,8 @@ QUERY_NAMES = ["q1_pricing", "q3_top_orders", "customer_nation", "doc_stats",
                "curate_funnel", "span_corruption", "cdx_index",
                "dedup_recall_eval", "norm_text_dedup",
                "simhash_fingerprint", "simhash_hamming_pairs",
-               "dsir_weights", "dsir_sample", "incremental_neardup"]
+               "dsir_weights", "dsir_sample", "incremental_neardup",
+               "soft_dedup_weights", "soft_cluster_weights"]
 
 
 def run_bench() -> dict:
