@@ -247,7 +247,13 @@ def run_scaling():
                    GRAFT_BENCH_QUERIES="0", GRAFT_BENCH_DOCS=ndocs,
                    GRAFT_BENCH_HEADLINE_REPS="1")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                             env=env, capture_output=True, text=True, check=True)
+                             env=env, capture_output=True, text=True)
+        if out.returncode != 0:
+            # surface the child's failure (disk-full aborts etc.) instead
+            # of a blind CalledProcessError with captured stderr discarded
+            raise RuntimeError(
+                f"scaling leg num_cpus={ncpu} failed (rc={out.returncode}); "
+                f"stderr tail:\n{out.stderr[-2000:]}")
         return json.loads(out.stdout.strip().splitlines()[-1])
 
     reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
