@@ -511,6 +511,22 @@ def q_soft_dedup_weights(sf_dir: str):
         ds.map_batches(norm_md5, batch_format="pyarrow"), "norm_md5")
 
 
+def q_lsh_plan(sf_dir: str):
+    """LSH banding plan for the flagship's 128-perm signature at the
+    default candidate threshold 1/2 (stages/lshplan.py — the MMDS §3.4.3
+    S-curve error minimization in exact rational arithmetic, e12
+    fixed-point output): one row per feasible (bands, rows), the chosen
+    row being the argmin of recall-weighted error. The chosen row IS the
+    flagship default 32×4 (config.py:59) — this query is the planner's
+    justification of that default against the recall gate. Pure
+    deterministic driver-side math (sf_dir unused beyond the signature);
+    rows-only for the driver (exact rational powers are not
+    SQL-expressible), pinned bit-for-bit by tests/test_lshplan.py."""
+    from pcompress_ray.stages.lshplan import plan_bands
+
+    return plan_bands(128)
+
+
 def q_soft_cluster_weights(sf_dir: str):
     """SoftDeDup weights over the FLAGSHIP near-dup tier: duplication key
     is the MinHash/LSH cluster id, so whole near-duplicate families share
@@ -4553,6 +4569,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_window_dedup": q_event_window_dedup,
         # -- driver-unchecked, no SQL oracle (rows-only + pytest-pinned) --
         "soft_cluster_weights": q_soft_cluster_weights,
+        "lsh_plan": q_lsh_plan,
         "dedup_recall_eval": q_dedup_recall_eval,
         "pq_topk": q_pq_topk,
         "cms_top_tokens": q_cms_top_tokens,
