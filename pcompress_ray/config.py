@@ -120,6 +120,34 @@ class PipelineConfig:
         if self.lsh_bands * self.lsh_rows != self.num_perm:
             raise ValueError("lsh_bands * lsh_rows must equal num_perm")
 
+    @classmethod
+    def for_threshold(cls, threshold, num_perm: int = 128, **overrides):
+        """Config with (lsh_bands, lsh_rows) chosen by the S-curve
+        planner (stages/lshplan.py) for a target candidate threshold —
+        restricted to exact factorizations b·r == num_perm (the
+        signature matrix reshapes by (bands, rows), so partial use of
+        the permutations is not supported). for_threshold(0.5) returns
+        the 32×4 default; a deployment targeting looser or tighter
+        near-dup semantics gets the matching banding automatically."""
+        from fractions import Fraction
+
+        from pcompress_ray.stages.lshplan import plan_bands
+
+        t = Fraction(threshold).limit_denominator(100)
+        plan = plan_bands(num_perm, t)
+        best_b = best_r = None
+        best_err = None
+        for b, r, used, err in zip(plan["bands"].to_pylist(),
+                                   plan["rows"].to_pylist(),
+                                   plan["perms_used"].to_pylist(),
+                                   plan["err_e12"].to_pylist()):
+            if used != num_perm:
+                continue
+            if best_err is None or err < best_err:
+                best_b, best_r, best_err = b, r, err
+        return cls(num_perm=num_perm, lsh_bands=best_b, lsh_rows=best_r,
+                   **overrides)
+
     @property
     def avg_block_size(self) -> int:
         return rab_avg_block_size(self.rab_blk_sz)

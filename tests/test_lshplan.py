@@ -70,3 +70,18 @@ def test_feasible_combos_only():
     assert (t["perms_used"] == t["bands"] * t["rows"]).all()
     # every r from 1..16 appears exactly once
     assert sorted(t["rows"]) == list(range(1, 17))
+
+
+def test_config_for_threshold():
+    from fractions import Fraction
+
+    from pcompress_ray.config import PipelineConfig
+
+    c = PipelineConfig.for_threshold(0.5)
+    assert (c.lsh_bands, c.lsh_rows) == (32, 4)   # the flagship default
+    c8 = PipelineConfig.for_threshold(Fraction(4, 5))
+    assert c8.lsh_bands * c8.lsh_rows == 128      # exact factorization
+    assert c8.lsh_rows > 4                        # tighter -> sharper curve
+    # execution overrides pass through
+    c2 = PipelineConfig.for_threshold(0.5, sig_concurrency=2)
+    assert c2.sig_concurrency == 2
