@@ -511,6 +511,21 @@ def q_soft_dedup_weights(sf_dir: str):
         ds.map_batches(norm_md5, batch_format="pyarrow"), "norm_md5")
 
 
+def q_cluster_explain(sf_dir: str, top: int = 3):
+    """Audit/explain for the flagship's cluster assignments (the north
+    rule's matching criterion made inspectable): for the ``top`` largest
+    non-singleton clusters, every member's KMV-estimated Jaccard against
+    its cluster canonical — (cluster_id, url, is_canonical, n_members,
+    jaccard_vs_canon_e6). A curation reviewer reads this to see WHY docs
+    clustered (1.0 = verbatim dup; near threshold = borderline member).
+    Rows-only for the driver (MinHash/KMV state); planted-fixture pinned
+    by tests/test_cluster_explain.py. Core: pipelines/explain.py."""
+    from pcompress_ray.pipelines.explain import cluster_explain
+
+    res = _dedup_clusters(sf_dir)
+    return cluster_explain(res, top=top)
+
+
 def q_lsh_plan(sf_dir: str):
     """LSH banding plan for the flagship's 128-perm signature at the
     default candidate threshold 1/2 (stages/lshplan.py — the MMDS §3.4.3
@@ -4570,6 +4585,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- driver-unchecked, no SQL oracle (rows-only + pytest-pinned) --
         "soft_cluster_weights": q_soft_cluster_weights,
         "lsh_plan": q_lsh_plan,
+        "cluster_explain": q_cluster_explain,
         "dedup_recall_eval": q_dedup_recall_eval,
         "pq_topk": q_pq_topk,
         "cms_top_tokens": q_cms_top_tokens,

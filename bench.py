@@ -65,7 +65,8 @@ QUERY_NAMES = ["q1_pricing", "q3_top_orders", "customer_nation", "doc_stats",
                "dedup_recall_eval", "norm_text_dedup",
                "simhash_fingerprint", "simhash_hamming_pairs",
                "dsir_weights", "dsir_sample", "incremental_neardup",
-               "soft_dedup_weights", "soft_cluster_weights", "lsh_plan"]
+               "soft_dedup_weights", "soft_cluster_weights", "lsh_plan",
+               "cluster_explain"]
 
 
 def run_bench() -> dict:
