@@ -542,6 +542,42 @@ def q_lsh_plan(sf_dir: str):
     return plan_bands(128)
 
 
+def q_mirror_domains(sf_dir: str):
+    """Mirror-site detection (stages/mirror.py): domain pairs ranked by
+    EXACT rare-content Jaccard — each domain's set of distinct content
+    fingerprints (md5 of 8-token reflowed segments, the line_dedup /
+    segment_dedup granularity, since the flat testdata has no newlines),
+    restricted to content on ≤ 8 domains: ubiquitous boilerplate carries
+    no mirror signal and is excluded as part of the operator's
+    semantics, identically in the twin — AND the cap bounds per-key pair
+    fan-out at C(cap,2), the skew defusal. jaccard_e6 is integer floor
+    arithmetic, so the DuckDB twin is bit-exact. Hosts synthesized from
+    doc_id (the domain-tier construction); one key exchange + two count
+    exchanges + two hash joins — domain sizes flow through the join,
+    nothing driver-side."""
+    import hashlib
+
+    from pcompress_ray.stages.mirror import mirror_domain_pairs
+    from pcompress_ray.stages.textstats import doc_segments
+
+    _setup()
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        seg = doc_segments(t, w=8)
+        ids = seg["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = [hashlib.md5(x.encode("utf-8")).hexdigest()
+             for x in seg["seg"].to_pylist()]
+        return pa.table({
+            "domain": pa.array(_synth_hosts(ids).to_numpy(), pa.string()),
+            "key": pa.array(h, pa.string())})
+
+    return mirror_domain_pairs(
+        ds.map_batches(prep, batch_format="pyarrow"), "domain", "key",
+        cap=8)
+
+
 def q_soft_cluster_weights(sf_dir: str):
     """SoftDeDup weights over the FLAGSHIP near-dup tier: duplication key
     is the MinHash/LSH cluster id, so whole near-duplicate families share
@@ -4525,6 +4561,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # Coverage for everything below the window: the committed full-gate
     # logs (GATE_r04_*.log, tools/check_queries.py) + pytest oracles.
     return {
+        "mirror_domains": q_mirror_domains,
         "soft_dedup_weights": q_soft_dedup_weights,
         "dsir_weights": q_dsir_weights,
         "dsir_sample": q_dsir_sample,
@@ -5268,6 +5305,48 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) OVER (PARTITION BY md5(coalesce(text, '')))
                        AS canonical_doc_id
             FROM documents
+        """,
+        "mirror_domains": f"""
+            -- exact twin of stages/mirror.py: rare-content Jaccard per
+            -- domain pair over md5'd 8-token reflowed segments (the
+            -- line_dedup construction), integer e6 floor arithmetic;
+            -- cap = 8 distinct domains per key (operator semantics,
+            -- both sides)
+            WITH toks AS (
+                SELECT doc_id, list_filter(string_split(text, ' '),
+                                           x -> x <> '') AS tk
+                FROM documents
+            ), lnl AS (
+                SELECT doc_id,
+                       list_transform(
+                           range(0, CAST(ceil(len(tk) / 8.0) AS BIGINT)),
+                           s -> array_to_string(tk[s*8+1 : s*8+8], ' '))
+                           AS lns
+                FROM toks WHERE len(tk) > 0
+            ), dm AS (
+                SELECT DISTINCT {_host_expr_sql()} AS domain,
+                       md5(unnest(lns)) AS k
+                FROM lnl),
+            g AS (SELECT k, count(*) AS nd FROM dm GROUP BY k),
+            rare AS (
+                SELECT dm.domain, dm.k FROM dm
+                JOIN g USING (k) WHERE g.nd <= 8),
+            sizes AS (
+                SELECT domain, CAST(count(*) AS BIGINT) AS n
+                FROM rare GROUP BY domain),
+            pairs AS (
+                SELECT a.domain AS domain_a, b.domain AS domain_b,
+                       CAST(count(*) AS BIGINT) AS shared
+                FROM rare a JOIN rare b
+                  ON a.k = b.k AND a.domain < b.domain
+                GROUP BY 1, 2)
+            SELECT p.domain_a, p.domain_b, p.shared,
+                   sa.n AS n_a, sb.n AS n_b,
+                   CAST(p.shared * 1000000 // (sa.n + sb.n - p.shared)
+                        AS BIGINT) AS jaccard_e6
+            FROM pairs p
+            JOIN sizes sa ON p.domain_a = sa.domain
+            JOIN sizes sb ON p.domain_b = sb.domain
         """,
         "soft_dedup_weights": """
             -- exact twin of stages/softdedup.py over the norm-text tier:
