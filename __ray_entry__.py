@@ -542,6 +542,39 @@ def q_lsh_plan(sf_dir: str):
     return plan_bands(128)
 
 
+def q_redirect_resolve(sf_dir: str):
+    """Redirect/canonical-chain resolution (stages/redirects.py): every
+    page attributed to the FINAL target of its redirect chain, with the
+    exact hop count — Wyllie pointer doubling as a raw-Ray BSP (the
+    pagerank execution shape: P node%P state blocks, two task waves per
+    round, fixpoint in O(log chain) rounds, no executor launch in the
+    loop). Chains synthesized deterministically: doc i redirects to i-1
+    unless i % 13 == 0 (a root), giving chains up to 12 hops — 4
+    doubling rounds. The DuckDB twin is a recursive CTE following the
+    SAME closed-form pointer function one hop at a time; final_id and
+    hops match bit-for-bit (all int64)."""
+    from pcompress_ray.stages.redirects import resolve_pointers
+
+    _setup()
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def links(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ptr = np.where(ids % 13 == 0, ids, ids - 1)
+        return pa.table({"node": pa.array(ids), "ptr": pa.array(ptr)})
+
+    out = resolve_pointers(ds.map_batches(links, batch_format="pyarrow"))
+
+    def rename(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        return pa.table({"doc_id": t["node"],
+                         "final_id": t["final_id"],
+                         "hops": t["hops"]})
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
 def q_mirror_domains(sf_dir: str):
     """Mirror-site detection (stages/mirror.py): domain pairs ranked by
     EXACT rare-content Jaccard — each domain's set of distinct content
@@ -4561,6 +4594,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # Coverage for everything below the window: the committed full-gate
     # logs (GATE_r04_*.log, tools/check_queries.py) + pytest oracles.
     return {
+        "redirect_resolve": q_redirect_resolve,
         "mirror_domains": q_mirror_domains,
         "soft_dedup_weights": q_soft_dedup_weights,
         "dsir_weights": q_dsir_weights,
@@ -5305,6 +5339,28 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) OVER (PARTITION BY md5(coalesce(text, '')))
                        AS canonical_doc_id
             FROM documents
+        """,
+        "redirect_resolve": """
+            -- recursive-CTE twin of the pointer-doubling resolver: walk
+            -- the same closed-form chain (i -> i-1 unless i%13==0) one
+            -- hop at a time; engine doubles, oracle single-steps —
+            -- identical fixpoint (final_id, hops), all int64
+            WITH RECURSIVE chain AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 13 = 0 THEN doc_id
+                            ELSE doc_id - 1 END AS ptr,
+                       CAST(CASE WHEN doc_id % 13 = 0 THEN 0
+                                 ELSE 1 END AS BIGINT) AS hops
+                FROM documents
+                UNION ALL
+                SELECT c.doc_id,
+                       CASE WHEN c.ptr % 13 = 0 THEN c.ptr
+                            ELSE c.ptr - 1 END,
+                       c.hops + 1
+                FROM chain c WHERE c.ptr % 13 <> 0
+            )
+            SELECT doc_id, ptr AS final_id, hops
+            FROM chain WHERE ptr % 13 = 0
         """,
         "mirror_domains": f"""
             -- exact twin of stages/mirror.py: rare-content Jaccard per

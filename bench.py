@@ -66,7 +66,7 @@ QUERY_NAMES = ["q1_pricing", "q3_top_orders", "customer_nation", "doc_stats",
                "simhash_fingerprint", "simhash_hamming_pairs",
                "dsir_weights", "dsir_sample", "incremental_neardup",
                "soft_dedup_weights", "soft_cluster_weights", "lsh_plan",
-               "cluster_explain", "mirror_domains"]
+               "cluster_explain", "mirror_domains", "redirect_resolve"]
 
 
 def run_bench() -> dict:
