@@ -94,3 +94,49 @@ def test_parallelism_invariance(ray_session):
         outs.append(o.sort_values(["domain_a", "domain_b"])
                     .reset_index(drop=True))
     assert outs[0].equals(outs[1])
+
+
+def test_random_vs_bruteforce(ray_session):
+    """Randomized corpora match a 15-line pure-Python oracle exactly."""
+    import ray.data as rd
+
+    import pcompress_ray
+
+    pcompress_ray.register_for_ray()
+    from pcompress_ray.stages.mirror import mirror_domain_pairs
+
+    rng = np.random.default_rng(11)
+    for trial in range(3):
+        nd, nk, n = 8, 30, 150
+        rows = list(zip((f"d{int(i)}" for i in rng.integers(0, nd, n)),
+                        (f"k{int(k)}" for k in rng.integers(0, nk, n))))
+        cap = int(rng.integers(2, 6))
+        # brute force
+        from collections import defaultdict
+        keysets = defaultdict(set)
+        for d, k in rows:
+            keysets[d].add(k)
+        dom_count = defaultdict(set)
+        for d, k in set(rows):
+            dom_count[k].add(d)
+        rare = {k for k, ds_ in dom_count.items() if len(ds_) <= cap}
+        sets = {d: ks & rare for d, ks in keysets.items()}
+        exp = {}
+        doms = sorted(sets)
+        for i, a in enumerate(doms):
+            for b in doms[i + 1:]:
+                sh = len(sets[a] & sets[b])
+                if sh:
+                    exp[(a, b)] = (sh, len(sets[a]), len(sets[b]),
+                                   sh * 1_000_000
+                                   // (len(sets[a]) + len(sets[b]) - sh))
+        ds = rd.from_arrow(pa.table({
+            "domain": pa.array([r[0] for r in rows], pa.string()),
+            "key": pa.array([r[1] for r in rows], pa.string())}))
+        out = mirror_domain_pairs(ds.repartition(4), "domain", "key",
+                                  cap=cap)
+        out = out.to_pandas() if hasattr(out, "to_pandas") else out
+        got = {(r.domain_a, r.domain_b):
+               (r.shared, r.n_a, r.n_b, r.jaccard_e6)
+               for r in out.itertuples()}
+        assert got == exp, f"trial {trial} cap {cap}"

@@ -72,3 +72,23 @@ def test_parallelism_invariance(ray_session):
     # roots of the forest are the %17 nodes reached transitively
     assert outs[0].equals(outs[1])
     assert (outs[0]["final_id"].to_numpy() % 17 == 0).all()
+
+
+def test_random_forest_vs_python_walk(ray_session):
+    """Random functional forests: final target AND hop count match a
+    pure-Python chain walk exactly."""
+    rng = np.random.default_rng(23)
+    for trial in range(3):
+        n = 200
+        node = np.arange(n)
+        ptr = np.where(node % 11 == 0, node,
+                       rng.integers(0, np.maximum(node, 1)))
+        out = _resolve(node, ptr, parts=5)
+        p = dict(zip(node.tolist(), ptr.tolist()))
+        for i in range(n):
+            j, h = i, 0
+            while p[j] != j:
+                j = p[j]
+                h += 1
+            assert out["final_id"].iloc[i] == j, (trial, i)
+            assert out["hops"].iloc[i] == h, (trial, i)
