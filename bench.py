@@ -183,8 +183,8 @@ def run_bench() -> dict:
 _SCALING_RECORDS = {
     960000: {4: 356.9, 16: 106.5},  # 2026-08-20 two credible pairs (eff 0.939
                                     # then 0.838 raw; legs are the best of both)
-    480000: {4: 191.0, 16: 53.0},   # 2026-08-20 fresh-boot clean window (eff
-                                    # 0.902 credible; prior 242.5/70.6)
+    480000: {4: 178.3, 16: 51.1},   # 2026-08-20 session-5 final engine (eff
+                                    # 0.872 credible; prior 191.0/53.0)
     120000: {4: 442.2, 16: 126.9},  # pre-fast-exchange engine (stale-slow: only
                                     # used as an upper bound, never a target)
 }
