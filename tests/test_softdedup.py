@@ -68,3 +68,42 @@ def test_alpha_validation(ray_session):
 
     with pytest.raises(ValueError):
         soft_dedup_weights(rd.from_arrow(_corpus()), "key", alpha=0)
+
+
+def test_mass_preservation_property(ray_session):
+    """Hypothesis: for ANY multiplicity profile and alpha, normalized
+    mass is n_docs*1e6 within floor error, weights are monotone in
+    dup_count, and equal dup_counts get equal weights."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import ray.data as rd
+
+    import pcompress_ray
+
+    pcompress_ray.register_for_ray()
+    from pcompress_ray.stages.softdedup import soft_dedup_weights
+
+    @settings(max_examples=8, deadline=None)
+    @given(mults=st.lists(st.integers(1, 9), min_size=1, max_size=8),
+           alpha=st.integers(1, 3))
+    def run(mults, alpha):
+        keys, ids = [], []
+        nid = 0
+        for gi, m in enumerate(mults):
+            for _ in range(m):
+                keys.append(f"g{gi}")
+                ids.append(nid)
+                nid += 1
+        t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "key": pa.array(keys, pa.string())})
+        out = soft_dedup_weights(rd.from_arrow(t), "key", alpha=alpha,
+                                 n_parts=3).to_pandas()
+        n = len(ids)
+        assert abs(out["norm_weight_e6"].sum() - n * 1_000_000) <= n
+        by = out.groupby("dup_count")["weight_e6"].nunique()
+        assert (by == 1).all()                       # equal k, equal w
+        s = out.drop_duplicates("dup_count").sort_values("dup_count")
+        assert (np.diff(s["weight_e6"].to_numpy()) <= 0).all()  # monotone
+
+    run()
