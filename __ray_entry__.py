@@ -4586,14 +4586,43 @@ def q_dedup_recall_eval(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordered least-proven-first: the correctness driver samples the
-    # FIRST 50 entries, and rounds 1-3 proved only the original first 50
-    # (CORRECTNESS_r03). Newest oracle-backed queries lead, then the
-    # driver-unchecked oracle-backed ones; every rows-only (no-oracle)
-    # query sits BELOW the 50-entry window so it never displaces an
-    # oracle-checkable entry; the r01-r03-proven 50 close the dict.
+    # FIRST 50 entries. Cumulative driver coverage through r04 is 100 of
+    # 126 queries (CORRECTNESS_r01-r04); the 26 never-driver-checked
+    # entries lead this dict (oracle-backed first, then the rows-only
+    # ones) so the r05 window completes the driver record at 126/126.
+    # The remaining 24 window slots re-verify previously-green queries.
     # Coverage for everything below the window: the committed full-gate
-    # logs (GATE_r04_*.log, tools/check_queries.py) + pytest oracles.
+    # logs (GATE_r*.log, tools/check_queries.py) + pytest oracles.
     return {
+        # -- never driver-checked through r04: oracle-backed first --
+        "corpus_shuffle": q_corpus_shuffle,
+        "inverted_index": q_inverted_index,
+        "dedup_keep_best": q_dedup_keep_best,
+        "nb_classify": q_nb_classify,
+        "warc_pages": q_warc_pages,
+        "pagerank": q_pagerank,
+        "domain_blocklist": q_domain_blocklist,
+        "domain_stats": q_domain_stats,
+        "event_window_dedup": q_event_window_dedup,
+        # -- never driver-checked, no SQL oracle (rows-only + pytest) --
+        "soft_cluster_weights": q_soft_cluster_weights,
+        "lsh_plan": q_lsh_plan,
+        "cluster_explain": q_cluster_explain,
+        "dedup_recall_eval": q_dedup_recall_eval,
+        "pq_topk": q_pq_topk,
+        "cms_top_tokens": q_cms_top_tokens,
+        "ctph_neardup": q_ctph_neardup,
+        "ivfpq_topk": q_ivfpq_topk,
+        "kcenter_probes": q_kcenter_probes,
+        "curate_funnel": q_curate_funnel,
+        "kmeans_clusters": q_kmeans_clusters,
+        "semdedup": q_semdedup,
+        "incremental_neardup": q_incremental_neardup,
+        "substring_excise": q_substring_excise,
+        "dup_span_anchors": q_dup_span_anchors,
+        "bpe_merges": q_bpe_merges,
+        "bpe_token_counts": q_bpe_token_counts,
+        # -- driver-proven green in CORRECTNESS_r04 --
         "redirect_resolve": q_redirect_resolve,
         "mirror_domains": q_mirror_domains,
         "soft_dedup_weights": q_soft_dedup_weights,
@@ -4644,33 +4673,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_span_excise": q_cross_span_excise,
         "corpus_grep": q_corpus_grep,
         "hll_registers": q_hll_registers,
-        "corpus_shuffle": q_corpus_shuffle,
-        "inverted_index": q_inverted_index,
-        "dedup_keep_best": q_dedup_keep_best,
-        "nb_classify": q_nb_classify,
-        "warc_pages": q_warc_pages,
-        "pagerank": q_pagerank,
-        "domain_blocklist": q_domain_blocklist,
-        "domain_stats": q_domain_stats,
-        "event_window_dedup": q_event_window_dedup,
-        # -- driver-unchecked, no SQL oracle (rows-only + pytest-pinned) --
-        "soft_cluster_weights": q_soft_cluster_weights,
-        "lsh_plan": q_lsh_plan,
-        "cluster_explain": q_cluster_explain,
-        "dedup_recall_eval": q_dedup_recall_eval,
-        "pq_topk": q_pq_topk,
-        "cms_top_tokens": q_cms_top_tokens,
-        "ctph_neardup": q_ctph_neardup,
-        "ivfpq_topk": q_ivfpq_topk,
-        "kcenter_probes": q_kcenter_probes,
-        "curate_funnel": q_curate_funnel,
-        "kmeans_clusters": q_kmeans_clusters,
-        "semdedup": q_semdedup,
-        "incremental_neardup": q_incremental_neardup,
-        "substring_excise": q_substring_excise,
-        "dup_span_anchors": q_dup_span_anchors,
-        "bpe_merges": q_bpe_merges,
-        "bpe_token_counts": q_bpe_token_counts,
         # -- driver-proven green in CORRECTNESS_r03 --
         "q1_pricing": q_q1_pricing,
         "q3_top_orders": q_q3_top_orders,
