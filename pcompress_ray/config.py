@@ -133,7 +133,13 @@ class PipelineConfig:
 
         from pcompress_ray.stages.lshplan import plan_bands
 
-        t = Fraction(threshold).limit_denominator(100)
+        # Snap to the planner's grid=100 so t*grid is always an integer:
+        # limit_denominator(100) can return e.g. 1/3, which misaligns
+        # (t*grid = 100/3) and made plan_bands raise for common
+        # thresholds. Clamp to (0, 1) exclusive so the S-curve step
+        # function is non-degenerate.
+        t = Fraction(round(Fraction(threshold) * 100), 100)
+        t = min(max(t, Fraction(1, 100)), Fraction(99, 100))
         plan = plan_bands(num_perm, t)
         best_b = best_r = None
         best_err = None

@@ -422,44 +422,38 @@ def md5_simhash(docs_ds, id_col: str = "doc_id", text_col: str = "text"):
     rabin/rabin_dedup.c:1368-1396 computed from content hashes only.
 
     Docs with zero tokens emit no row (the twin's unnest drops them).
-    Returns (id_col, n_tokens, simhash:uint64); one streaming map, the
-    md5 of each token memoized per batch (vocabulary-bounded).
+    Returns (id_col, n_tokens, simhash:uint64); one streaming map.
+    Tokenization is Arrow-vectorized (textstats.tokenize_alnum); the
+    per-doc DISTINCT-token set is one np.unique over integer
+    (doc, token_id) pair keys, and md5 runs once per distinct token in
+    the batch.
     """
     import hashlib
-    import re
 
-    from pcompress_ray.stages.textstats import TOKEN_RE
-
-    fp_re = re.compile(TOKEN_RE)
+    from pcompress_ray.stages.textstats import tokenize_alnum
 
     def kernel(t: pa.Table) -> pa.Table:
         t = t.replace_schema_metadata(None)
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        texts = t[text_col].to_pylist()
-        memo: dict[str, int] = {}
-        h_list: list[int] = []
-        offs = [0]
-        keep: list[int] = []
-        for i, x in enumerate(texts):
-            toks = set(fp_re.findall((x or "").lower()))
-            if not toks:
-                continue
-            keep.append(int(ids[i]))
-            for tok in toks:
-                hv = memo.get(tok)
-                if hv is None:
-                    hv = int(hashlib.md5(
-                        tok.encode("utf-8")).hexdigest()[:16], 16)
-                    memo[tok] = hv
-                h_list.append(hv)
-            offs.append(len(h_list))
-        if not keep:
+        doc, words, _ = tokenize_alnum(t[text_col])
+        if not len(words):
             return pa.table({id_col: pa.array([], pa.int64()),
                              "n_tokens": pa.array([], pa.int64()),
                              "simhash": pa.array([], pa.uint64())})
-        h = np.array(h_list, dtype=np.uint64)
-        starts = np.asarray(offs[:-1], dtype=np.intp)
-        n_tok = np.diff(np.asarray(offs, np.int64))
+        uniq, inv = np.unique(words, return_inverse=True)
+        v = len(uniq)
+        pkey = np.unique(doc * v + inv)     # distinct (doc, token) pairs
+        uh = np.fromiter(
+            (int(hashlib.md5(w.encode("utf-8")).hexdigest()[:16], 16)
+             for w in uniq), np.uint64, v)
+        h = uh[pkey % v]
+        # pkey is sorted, so per-doc segments are contiguous and docs
+        # appear in batch order; zero-token docs are absent by construction
+        keep_idx, n_tok = np.unique(pkey // v, return_counts=True)
+        n_tok = n_tok.astype(np.int64)
+        keep = ids[keep_idx]
+        starts = np.concatenate(
+            [[0], np.cumsum(n_tok)[:-1]]).astype(np.intp)
         # per bit: ones-count per doc segment, then sum = 2*ones - n_tok.
         # One bit at a time keeps the transient at 8 B/token-row instead
         # of a (rows x 64) +/-1 matrix (512 B/row — OOM on 100 KB docs).

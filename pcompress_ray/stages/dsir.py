@@ -38,46 +38,64 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
-from pcompress_ray.stages.textstats import TOKEN_RE
+from pcompress_ray.stages.textstats import tokenize_alnum
 
 N_BUCKETS = 8192
 
 
+_MEMO_CAP = 1 << 20   # per-worker memo entries; unigram vocab only
+
+
+def _bucket_of(g: str, n_buckets: int, memo: dict) -> int:
+    b = memo.get(g)
+    if b is None:
+        b = int(hashlib.md5(g.encode()).hexdigest()[:16], 16) % n_buckets
+        if len(memo) < _MEMO_CAP:
+            memo[g] = b
+    return b
+
+
 def _batch_buckets(texts, n_buckets: int, memo: dict):
-    """Tokenize a batch and hash unigram+bigram occurrences to buckets.
+    """Tokenize a batch (Arrow string array) and hash unigram+bigram
+    occurrences to buckets.
 
     Returns (buckets int64[total_ngrams], starts intp[n_docs],
     n_ngrams int64[n_docs]): ``np.add.reduceat(x[buckets], starts)``
-    then gives per-doc sums. md5 is memoized per worker across batches
-    (vocabulary-bounded); zero-token docs contribute an empty segment.
+    then gives per-doc sums. Tokenization is Arrow-vectorized
+    (textstats.tokenize_alnum); md5 is taken once per DISTINCT n-gram in the
+    batch (np.unique + integer-key bigram dedup), with a capped
+    per-worker memo for UNIGRAMS only — bigram vocabulary grows with
+    the corpus, so caching it would let a long-lived worker's memo grow
+    unboundedly. Zero-token docs contribute an empty segment; within a
+    doc, unigram buckets precede bigram buckets (stable doc sort), as
+    in the original per-doc loop.
     """
-    import re
-
-    tok_re = re.compile(TOKEN_RE)
-    ids: list[int] = []
-    offs = [0]
-    for x in texts:
-        toks = tok_re.findall((x or "").lower())
-        for g in toks:
-            b = memo.get(g)
-            if b is None:
-                b = int(hashlib.md5(g.encode()).hexdigest()[:16],
-                        16) % n_buckets
-                memo[g] = b
-            ids.append(b)
-        for i in range(len(toks) - 1):
-            g = toks[i] + " " + toks[i + 1]
-            b = memo.get(g)
-            if b is None:
-                b = int(hashlib.md5(g.encode()).hexdigest()[:16],
-                        16) % n_buckets
-                memo[g] = b
-            ids.append(b)
-        offs.append(len(ids))
-    buckets = np.asarray(ids, dtype=np.int64)
-    offs_a = np.asarray(offs, dtype=np.int64)
-    starts = offs_a[:-1].astype(np.intp)
-    return buckets, starts, np.diff(offs_a)
+    doc, words, n_docs = tokenize_alnum(texts)
+    uniq, inv = np.unique(words, return_inverse=True)
+    ub = np.fromiter((_bucket_of(w, n_buckets, memo) for w in uniq),
+                     np.int64, len(uniq))
+    uni_b = ub[inv] if len(inv) else np.empty(0, np.int64)
+    # bigrams: adjacent within-doc token pairs, deduped by integer pair
+    # key so md5 runs once per distinct bigram in the batch
+    adj = doc[1:] == doc[:-1] if len(doc) else np.empty(0, bool)
+    bl, br, bdoc = inv[:-1][adj], inv[1:][adj], doc[1:][adj]
+    if len(bl):
+        v = len(uniq)
+        ukey, binv = np.unique(bl * v + br, return_inverse=True)
+        ubb = np.fromiter(
+            (int(hashlib.md5((uniq[k // v] + " " + uniq[k % v]).encode())
+                 .hexdigest()[:16], 16) % n_buckets for k in ukey),
+            np.int64, len(ukey))
+        bi_b = ubb[binv]
+    else:
+        bi_b = np.empty(0, np.int64)
+    all_doc = np.concatenate([doc, bdoc])
+    all_b = np.concatenate([uni_b, bi_b])
+    order = np.argsort(all_doc, kind="stable")
+    n = np.bincount(all_doc, minlength=n_docs).astype(np.int64)
+    starts = np.concatenate(
+        [[0], np.cumsum(n)[:-1]]).astype(np.intp)
+    return all_b[order], starts, n
 
 
 def fit_hashed_ngram_counts(ds, text_col: str = "text",
@@ -87,8 +105,7 @@ def fit_hashed_ngram_counts(ds, text_col: str = "text",
     #blocks x n_buckets x 8 bytes in flight, n_buckets x 8 held)."""
 
     def partial(t: pa.Table) -> pa.Table:
-        texts = t[text_col].to_pylist()
-        b, _, _ = _batch_buckets(texts, n_buckets, {})
+        b, _, _ = _batch_buckets(t[text_col], n_buckets, {})
         cnt = np.bincount(b, minlength=n_buckets).astype(np.int64)
         return pa.table({"counts": pa.array([cnt.tobytes()], pa.binary())})
 
@@ -139,8 +156,8 @@ def dsir_scores(ds, llr_e6: np.ndarray, id_col: str = "doc_id",
             llr = _cache["llr"] = ray.get(ref)
             _cache["memo"] = {}
         t = t.replace_schema_metadata(None)
-        texts = t[text_col].to_pylist()
-        b, starts, n = _batch_buckets(texts, n_buckets, _cache["memo"])
+        b, starts, n = _batch_buckets(t[text_col], n_buckets,
+                                      _cache["memo"])
         if len(b):
             # reduceat rejects an index == len (trailing zero-n-gram doc)
             # and returns the NEXT element for empty segments; clip the

@@ -30,8 +30,8 @@ recall gate, and retunes it when a deployment changes t. (The flagship's
 measured dup-pair recall is 1.0 on the bench corpus because planted
 near-dups sit well above threshold, where P(s) ≈ 1.)
 
-Driver-side utility (≤ n·sqrt(n) combos × grid points of rational math,
-milliseconds at n=128) — a planning step run once before a 100-TB job,
+Driver-side utility (Σ_r n//r ≈ n·ln n combos × grid points of rational
+math, well under a second at n=128) — a planning step run once before a 100-TB job,
 not a data-path stage. Reference analog: pcompress's fixed
 similarity-extent constants (rabin_dedup.c:921-994) replaced by an
 explicit optimizer over the same tradeoff.
@@ -80,7 +80,14 @@ def _integrals(b: int, r: int, t: Fraction,
 
 def plan_bands(num_perm: int = 128, threshold: Fraction | float = None,
                fn_weight: int = 10, grid: int = 100) -> pa.Table:
-    """Score every (b, r) with b·r ≤ num_perm; return the ranked table.
+    """Score EVERY (b, r) with 1 ≤ b·r ≤ num_perm; return the ranked table.
+
+    All b in 1..num_perm//r are scored per r (not just the maximal one):
+    fp grows with b while fn shrinks, so at loose thresholds a smaller-b
+    combo can be the true argmin (e.g. t=1/4 → 49×2, beating 64×2).
+    Inner loop reuses q_s = 1 - s^r per grid cell and raises q_s^b
+    incrementally over b, so the full space costs one rational multiply
+    per (cell, combo). Rows ordered (r asc, b asc).
 
     Columns: bands, rows, perms_used, fp_e12, fn_e12, err_e12, chosen
     (exactly one row, the argmin of err = fn_weight·fn + fp; ties break
@@ -88,14 +95,26 @@ def plan_bands(num_perm: int = 128, threshold: Fraction | float = None,
     defaults to 1/2.
     """
     t = Fraction(threshold if threshold is not None else Fraction(1, 2))
+    cut = t * grid
+    if cut.denominator != 1:
+        raise ValueError("threshold must align with the grid "
+                         f"(t*grid = {cut} not an integer)")
+    cut = int(cut)
+    w = Fraction(1, grid)
     combos = []
     for r in range(1, num_perm + 1):
-        b = num_perm // r
-        if b < 1:
+        bmax = num_perm // r
+        if bmax < 1:
             break
-        fp, fn = _integrals(b, r, t, grid)
-        err = fn * fn_weight + fp
-        combos.append((b, r, b * r, fp, fn, err))
+        qs = [1 - Fraction(2 * i + 1, 2 * grid) ** r for i in range(grid)]
+        acc = list(qs)                      # acc[i] = q_i^b for current b
+        for b in range(1, bmax + 1):
+            if b > 1:
+                acc = [a * q for a, q in zip(acc, qs)]
+            fp = sum((1 - a) for a in acc[:cut]) * w
+            fn = sum(acc[cut:], Fraction(0)) * w
+            err = fn * fn_weight + fp
+            combos.append((b, r, b * r, fp, fn, err))
     best = min(combos, key=lambda c: (c[5], -c[2], c[0]))
     return pa.table({
         "bands": pa.array([c[0] for c in combos], pa.int64()),

@@ -32,9 +32,17 @@ Scale shape: one hash exchange on the key (per-partition vectorized
 counts), one fixed-size per-block partial fold for the two normalization
 scalars (sum_w, n_docs — 16 bytes per block, driver ingress #blocks), one
 broadcast-scalar map pass. Nothing driver-side grows with the corpus.
-The int64 product n_docs * weight_e6 * 1e6 is guarded; beyond ~9·10^6
-docs the normalization switches to Python-int (exact, per-batch object
-fold) — at true 10^12 scale the twin would need HUGEINT anyway.
+
+Overflow discipline (exact at 10^12 docs):
+- dup_count**alpha is never materialized in int64 — weight_e6 is exactly
+  0 whenever dup_count exceeds floor(SCALE^(1/alpha)) (computed in
+  Python ints), so the power is only taken where it provably fits.
+- norm_weight_e6 = n_docs*w*SCALE//sum_w is exact past the int64 product
+  bound via a distinct-value fold: w = SCALE // dup_count**alpha takes
+  at most ~2*sqrt(SCALE) distinct values, so each batch computes the
+  exact Python-int quotient once per DISTINCT weight (np.unique +
+  searchsorted scatter — numpy speed, bit-exact; the DuckDB twin needs
+  HUGEINT in the same regime).
 """
 
 from __future__ import annotations
@@ -44,6 +52,46 @@ import pandas as pd
 import pyarrow as pa
 
 SCALE = 1_000_000
+
+
+def _dc_cap(alpha: int) -> int:
+    """Largest dup_count whose alpha-th power is ≤ SCALE, in Python ints
+    (weight_e6 is exactly 0 for any larger count, so the int64 power
+    never needs to be taken there)."""
+    cap = int(round(SCALE ** (1.0 / alpha)))
+    while (cap + 1) ** alpha <= SCALE:
+        cap += 1
+    while cap > 1 and cap ** alpha > SCALE:
+        cap -= 1
+    return cap
+
+
+def _weights_e6(dc: np.ndarray, alpha: int, cap: int) -> np.ndarray:
+    """weight_e6 = SCALE // dc**alpha without int64 wrap: the power is
+    evaluated only where dc ≤ cap (cap**alpha ≤ SCALE < 2^63); every
+    larger count floors to 0 by definition."""
+    w = np.zeros(len(dc), np.int64)
+    m = dc <= cap
+    if m.any():
+        w[m] = SCALE // dc[m] ** alpha
+    return w
+
+
+def _norm_weights_e6(w: np.ndarray, n_docs: int, sum_w: int) -> np.ndarray:
+    """Exact n_docs*w*SCALE//sum_w per element. int64 when the worst-case
+    product fits; otherwise an exact distinct-value fold: w has at most
+    ~2*sqrt(SCALE) distinct values, so the Python-int quotient is taken
+    once per distinct weight and scattered back via searchsorted."""
+    if n_docs * SCALE * SCALE < 2 ** 63:
+        return n_docs * w * SCALE // sum_w
+    if n_docs * SCALE >= 2 ** 63:
+        # norm weights themselves (≤ n_docs*SCALE) no longer fit int64
+        raise OverflowError(
+            f"norm_weight_e6 exceeds int64 beyond {2**63 // SCALE} docs")
+    uw = np.unique(w)
+    unw = np.fromiter((n_docs * int(x) * SCALE // sum_w for x in uw),
+                      np.int64, len(uw))
+    return unw[np.searchsorted(uw, w)]
 
 
 def _count_per_key(part: pd.DataFrame, key_col: str, id_col: str) -> pd.DataFrame:
@@ -83,31 +131,27 @@ def soft_dedup_weights(ds, key_col: str, id_col: str = "doc_id",
         lambda part: _count_per_key(part, key_col, id_col),
         n_parts=n_parts).materialize()
 
+    cap = _dc_cap(alpha)
+
     def partial(t: pa.Table):
         dc = t["dup_count"].to_numpy(zero_copy_only=False).astype(np.int64)
-        w = SCALE // dc ** alpha
-        return int(w.sum()), len(dc)
+        return int(_weights_e6(dc, alpha, cap).sum()), len(dc)
 
     parts = [p for p in block_rounds(counted, partial) if p is not None]
     sum_w = sum(p[0] for p in parts)
     n_docs = sum(p[1] for p in parts)
-    if sum_w == 0:
-        return counted  # empty corpus: nothing to weight
-
-    # int64 is exact while n_docs * SCALE^2 fits; past that fall back to
-    # Python-int per-batch (still exact, ~10x slower — 10^7+ docs only)
-    int64_safe = n_docs * SCALE * SCALE < 2 ** 63
-    scalars = ray.put((sum_w, n_docs, alpha, int64_safe))
+    # sum_w == 0 is reachable on a NON-empty corpus (every dup_count**alpha
+    # above SCALE floors every weight to 0) — still emit the full output
+    # schema, with all weights 0, so callers never see a schema fork
+    scalars = ray.put((sum_w, n_docs, alpha, cap))
 
     def weigh(t: pa.Table) -> pa.Table:
         t = t.replace_schema_metadata(None)
-        sw, nd, a, safe = ray.get(scalars)
+        sw, nd, a, cp = ray.get(scalars)
         dc = t["dup_count"].to_numpy(zero_copy_only=False).astype(np.int64)
-        w = SCALE // dc ** a
-        if safe:
-            nw = nd * w * SCALE // sw
-        else:
-            nw = np.array([nd * int(x) * SCALE // sw for x in w], np.int64)
+        w = _weights_e6(dc, a, cp)
+        nw = (_norm_weights_e6(w, nd, sw) if sw > 0
+              else np.zeros(len(w), np.int64))
         return pa.table({
             id_col: t[id_col].cast(pa.int64()),
             "dup_count": pa.array(dc),

@@ -218,6 +218,32 @@ def token_doc_counts(t: pa.Table, text_col: str = "text") -> pa.Table:
                      "df": pa.array(list(c.values()), pa.int64())})
 
 
+def tokenize_alnum(col):
+    """(doc_idx, words, n_docs): maximal [a-z0-9]+ runs of the lowercased
+    text, fully vectorized — utf8_lower + ONE RE2 replace (non-token runs
+    → space) + split_pattern, the norm_text_dedup extraction pattern.
+    Identical token stream to re.findall(TOKEN_RE, text.lower()) without
+    per-doc Python — except that utf8_lower applies utf8proc's SIMPLE
+    case mapping, which is exactly what the DuckDB twins' lower() does
+    (Python str.lower() diverges on SpecialCasing chars like U+0130 'İ',
+    so this is the more oracle-faithful side). Shared by the DSIR and
+    md5-SimHash kernels."""
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    norm = pc.replace_substring_regex(
+        pc.utf8_lower(col), "[^" + TOKEN_RE[1:-2] + "]+", " ")
+    toks = pc.split_pattern(norm, " ")
+    nper = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    words = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+    doc = np.repeat(np.arange(len(col), dtype=np.int64), nper)
+    keep = words != ""
+    return doc[keep], words[keep], len(col)
+
+
 def _split_tokens(t: pa.Table, text_col: str):
     """Vectorized whitespace tokenization shared by the Gopher/bigram
     kernels AND their SQL twins' semantics: split on single spaces

@@ -39,7 +39,9 @@ def test_threshold_moves_optimum():
 
     lo = chosen(Fraction(1, 4))
     hi = chosen(Fraction(4, 5))
-    assert lo == (64, 2)          # loose threshold -> wide net (few rows)
+    # loose threshold -> wide net (few rows); 49x2 beats 64x2 because fp
+    # grows with b — the full-space argmin, not the maximal-b-per-r one
+    assert lo == (49, 2)
     assert hi == (14, 9)          # tight threshold -> sharp curve (more rows)
     assert lo[1] < 4 < hi[1]
 
@@ -68,8 +70,11 @@ def test_feasible_combos_only():
     t = plan_bands(16).to_pandas()
     assert (t["bands"] * t["rows"] <= 16).all()
     assert (t["perms_used"] == t["bands"] * t["rows"]).all()
-    # every r from 1..16 appears exactly once
-    assert sorted(t["rows"]) == list(range(1, 17))
+    # EVERY (b, r) with b*r <= 16 appears exactly once
+    want = {(b, r) for r in range(1, 17) for b in range(1, 16 // r + 1)}
+    got = list(zip(t["bands"], t["rows"]))
+    assert len(got) == len(want) == 50
+    assert set(got) == want
 
 
 def test_config_for_threshold():
@@ -85,3 +90,9 @@ def test_config_for_threshold():
     # execution overrides pass through
     c2 = PipelineConfig.for_threshold(0.5, sig_concurrency=2)
     assert c2.sig_concurrency == 2
+    # thresholds off the grid snap to it instead of raising (1/3 -> 33/100)
+    c3 = PipelineConfig.for_threshold(Fraction(1, 3))
+    assert c3.lsh_bands * c3.lsh_rows == 128
+    # degenerate thresholds clamp into (0, 1)
+    c0 = PipelineConfig.for_threshold(0.001)
+    assert c0.lsh_bands * c0.lsh_rows == 128

@@ -70,7 +70,74 @@ def test_alpha_validation(ray_session):
         soft_dedup_weights(rd.from_arrow(_corpus()), "key", alpha=0)
 
 
-def test_mass_preservation_property(ray_session):
+def test_power_overflow_clamp(ray_session):
+    """dup_count**alpha past SCALE floors the weight to exactly 0 without
+    ever wrapping int64 (the power is only taken where it provably fits)."""
+    import ray.data as rd
+
+    from pcompress_ray.stages.softdedup import SCALE, _dc_cap, _weights_e6
+
+    # cap is the exact integer alpha-th root: cap**a <= SCALE < (cap+1)**a
+    for a in (1, 2, 3, 4, 7):
+        cap = _dc_cap(a)
+        assert cap ** a <= SCALE < (cap + 1) ** a
+    # dup_count that would wrap int64 at alpha=3 (2.2e6**3 > 2^63)
+    dc = np.array([1, 1000, 2_200_000, 2 ** 40], np.int64)
+    w = _weights_e6(dc, 3, _dc_cap(3))
+    assert list(w) == [SCALE, 0, 0, 0]   # 1000**3 = 1e9 > SCALE -> 0
+    assert (w >= 0).all()
+
+    # end-to-end: 1001 copies at alpha=2 -> 1001**2 > SCALE -> weight 0,
+    # and the singleton key soaks up the whole normalized mass
+    t = pa.table({
+        "doc_id": pa.array(range(1002), pa.int64()),
+        "key": pa.array(["a"] * 1001 + ["b"], pa.string())})
+    out = _weights(rd.from_arrow(t), alpha=2)
+    assert (out["weight_e6"][:1001] == 0).all()
+    assert out["weight_e6"].iloc[1001] == SCALE
+    assert out["norm_weight_e6"].iloc[1001] == 1002 * SCALE
+    assert (out["norm_weight_e6"][:1001] == 0).all()
+
+
+def test_all_zero_weights_full_schema(ray_session):
+    """sum_w == 0 on a NON-empty corpus (every weight floored) still
+    yields the full 4-column schema with zero weights — no schema fork."""
+    import ray.data as rd
+
+    t = pa.table({
+        "doc_id": pa.array(range(1001), pa.int64()),
+        "key": pa.array(["a"] * 1001, pa.string())})
+    out = _weights(rd.from_arrow(t), alpha=2)
+    assert list(out.columns) == ["doc_id", "dup_count", "weight_e6",
+                                 "norm_weight_e6"]
+    assert len(out) == 1001
+    assert (out["weight_e6"] == 0).all()
+    assert (out["norm_weight_e6"] == 0).all()
+
+
+def test_norm_weights_int64_boundary():
+    """Hypothesis: the vectorized int64 path and the distinct-value
+    Python-int path agree bit-for-bit across the n_docs*SCALE^2 ~ 2^63
+    switchover (VERDICT r04 item 5)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pcompress_ray.stages.softdedup import SCALE, _norm_weights_e6
+
+    boundary = 2 ** 63 // (SCALE * SCALE)   # 9_223_372
+
+    @settings(max_examples=25, deadline=None)
+    @given(ws=st.lists(st.integers(0, SCALE), min_size=1, max_size=64),
+           nd_off=st.integers(-2, 2))
+    def run(ws, nd_off):
+        w = np.array(ws, np.int64)
+        nd = boundary + nd_off
+        sw = max(int(w.sum()), 1) * max(nd // len(ws), 1)
+        got = _norm_weights_e6(w, nd, sw)
+        exp = [nd * int(x) * SCALE // sw for x in ws]
+        assert list(got) == exp
+
+    run()
     """Hypothesis: for ANY multiplicity profile and alpha, normalized
     mass is n_docs*1e6 within floor error, weights are monotone in
     dup_count, and equal dup_counts get equal weights."""
