@@ -18,7 +18,13 @@ Scale shape: cluster sizes via one hash exchange; top-k selection by
 distributed sort + limit (k rows to the driver); the k canonical
 sketches broadcast once (k × kmv_k × 8 B); members stream through one
 broadcast id-filter, one hash join to their sketches, and one vectorized
-scoring pass (stages/verify.kmv_jaccard_many). Nothing driver-side
+scoring pass (stages/verify.kmv_jaccard_many). Every filter is an Arrow
+mask inside map_batches — no per-row Python anywhere. Mega-clusters are
+bounded: when any selected cluster exceeds ``member_cap`` members, ONE
+extra hash exchange keeps the canonical plus the ``member_cap`` smallest
+urls per cluster (deterministic sample, the mirror stage's per-key cap
+discipline), so the report and the join stay ≤ top·member_cap rows while
+``n_members`` still states the TRUE cluster size. Nothing driver-side
 scales with the corpus — only with ``top``.
 """
 
@@ -29,13 +35,17 @@ import pandas as pd
 import pyarrow as pa
 
 
-def cluster_explain(res, top: int = 3, kmv_k: int | None = None):
+def cluster_explain(res, top: int = 3, kmv_k: int | None = None,
+                    member_cap: int = 256):
     """DedupResult → Table(cluster_id, url, is_canonical, n_members,
-    jaccard_vs_canon_e6) for the ``top`` largest non-singleton clusters."""
+    jaccard_vs_canon_e6) for the ``top`` largest non-singleton clusters;
+    at most ``member_cap`` member rows per cluster (canonical always
+    kept; n_members is the uncapped size)."""
+    import pyarrow.compute as pc
     import ray
 
     from pcompress_ray.config import PipelineConfig
-    from pcompress_ray.functions.ops import grouped_partitions, hash_join
+    from pcompress_ray.functions.ops import (grouped_partitions, hash_join)
     from pcompress_ray.stages.verify import kmv_jaccard_many
 
     cfg_k = kmv_k if kmv_k is not None else PipelineConfig().kmv_k
@@ -47,7 +57,12 @@ def cluster_explain(res, top: int = 3, kmv_k: int | None = None):
 
     size_ds = grouped_partitions(
         res.clusters.select_columns(["cluster_id"]), ["cluster_id"], sizes)
-    top_rows = (size_ds.filter(lambda r: r["n_members"] > 1)
+
+    def nonsingleton(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        return t.filter(pc.greater(t["n_members"], 1))
+
+    top_rows = (size_ds.map_batches(nonsingleton, batch_format="pyarrow")
                 .sort(["n_members", "cluster_id"], descending=[True, False])
                 .limit(top).take_all())
     if not top_rows:
@@ -68,12 +83,30 @@ def cluster_explain(res, top: int = 3, kmv_k: int | None = None):
             ["url", "cluster_id", "is_canonical"])
 
     members = res.clusters.map_batches(
-        member_filter, batch_format="pyarrow").materialize()
+        member_filter, batch_format="pyarrow")
+    if max(n_by_cluster.values()) > member_cap:
+        # deterministic per-cluster sample: canonical first, then the
+        # member_cap smallest urls — one exchange, only paid when a
+        # selected cluster is actually oversized
+        def cap_members(part: pd.DataFrame) -> pd.DataFrame:
+            part = part.sort_values(["is_canonical", "url"],
+                                    ascending=[False, True], kind="stable")
+            return part.groupby("cluster_id", group_keys=False,
+                                sort=False).head(member_cap)
+
+        members = grouped_partitions(members, ["cluster_id"], cap_members)
+    members = members.materialize()
     with_kmv = hash_join(members,
                          res.signatures.select_columns(["url", "kmv"]),
                          "url", "url", suffix="_s")
+
+    def canon_only(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        return t.filter(t["is_canonical"].combine_chunks().cast(pa.bool_()))
+
     canon = {}
-    for r in with_kmv.filter(lambda r: bool(r["is_canonical"])).take_all():
+    for r in with_kmv.map_batches(canon_only,
+                                  batch_format="pyarrow").take_all():
         canon[int(r["cluster_id"])] = np.frombuffer(r["kmv"], np.uint64)
     canon_ref = ray.put(canon)
     nb_ref = ray.put(n_by_cluster)
