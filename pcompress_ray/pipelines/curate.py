@@ -189,13 +189,10 @@ def curate_pipeline(pages_ds, cfg: PipelineConfig | None = None,
 
     def line_scrub():
         docs = ds.map_batches(as_docs, batch_format="pyarrow")
-        # materialize: hash_join reads .schema(), which a lazy map_groups
-        # pipeline reports as None
-        scrubbed = line_dedup_rewrite(docs,
-                                      min_docs=min_docs_line).materialize()
-        url_map = docs.select_columns(["doc_id", "url"])
-        joined = hash_join(scrubbed, url_map, "doc_id", "doc_id",
-                           suffix="_u")
+        # url rides the rewrite's own exchanges (carry_cols), so no third
+        # all-to-all hash join is needed to recover it
+        scrubbed = line_dedup_rewrite(docs, min_docs=min_docs_line,
+                                      carry_cols=("url",))
 
         def post_scrub(t: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
@@ -203,11 +200,11 @@ def curate_pipeline(pages_ds, cfg: PipelineConfig | None = None,
             t = t.replace_schema_metadata(None)
             keep = pc.greater(pc.binary_length(t["new_text"]), 0)
             t = t.filter(keep)
-            return pa.table({"url": t["url"],
+            return pa.table({"url": t["url"].cast(pa.string()),
                              "rank": t["doc_id"].cast(pa.int64()),
                              "text": t["new_text"].cast(pa.string())})
 
-        return joined.map_batches(post_scrub, batch_format="pyarrow")
+        return scrubbed.map_batches(post_scrub, batch_format="pyarrow")
 
     ds = stage("line_scrub", line_scrub)
 

@@ -124,12 +124,16 @@ def segment_dedup_rewrite(ds, w: int = 10, n_parts: int = 32):
 _LINE_TRIM_CHARS = " \t\r\x0b\x0c"
 
 
-def explode_lines(t: pa.Table) -> pa.Table:
-    """documents batch -> one row per line: (doc_id, line_no, line, key).
+def explode_lines(t: pa.Table, carry_cols: tuple = ()) -> pa.Table:
+    """documents batch -> one row per line: (doc_id, line_no, line, key
+    [, carry...]).
 
     Fully vectorized Arrow: one split_pattern over the batch, doc ids and
     line numbers from the ListArray offsets, key = whitespace-trimmed line
     (the dedup identity; the raw line rides along for lossless reassembly).
+    Each ``carry_cols`` column rides on the doc's line_no==0 row only
+    (null on every other line), so per-doc metadata crosses the line-keyed
+    exchange once per DOC, not once per line.
     """
     import pyarrow.compute as pc
 
@@ -148,25 +152,41 @@ def explode_lines(t: pa.Table) -> pa.Table:
         - np.repeat(off[:-1] - off[0], sizes)
     lines = lst.flatten()
     key = pc.utf8_trim(lines, characters=_LINE_TRIM_CHARS)
-    return pa.table({"doc_id": pa.array(doc_rep),
-                     "line_no": pa.array(line_no),
-                     "line": lines,
-                     "key": key})
+    cols = {"doc_id": pa.array(doc_rep),
+            "line_no": pa.array(line_no),
+            "line": lines,
+            "key": key}
+    if carry_cols:
+        # scatter each doc's value to its first line; every split list has
+        # >= 1 element (split of "" is [""]), so line 0 always exists
+        first_idx = (off[:-1] - off[0]).astype(np.int64)
+        n_lines = int(off[-1] - off[0])
+        take_idx = np.full(n_lines, -1, np.int64)
+        take_idx[first_idx] = np.arange(len(ids), dtype=np.int64)
+        idx_arr = pa.array(take_idx, mask=take_idx < 0)
+        for c in carry_cols:
+            col = t[c].combine_chunks() \
+                if isinstance(t[c], pa.ChunkedArray) else t[c]
+            cols[c] = col.take(idx_arr)
+    return pa.table(cols)
 
 
-def mark_dup_lines(min_docs: int):
+def mark_dup_lines(min_docs: int, carry_cols: tuple = ()):
     """Per key-partition: remove EVERY occurrence of a non-blank line whose
     trimmed form appears in >= min_docs DISTINCT documents (boilerplate —
     nav bars / cookie banners / footers — should vanish everywhere, unlike
     the keep-first segment rewrite above). Blank-after-trim lines are
-    structural and never removed."""
+    structural and never removed. ``carry_cols`` pass through untouched."""
 
     def run(part: pd.DataFrame) -> pd.DataFrame:
         if not len(part):
-            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
-                                 "line_no": pd.Series([], dtype=np.int64),
-                                 "line": pd.Series([], dtype=object),
-                                 "keep": pd.Series([], dtype=np.int8)})
+            out = {"doc_id": pd.Series([], dtype=np.int64),
+                   "line_no": pd.Series([], dtype=np.int64),
+                   "line": pd.Series([], dtype=object),
+                   "keep": pd.Series([], dtype=np.int8)}
+            out.update({c: pd.Series([], dtype=object)
+                        for c in carry_cols})
+            return pd.DataFrame(out)
         part = part.sort_values(["key", "doc_id"], kind="stable")
         keyv = part["key"].to_numpy()
         docv = part["doc_id"].to_numpy(np.int64)
@@ -181,25 +201,32 @@ def mark_dup_lines(min_docs: int):
         n_docs = np.add.reduceat(new_pair.astype(np.int64), starts)
         per_row = np.repeat(n_docs, np.diff(np.append(starts, n)))
         remove = (per_row >= min_docs) & (keyv != "")
-        return pd.DataFrame({"doc_id": docv,
-                             "line_no": part["line_no"].to_numpy(np.int64),
-                             "line": part["line"].to_numpy(),
-                             "keep": (~remove).astype(np.int8)})
+        out = {"doc_id": docv,
+               "line_no": part["line_no"].to_numpy(np.int64),
+               "line": part["line"].to_numpy(),
+               "keep": (~remove).astype(np.int8)}
+        out.update({c: part[c].to_numpy() for c in carry_cols})
+        return pd.DataFrame(out)
 
     return run
 
 
-def reassemble_lines(part: pd.DataFrame) -> pd.DataFrame:
-    """Doc-keyed partition -> (doc_id, n_lines, n_kept, new_text), kept
-    lines re-joined with a single binary_join at per-doc ListArray
-    offsets (same vectorized shape as reassemble_docs)."""
+def reassemble_lines(part: pd.DataFrame,
+                     carry_cols: tuple = ()) -> pd.DataFrame:
+    """Doc-keyed partition -> (doc_id, n_lines, n_kept, new_text
+    [, carry...]), kept lines re-joined with a single binary_join at
+    per-doc ListArray offsets (same vectorized shape as reassemble_docs).
+    Carried values are read from each doc's line_no==0 row (where
+    explode_lines put them)."""
     import pyarrow.compute as pc
 
     if not len(part):
-        return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
-                             "n_lines": pd.Series([], dtype=np.int64),
-                             "n_kept": pd.Series([], dtype=np.int64),
-                             "new_text": pd.Series([], dtype=object)})
+        out = {"doc_id": pd.Series([], dtype=np.int64),
+               "n_lines": pd.Series([], dtype=np.int64),
+               "n_kept": pd.Series([], dtype=np.int64),
+               "new_text": pd.Series([], dtype=object)}
+        out.update({c: pd.Series([], dtype=object) for c in carry_cols})
+        return pd.DataFrame(out)
     part = part.sort_values(["doc_id", "line_no"], kind="stable")
     doc = part["doc_id"].to_numpy(np.int64)
     keep = part["keep"].to_numpy(np.int8).astype(bool)
@@ -218,14 +245,19 @@ def reassemble_lines(part: pd.DataFrame) -> pd.DataFrame:
     lst = pa.LargeListArray.from_arrays(pa.array(off),
                                         pa.array(kept_lines, pa.string()))
     new_text = pc.binary_join(lst, "\n").to_pandas()
-    return pd.DataFrame({"doc_id": doc[starts],
-                         "n_lines": sizes.astype(np.int64),
-                         "n_kept": n_kept,
-                         "new_text": new_text.to_numpy()})
+    out = {"doc_id": doc[starts],
+           "n_lines": sizes.astype(np.int64),
+           "n_kept": n_kept,
+           "new_text": new_text.to_numpy()}
+    # line_no==0 is the first row of each doc segment after the sort
+    out.update({c: part[c].to_numpy()[starts] for c in carry_cols})
+    return pd.DataFrame(out)
 
 
-def line_dedup_rewrite(ds, min_docs: int = 2, n_parts: int = 32):
-    """documents Dataset -> (doc_id, n_lines, n_kept, new_text) Dataset.
+def line_dedup_rewrite(ds, min_docs: int = 2, n_parts: int = 32,
+                       carry_cols: tuple = ()):
+    """documents Dataset -> (doc_id, n_lines, n_kept, new_text
+    [, carry...]) Dataset.
 
     CCNet/RefinedWeb-style line-level corpus cleaning: a line (trimmed of
     horizontal whitespace) occurring in >= ``min_docs`` distinct documents
@@ -241,12 +273,20 @@ def line_dedup_rewrite(ds, min_docs: int = 2, n_parts: int = 32):
     co-locate duplicates, once keyed by doc to reassemble) and streams with
     backpressure; there is no driver materialization and no broadcast set
     (unlike a collect-dup-keys design, this stays correct when the
-    boilerplate set itself is huge).
+    boilerplate set itself is huge). ``carry_cols`` (e.g. url) ride each
+    doc's line_no==0 row through both exchanges — one value per DOC on the
+    wire — so callers that need per-doc metadata on the rewritten output
+    skip a third all-to-all hash join entirely (the curate funnel's
+    line-scrub stage).
     """
     from pcompress_ray.functions.ops import grouped_partitions
 
-    lines = ds.map_batches(explode_lines, batch_format="pyarrow")
-    marked = grouped_partitions(lines, ["key"], mark_dup_lines(min_docs),
+    carry = tuple(carry_cols)
+    lines = ds.map_batches(lambda t: explode_lines(t, carry),
+                           batch_format="pyarrow")
+    marked = grouped_partitions(lines, ["key"],
+                                mark_dup_lines(min_docs, carry),
                                 n_parts=n_parts)
-    return grouped_partitions(marked, ["doc_id"], reassemble_lines,
-                              n_parts=n_parts)
+    return grouped_partitions(
+        marked, ["doc_id"],
+        lambda part: reassemble_lines(part, carry), n_parts=n_parts)

@@ -56,6 +56,35 @@ def test_min_docs_threshold():
     assert gone["new_text"].tolist() == ["a0", "a1", "a2"]
 
 
+def test_carry_cols_ride_both_exchanges():
+    """carry_cols (url) survive the line-keyed and doc-keyed exchanges
+    and land once per doc on the rewritten output — including docs whose
+    every line was scrubbed, and empty-text docs."""
+    import ray.data as rd
+
+    from pcompress_ray.stages.rewrite import line_dedup_rewrite
+
+    texts = ["cookie banner\nunique alpha",
+             "cookie banner\nunique beta",
+             "cookie banner",            # scrubbed to nothing
+             ""]                         # empty text
+    docs = pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "url": pa.array([f"http://h{i}.com/p" for i in range(4)]),
+        "text": pa.array(texts, pa.string())})
+    out = line_dedup_rewrite(rd.from_arrow(docs).repartition(3),
+                             min_docs=2, n_parts=4,
+                             carry_cols=("url",)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["url"].tolist() == [f"http://h{i}.com/p" for i in range(4)]
+    assert out["new_text"].tolist() == ["unique alpha", "unique beta",
+                                        "", ""]
+    # baseline without carry is unchanged (no url column)
+    base = _run(texts)
+    assert "url" not in base.columns
+    assert base["new_text"].tolist() == out["new_text"].tolist()
+
+
 def test_all_lines_removed_emits_empty_doc():
     texts = ["dup one\ndup two", "dup one\ndup two", "keep me"]
     out = _run(texts)
