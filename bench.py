@@ -66,7 +66,12 @@ QUERY_NAMES = ["q1_pricing", "q3_top_orders", "customer_nation", "doc_stats",
                "simhash_fingerprint", "simhash_hamming_pairs",
                "dsir_weights", "dsir_sample", "incremental_neardup",
                "soft_dedup_weights", "soft_cluster_weights", "lsh_plan",
-               "cluster_explain", "mirror_domains", "redirect_resolve"]
+               "cluster_explain", "mirror_domains", "redirect_resolve",
+               "archive_roundtrip", "audio_features",
+               "customers_without_orders", "dedup_pairs", "fingerprints",
+               "fixed_chunks", "image_features", "lang_stats",
+               "media_features", "minhash_signatures", "simhash_neardup",
+               "substring_spans"]
 
 
 def run_bench() -> dict:
@@ -98,7 +103,14 @@ def run_bench() -> dict:
     # fake "work" (measured: 2x total CPU and 14x task-time variance with a
     # 2k-doc warm-up at 32 CPUs vs a full-width one).
     write_bench_corpus(BENCH_CORPUS_DIR, N_BENCH_DOCS)
-    cfg = PipelineConfig(sig_concurrency=max(2, NUM_CPUS // 2))
+    # GRAFT_CC_EDGE_LIMIT=0 forces the distributed label-propagation
+    # components path (the true 100x-scale path) so it gets wall-time
+    # records, not just the equality test; unset = driver union-find
+    # below the configured edge gate, as in production defaults
+    cc_limit = os.environ.get("GRAFT_CC_EDGE_LIMIT")
+    cfg_kw = {} if cc_limit is None else \
+        {"cc_driver_edge_limit": int(cc_limit)}
+    cfg = PipelineConfig(sig_concurrency=max(2, NUM_CPUS // 2), **cfg_kw)
     warm_docs = min(N_BENCH_DOCS, max(8000, 1000 * NUM_CPUS))
     warm = read_bench_corpus(BENCH_CORPUS_DIR).limit(warm_docs)
     dedup_pipeline(warm, cfg, compute_pairs=False).clusters.count()
@@ -173,6 +185,7 @@ def run_bench() -> dict:
         "archive_sec": archive_sec,
         "archive_docs_per_sec": round(N_BENCH_DOCS / archive_sec, 1),
         "archive_ratio": archive_ratio,
+        "cc_edge_limit": cc_limit,
     }
 
 
