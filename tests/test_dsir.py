@@ -136,3 +136,40 @@ def test_gumbel_bias_toward_high_weights():
     # 6 sigma slack while still far above the uniform expectation of 10
     assert wins.most_common(1)[0][0] == 13
     assert wins[13] > 60
+
+
+def test_memo_cap_and_unigram_only():
+    """The per-worker md5 memo caches UNIGRAMS only and stops growing at
+    _MEMO_CAP — a long-lived worker on an unbounded bigram vocabulary
+    can no longer OOM (ADVICE r04); buckets are identical either way."""
+    from pcompress_ray.stages.dsir import _MEMO_CAP, _batch_buckets
+
+    texts = pa.array(["alpha beta gamma", "beta gamma delta"], pa.string())
+    memo = {}
+    b1, s1, n1 = _batch_buckets(texts, B, memo)
+    # only the 4 distinct unigrams are cached — never the 4 bigrams
+    assert set(memo) == {"alpha", "beta", "gamma", "delta"}
+    # a full memo stops growing but still returns correct buckets
+    full = dict.fromkeys((f"f{i}" for i in range(_MEMO_CAP)), 0)
+    b2, s2, n2 = _batch_buckets(texts, B, full)
+    assert len(full) == _MEMO_CAP          # no insert past the cap
+    np.testing.assert_array_equal(b1, b2)
+    np.testing.assert_array_equal(n1, n2)
+    # and every bucket matches the scalar md5 reference
+    exp = []
+    for t in texts.to_pylist():
+        exp.extend(_ref_bucket(g) for g in _ref_ngrams(t))
+    assert sorted(b1.tolist()) == sorted(exp)
+
+
+def test_tokenize_alnum_matches_re_reference():
+    from pcompress_ray.stages.textstats import tokenize_alnum
+
+    texts = ["A-B c_d 42x", "", None, "  lots   of\tspace ", "ALL CAPS 9"]
+    doc, words, n_docs = tokenize_alnum(pa.array(texts, pa.string()))
+    assert n_docs == len(texts)
+    got = [[] for _ in texts]
+    for d, w in zip(doc, words):
+        got[d].append(w)
+    exp = [_RE.findall((t or "").lower()) for t in texts]
+    assert got == exp
