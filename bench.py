@@ -199,8 +199,10 @@ def run_bench() -> dict:
 # on scaling pairs (legs >20% over record => window degraded, pair not
 # credible). Update when a faster clean leg is recorded.
 _SCALING_RECORDS = {
-    960000: {4: 356.9, 16: 106.5},  # 2026-08-20 two credible pairs (eff 0.939
-                                    # then 0.838 raw; legs are the best of both)
+    960000: {4: 354.2, 16: 104.2},  # 2026-08-20 round-5 engine credible pair
+                                    # (eff 0.85 raw, ceiling 0.97) — both legs
+                                    # all-time records, beating the 0.939/0.838
+                                    # pairs' best legs 356.9 / 106.5
     480000: {4: 178.3, 16: 51.1},   # 2026-08-20 session-5 final engine (eff
                                     # 0.872 credible; prior 191.0/53.0)
     120000: {4: 442.2, 16: 126.9},  # pre-fast-exchange engine (stale-slow: only
