@@ -173,3 +173,34 @@ def test_tokenize_alnum_matches_re_reference():
         got[d].append(w)
     exp = [_RE.findall((t or "").lower()) for t in texts]
     assert got == exp
+
+
+def test_tokenize_alnum_matches_duckdb_on_unicode():
+    """Hypothesis: the Arrow tokenizer agrees with the DuckDB oracles'
+    regexp_extract_all(lower(x), '[a-z0-9]+') on arbitrary unicode —
+    including SpecialCasing chars (U+0130, K, ß) where Python's
+    str.lower() diverges. This pins the kernel to the ORACLE side."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pcompress_ray.stages.textstats import tokenize_alnum
+
+    alphabet = st.sampled_from(list("aZ09 .\n\t-_İKßΣüé中🙂"))
+
+    @settings(max_examples=40, deadline=None)
+    @given(texts=st.lists(st.text(alphabet, max_size=40), min_size=1,
+                          max_size=6))
+    def run(texts):
+        doc, words, n_docs = tokenize_alnum(pa.array(texts, pa.string()))
+        got = [[] for _ in texts]
+        for d, w in zip(doc, words):
+            got[d].append(w)
+        con = duckdb.connect()
+        exp = [con.execute(
+            "select regexp_extract_all(lower(?), '[a-z0-9]+')",
+            [t]).fetchone()[0] for t in texts]
+        con.close()
+        assert got == exp
+
+    run()

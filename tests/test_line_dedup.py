@@ -136,3 +136,44 @@ def test_parallelism_invariance():
     a = run(2, 3)
     b = run(7, 11)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_carry_equals_join_property(ray_session):
+    """Hypothesis: for ANY corpus shape, the carry_cols output equals the
+    old recover-by-join construction row for row."""
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import ray.data as rd
+
+    import pcompress_ray
+
+    pcompress_ray.register_for_ray()
+    from pcompress_ray.stages.rewrite import line_dedup_rewrite
+
+    line = st.sampled_from(["dup line", " dup line ", "", "  ",
+                            "uniq-a", "uniq-b", "x y"])
+    doc = st.lists(line, min_size=0, max_size=5).map("\n".join)
+
+    @settings(max_examples=6, deadline=None)
+    @given(texts=st.lists(doc, min_size=1, max_size=6))
+    def run(texts):
+        docs = pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "url": pa.array([f"u://{i}" for i in range(len(texts))]),
+            "text": pa.array(texts, pa.string())})
+        ds = rd.from_arrow(docs).repartition(2)
+        carry = line_dedup_rewrite(ds, min_docs=2, n_parts=3,
+                                   carry_cols=("url",)).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        plain = line_dedup_rewrite(ds, min_docs=2, n_parts=3).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        joined = plain.merge(
+            pd.DataFrame({"doc_id": range(len(texts)),
+                          "url": [f"u://{i}" for i in range(len(texts))]}),
+            on="doc_id")
+        cols = ["doc_id", "n_lines", "n_kept", "new_text", "url"]
+        assert carry[cols].equals(joined[cols])
+
+    run()
