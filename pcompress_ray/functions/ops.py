@@ -104,7 +104,8 @@ def _sort_grouped_partitions(ds, key_cols: list[str], fn, n_parts: int = 64):
 
 
 def fast_grouped_partitions(ds, key_cols: list[str], fn, n_parts: int = 64,
-                            max_blocks: int = 4096, max_slicers: int = 64):
+                            max_blocks: int = 4096, max_slicers: int = 64,
+                            byte_budget: int | None = None):
     """``grouped_partitions`` as a raw-Ray two-round hash exchange.
 
     Same co-location contract (all rows of any key reach exactly one
@@ -120,10 +121,19 @@ def fast_grouped_partitions(ds, key_cols: list[str], fn, n_parts: int = 64,
     reducer outputs feed ``from_arrow_refs``; a pandas return is converted,
     accepting pandas→arrow dtype mapping). The input is materialized first.
 
-    Scale guard: the driver holds G × (n_parts+1) small object refs. When
-    the materialized input has more than ``max_blocks`` blocks — the regime
-    where the sort's fixed cost amortizes anyway — this falls back to the
-    sort-based ``grouped_partitions`` path.
+    Scale guards (either one routes to the sort-based Dataset exchange,
+    where the fixed cost amortizes and the streaming executor applies
+    backpressure and graceful spill):
+    - block count: the driver holds G × (n_parts+1) small object refs;
+      past ``max_blocks`` blocks that bookkeeping stops being "small".
+    - byte budget: the raw-task exchange holds input blocks + their
+      slices + reducer concats in the object store SIMULTANEOUSLY, with
+      no streaming backpressure (~3× input bytes in flight). Past
+      ``byte_budget`` (default 20% of the cluster's object store, so the
+      3× transient stays under ~60%), eager dispatch can outrun spill —
+      observed as ``OutOfDiskError`` in a slicer at 1.44M docs on a
+      14 GB corpus against a 37.6 GiB store (BENCH_LOCAL.md round 5) —
+      so big inputs take the streaming path instead.
     """
     import ray
     import ray.data as rd
@@ -133,6 +143,11 @@ def fast_grouped_partitions(ds, key_cols: list[str], fn, n_parts: int = 64,
     if len(refs) > max_blocks:
         return _sort_grouped_partitions(mat, key_cols, fn, n_parts=n_parts)
     if not refs:
+        return _sort_grouped_partitions(mat, key_cols, fn, n_parts=n_parts)
+    if byte_budget is None:
+        store = ray.cluster_resources().get("object_store_memory")
+        byte_budget = int(store * 0.2) if store else None
+    if byte_budget is not None and mat.size_bytes() > byte_budget:
         return _sort_grouped_partitions(mat, key_cols, fn, n_parts=n_parts)
 
     def slicer(*blocks):

@@ -240,6 +240,31 @@ def test_fast_grouped_partitions_matches_sort_path(rds):
     pd.testing.assert_frame_equal(fast, ref.astype(fast.dtypes.to_dict()))
 
 
+def test_fast_grouped_partitions_byte_budget_fallback(rds):
+    """An input past the object-store byte budget must route to the
+    streaming sort exchange (the backpressured path that cannot hit the
+    eager-dispatch OutOfDiskError) and still honor the co-location
+    contract bit for bit."""
+    from pcompress_ray.functions.ops import fast_grouped_partitions
+
+    _gp_fn = _make_gp_fn()
+    rng = np.random.RandomState(11)
+    df = pd.DataFrame({"k": rng.randint(0, 50, 2000).astype(np.int64),
+                       "v": rng.randint(0, 9, 2000).astype(np.int64)})
+    ds = rds.from_pandas(df).repartition(5)
+    # byte_budget=1 forces the fallback; default budget keeps the fast path
+    forced = fast_grouped_partitions(ds, ["k"], _gp_fn, n_parts=7,
+                                     byte_budget=1) \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    fast = fast_grouped_partitions(rds.from_pandas(df).repartition(5),
+                                   ["k"], _gp_fn, n_parts=7) \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    ref = df.groupby("k", as_index=False).agg(s=("v", "sum"), n=("v", "size"))
+    ref = ref.sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(forced.astype(ref.dtypes.to_dict()), ref)
+    pd.testing.assert_frame_equal(fast.astype(ref.dtypes.to_dict()), ref)
+
+
 def test_fast_grouped_partitions_string_keys_and_pandas_fn(rds):
     from pcompress_ray.functions.ops import fast_grouped_partitions
 
