@@ -103,6 +103,22 @@ def _sort_grouped_partitions(ds, key_cols: list[str], fn, n_parts: int = 64):
             .groupby("__part").map_groups(run, batch_format="pandas"))
 
 
+_EXCHANGE_BUDGET: list = []   # [bytes | None], cached per driver process
+
+
+def _default_exchange_budget():
+    """20% of the cluster object store, cached — cluster_resources() is
+    an RPC and this runs once per exchange call otherwise."""
+    if not _EXCHANGE_BUDGET:
+        import ray
+
+        if not ray.is_initialized():
+            return None            # don't cache a pre-init miss
+        store = ray.cluster_resources().get("object_store_memory")
+        _EXCHANGE_BUDGET.append(int(store * 0.2) if store else None)
+    return _EXCHANGE_BUDGET[0]
+
+
 def fast_grouped_partitions(ds, key_cols: list[str], fn, n_parts: int = 64,
                             max_blocks: int = 4096, max_slicers: int = 64,
                             byte_budget: int | None = None):
@@ -145,8 +161,7 @@ def fast_grouped_partitions(ds, key_cols: list[str], fn, n_parts: int = 64,
     if not refs:
         return _sort_grouped_partitions(mat, key_cols, fn, n_parts=n_parts)
     if byte_budget is None:
-        store = ray.cluster_resources().get("object_store_memory")
-        byte_budget = int(store * 0.2) if store else None
+        byte_budget = _default_exchange_budget()
     if byte_budget is not None and mat.size_bytes() > byte_budget:
         return _sort_grouped_partitions(mat, key_cols, fn, n_parts=n_parts)
 
