@@ -108,3 +108,48 @@ def test_incremental_empty_increment(ray_session):
     inc = dedup_increment(prev.signatures, prev.edges,
                           rd.from_arrow(pages.slice(0, 0)), cfg)
     pd.testing.assert_frame_equal(_clusters(inc), _clusters(prev))
+
+
+def test_two_chained_increments_match_full_recompute(ray_session):
+    """§2.9 append-only contract under REPEATED folds: increment twice
+    (each fold building on the previous fold's outputs) and the final
+    cluster table must equal one full recompute over everything — the
+    grow-only-index semantics of the reference held across generations."""
+    import ray.data as rd
+
+    import pcompress_ray
+
+    pcompress_ray.register_for_ray()
+    from pcompress_ray.pipelines.dedup import dedup_pipeline
+    from pcompress_ray.pipelines.incremental import dedup_increment
+    from pcompress_ray.sources.corpus import make_corpus
+
+    cfg = PipelineConfig(stop_shingle_df=0)
+    pages, _, _ = make_corpus(300, 43, with_oracle=False)
+    n = len(pages["url"])
+    pages = pages.append_column("rank",
+                                pa.array(np.arange(n, dtype=np.int64)))
+
+    full = dedup_pipeline(rd.from_arrow(pages).repartition(6), cfg,
+                          compute_pairs=False)
+    gen0 = dedup_pipeline(rd.from_arrow(pages.slice(0, 150)).repartition(3),
+                          cfg, compute_pairs=False)
+    gen1 = dedup_increment(gen0.signatures, gen0.edges,
+                           rd.from_arrow(pages.slice(150, 75)).repartition(2),
+                           cfg)
+    gen2 = dedup_increment(gen1.signatures, gen1.edges,
+                           rd.from_arrow(pages.slice(225, 75)).repartition(2),
+                           cfg)
+
+    got = _clusters(gen2)
+    want = _clusters(full)
+    assert len(got) == 300
+    pd.testing.assert_frame_equal(got, want)
+    assert gen2.metrics["n_new_docs"] == 75
+    assert gen2.metrics["n_docs"] == 300
+    # canonical stability holds across BOTH folds
+    g1 = _clusters(gen1)
+    merged = g1.merge(got[got["rank"] < 225], on="rank",
+                      suffixes=("_g1", "_g2"))
+    assert (merged.cluster_id_g1 == merged.cluster_id_g2).all()
+    assert (merged.is_canonical_g1 == merged.is_canonical_g2).all()
