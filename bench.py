@@ -203,8 +203,12 @@ _SCALING_RECORDS = {
                                     # (eff 0.85 raw, ceiling 0.97) — both legs
                                     # all-time records, beating the 0.939/0.838
                                     # pairs' best legs 356.9 / 106.5
-    480000: {4: 178.3, 16: 51.1},   # 2026-08-20 session-5 final engine (eff
-                                    # 0.872 credible; prior 191.0/53.0)
+    480000: {4: 178.3, 16: 50.4},   # 4-leg: 2026-08-20 session-5 (eff 0.872
+                                    # credible); 16-leg: round-5 evening rep
+                                    # (clean 0.942 ceiling window; its pair was
+                                    # rejected for the 4-leg, but a FASTER leg
+                                    # cannot be load-inflated — tightening the
+                                    # record makes future checks stricter)
     120000: {4: 442.2, 16: 126.9},  # pre-fast-exchange engine (stale-slow: only
                                     # used as an upper bound, never a target)
 }
